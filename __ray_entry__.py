@@ -1,16 +1,12 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native KG construction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-triples pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data-pipeline additions); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller BEFORE this module's functions run; no
+function here (nor the library code they use) calls ``ray.init``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,53 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents -> mentions
+    -> dictionary linking (§2.8 routing) -> (subj, pred, obj) triples."""
+    from ontology_matcher_ray.pipelines import docs_kg
+
+    return docs_kg.kg_triples(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ontology_matcher_ray.pipelines import docs_kg, docs_text, events
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- KG construction core (SURVEY §2.2-2.8) ---
+        "mentions": docs_kg.mentions,                       # extractor actor pool
+        "mention_triples": docs_kg.mention_triples,         # extract+link+dedup
+        "doc_meta_triples": docs_kg.doc_meta_triples,
+        "entity_xref_triples": docs_kg.entity_xref_triples, # get_alias_ids (M7)
+        "kg_triples": docs_kg.kg_triples,                   # flagship union
+        "resolve_route": docs_kg.resolve_route,             # §2.8 routing tree
+        "format_entities": docs_kg.formatted_entities,      # default_format (J1+rules)
+        "canonical_merge": docs_kg.canonical_merge,         # A1 dedup aggregation
+        "curie_validate": docs_kg.curie_validate,           # M2
+        "curie_parse": docs_kg.curie_parse,                 # M3
+        # --- text analysis (training-data ops) ---
+        "doc_stats": docs_text.doc_stats,
+        "lang_stats": docs_text.lang_stats,
+        "token_freq": docs_text.token_freq,
+        "lang_id": docs_text.lang_id,
+        "fingerprints": docs_text.fingerprints,             # rows-only
+        # --- dedup family ---
+        "dedup_exact": docs_text.dedup_exact,
+        "dedup_minhash": docs_text.dedup_minhash,           # rows-only
+        "dedup_simhash": docs_text.dedup_simhash,           # rows-only
+        "dedup_embedding": docs_text.dedup_embedding,       # rows-only
+        # --- similarity search ---
+        "knn_brute": docs_text.knn_brute,
+        "knn_ivf": docs_text.knn_ivf,                       # rows-only (approx)
+        # --- stream-shaped ---
+        "events_hourly": events.hourly_windows,
+        "events_sessionize": events.sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ontology_matcher_ray.oracle import build_oracle_sql
+
+    return build_oracle_sql()

@@ -1,0 +1,146 @@
+"""Benchmark harness: headline corpus-KG build + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "kg_build_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <dir>, "num_cpus": N,
+   "triples": T, "triples_per_sec": R}
+
+``--scaling`` runs the headline job twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same pre-generated input and reports
+both throughputs + scaling efficiency (the sandbox stand-in for the N vs
+4N cluster-size criterion; see BASELINE.md).
+
+Env knobs: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_CORPUS_FILES (default 120000), GRAFT_DICT_SIZE
+(default 200000 synthetic xref entries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_files = int(os.environ.get("GRAFT_CORPUS_FILES", "120000"))
+    dict_size = int(os.environ.get("GRAFT_DICT_SIZE", "200000"))
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # polars block sort: ~1.6x faster exchanges on string-key blocks
+    ctx.use_polars_sort = True
+
+    from ontology_matcher_ray import corpus as corpus_mod
+    from ontology_matcher_ray.pipelines import corpus_kg, docs_kg, docs_text, events
+    from ontology_matcher_ray.schemas import DISEASE_SPEC
+    from ontology_matcher_ray.state.snapshot import build_snapshot
+
+    # ---- setup (untimed): snapshot + corpus, cached across runs ----
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=dict_size, seed=42)
+    corpus_dir = f"/tmp/onto_ray_bench/corpus_{n_files}"
+    corpus_mod.generate_corpus(corpus_dir, n_files, snap)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import ray.data as rd
+
+    rd.read_parquet(corpus_dir).count()
+
+    # ---- headline: corpus KG build (timed) ----
+    out_dir = f"/tmp/onto_ray_bench/kg_out_{num_cpus}"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    n_shards = int(os.environ.get("GRAFT_KG_SHARDS", "4"))
+    t0 = time.time()
+    records = corpus_kg.build_kg(corpus_dir, out_dir, snap, n_shards=n_shards)
+    headline = time.time() - t0
+    triples = sum(r.triple_count for r in records)
+
+    # ---- per-query timings over the sf tables ----
+    def consume(res):
+        if hasattr(res, "to_pandas"):
+            return len(res.to_pandas())
+        return len(res)
+
+    query_fns = {
+        "kg_triples": lambda: docs_kg.kg_triples(sf_dir),
+        "format_entities": lambda: docs_kg.formatted_entities(sf_dir),
+        "canonical_merge": lambda: docs_kg.canonical_merge(sf_dir),
+        "doc_stats": lambda: docs_text.doc_stats(sf_dir),
+        "dedup_exact": lambda: docs_text.dedup_exact(sf_dir),
+        "dedup_minhash": lambda: docs_text.dedup_minhash(sf_dir),
+        "knn_brute": lambda: docs_text.knn_brute(sf_dir),
+        "events_sessionize": lambda: events.sessionize(sf_dir),
+    }
+    qtimes = {}
+    for name, fn in query_fns.items():
+        tq = time.time()
+        consume(fn())
+        qtimes[name] = round(time.time() - tq, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_build_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "corpus_files": n_files,
+        "triples": triples,
+        "triples_per_sec": round(triples / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at two parallelism levels in fresh processes."""
+    results = {}
+    scaling_files = os.environ.get("GRAFT_SCALING_FILES", "400000")
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            # one shard: measure steady-state throughput, not per-shard
+            # pipeline startup (resume granularity is exercised in tests)
+            GRAFT_KG_SHARDS="1",
+            GRAFT_CORPUS_FILES=scaling_files,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling",
+        "sec_8": t8,
+        "sec_32": t32,
+        "tps_8": results[8]["triples_per_sec"],
+        "tps_32": results[32]["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "corpus_files": results[32]["corpus_files"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

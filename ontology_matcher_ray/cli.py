@@ -1,0 +1,173 @@
+"""Command-line surface, mirroring the reference CLI (``cli.py:55-330``).
+
+Commands:
+  ontology  — full pipeline: read entity file -> resolve -> format -> write
+              (+ ``--reformat`` resume from the resolve checkpoint)
+  dedup     — canonical-id merge over a formatted TSV (the reference's
+              specified-but-stubbed semantics, cli.py:192-296)
+  idtypes   — list supported databases for an ontology type
+  template  — write an input template
+  corpus-kg — corpus-scale KG build (generate/extract/link/dedup/write),
+              sharded + resumable; the ``ray job submit`` entry point.
+
+This module OWNS the Ray session (guarded init); library code never
+initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+TEMPLATES = {
+    # header + sample row per type, after */custom_types.py generate_template
+    "disease": ("id\tname\tlabel\tresource\n"
+                 "DOID:4001\tovarian carcinoma\tDisease\tDOID\n"
+                 "MESH:D015673\tFatigue Syndrome, Chronic\tDisease\tMESH\n"),
+    "gene": ("id\tname\tlabel\tresource\n"
+              "ENTREZ:7157\ttumor protein p53\tGene\tENTREZ\n"),
+    "compound": ("id\tname\tlabel\tresource\n"
+                  "DrugBank:DB01628\tETORICOXIB\tCompound\tDrugBank\n"),
+    "metabolite": ("id\tname\tlabel\tresource\n"
+                    "HMDB:HMDB0003345\talpha-D-Glucose\tMetabolite\tHMDB\n"),
+    "symptom": ("id\tname\tlabel\tresource\n"
+                 "UMLS:C0015672\tFatigue\tSymptom\tUMLS\n"),
+}
+
+
+def cmd_ontology(args) -> int:
+    _ensure_ray()
+    from ontology_matcher_ray.pipelines.ontology_match import run_ontology_match
+    from ontology_matcher_ray.schemas import SPECS, Strategy
+    from ontology_matcher_ray.state.snapshot import get_snapshot
+
+    spec = SPECS[args.ontology_type]
+    strategy = Strategy.UNIQUE if args.strategy == "unique" else Strategy.MIXTURE
+    ckpt = args.checkpoint_dir or (args.output_file + ".ckpt")
+    formatted, failed = run_ontology_match(
+        args.input_file, args.output_file, get_snapshot(spec), spec,
+        strategy=strategy, checkpoint_dir=ckpt, reformat=args.reformat,
+    )
+    print(f"formatted={len(formatted)} failed={len(failed)} -> {args.output_file}")
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    _ensure_ray()
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ontology_matcher_ray.pipelines.docs_kg import _partial_merge
+    from ontology_matcher_ray.stages import exchange
+
+    df = pd.read_csv(args.input_file, sep="\t", dtype=str).fillna("")
+    for col in ["id", "label", "xrefs"]:
+        if col not in df.columns:
+            raise SystemExit(f"Cannot find the column {col} in the input file.")
+    for col in ["name", "description", "resource", "taxid", "synonyms", "pmids", "raw_id"]:
+        if col not in df.columns:
+            df[col] = ""
+    df["doc_id"] = range(len(df))        # input order drives 'first'
+    ds = rd.from_pandas(df)
+    out = exchange.partitioned_apply(ds, ["id", "label"], _partial_merge, 32)
+    res = out.to_pandas().drop(columns=["doc_id"]).sort_values("id")
+    res.to_csv(args.output_file, sep="\t", index=False)
+    print(f"dedup: {len(df)} -> {len(res)} rows -> {args.output_file}")
+    return 0
+
+
+def cmd_idtypes(args) -> int:
+    from ontology_matcher_ray.schemas import SPECS
+
+    print("\n".join(SPECS[args.ontology_type].choices))
+    return 0
+
+
+def cmd_template(args) -> int:
+    with open(args.output_file, "w") as f:
+        f.write(TEMPLATES[args.ontology_type])
+    print(f"template -> {args.output_file}")
+    return 0
+
+
+def cmd_corpus_kg(args) -> int:
+    _ensure_ray()
+    from ontology_matcher_ray import corpus as corpus_mod
+    from ontology_matcher_ray.pipelines import corpus_kg
+    from ontology_matcher_ray.schemas import DISEASE_SPEC
+    from ontology_matcher_ray.state.snapshot import build_snapshot
+
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=args.dict_size, seed=42)
+    if args.generate:
+        corpus_mod.generate_corpus(args.corpus_dir, args.n_files, snap)
+    records = corpus_kg.build_kg(
+        args.corpus_dir, args.output_dir, snap, n_shards=args.shards
+    )
+    triples = sum(r.triple_count for r in records)
+    print(f"kg build: {len(records)} shards, {triples} triples -> {args.output_dir}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="onto-match-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    po = sub.add_parser("ontology", help="Convert ontology ids.")
+    po.add_argument("--input-file", "-i", required=True)
+    po.add_argument("--output-file", "-o", required=True)
+    po.add_argument("--ontology-type", "-O", required=True,
+                    choices=["disease", "gene", "compound", "metabolite", "symptom"])
+    po.add_argument("--strategy", choices=["mixture", "unique"], default="mixture")
+    po.add_argument("--checkpoint-dir", default=None)
+    po.add_argument("--reformat", "-r", action="store_true")
+    po.set_defaults(fn=cmd_ontology)
+
+    pd_ = sub.add_parser("dedup", help="Merge duplicated ids into one.")
+    pd_.add_argument("--input-file", "-i", required=True)
+    pd_.add_argument("--output-file", "-o", required=True)
+    pd_.set_defaults(fn=cmd_dedup)
+
+    pi = sub.add_parser("idtypes", help="Which ID types are supported.")
+    pi.add_argument("--ontology-type", "-O", required=True,
+                    choices=["disease", "gene", "compound", "metabolite", "symptom"])
+    pi.set_defaults(fn=cmd_idtypes)
+
+    pt = sub.add_parser("template", help="Generate input file template.")
+    pt.add_argument("--ontology-type", "-O", required=True,
+                    choices=["disease", "gene", "compound", "metabolite", "symptom"])
+    pt.add_argument("--output-file", "-o", required=True)
+    pt.set_defaults(fn=cmd_template)
+
+    pc = sub.add_parser("corpus-kg", help="Corpus-scale KG build (resumable).")
+    pc.add_argument("--corpus-dir", required=True)
+    pc.add_argument("--output-dir", required=True)
+    pc.add_argument("--generate", action="store_true")
+    pc.add_argument("--n-files", type=int, default=100000)
+    pc.add_argument("--dict-size", type=int, default=100000)
+    pc.add_argument("--shards", type=int, default=4)
+    pc.set_defaults(fn=cmd_corpus_kg)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

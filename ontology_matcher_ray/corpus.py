@@ -1,0 +1,153 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F1).
+
+Generates the Parquet corpus of source-code repositories
+``(repo, path, commit, lang, content)`` per BASELINE.json ``input_hint``,
+with PLANTED, closed-form-computable signals:
+
+* CURIE literals drawn from the dictionary snapshot (``MESH:D0000001``,
+  synthetic ids, and known-miss ids) — feed the CurieExtractor + Resolver;
+* import lines (``import modK.fileJ``) — feed the ImportExtractor;
+* repo sizes are Zipf-skewed (repo 0 holds ~30% of files) to exercise the
+  salted canonicalize shuffle.
+
+Generation is itself a Ray pipeline (``ray.data.range(n).map_batches``):
+file i's row is a pure function of i, so any shard of the corpus can be
+(re)generated independently and the expected triple set is computable
+without running the engine (see ``expected_triples``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ontology_matcher_ray.state.snapshot import DictionarySnapshot
+
+LANGS = ["py", "rs", "java", "md"]
+N_REPOS = 23
+N_MODULES = 17
+
+
+def _repo_for(i: int) -> str:
+    # Zipf-ish skew: ~30% of files land in repo 0, long tail elsewhere
+    h = int.from_bytes(hashlib.blake2b(b"r%d" % i, digest_size=4).digest(), "big")
+    if h % 10 < 3:
+        r = 0
+    else:
+        r = 1 + h % (N_REPOS - 1)
+    return f"org{r % 7}/repo{r}"
+
+
+def _planted_curies(i: int, raw_ids: List[str]) -> List[str]:
+    """File i mentions 1-3 CURIEs chosen by fixed residues of i."""
+    n = len(raw_ids)
+    picks = [raw_ids[i % n]]
+    if i % 3 == 0:
+        picks.append(raw_ids[(i * 7 + 1) % n])
+    if i % 5 == 0:
+        picks.append(raw_ids[(i * 11 + 2) % n])
+    return picks
+
+
+def _planted_imports(i: int) -> List[str]:
+    mods = [f"mod{(i * 3 + k) % N_MODULES}.file{(i + k) % 9}" for k in range(i % 3)]
+    return mods
+
+
+def file_row(i: int, raw_ids: List[str]) -> Dict[str, str]:
+    lang = LANGS[i % len(LANGS)]
+    repo = _repo_for(i)
+    path = f"src/mod{i % N_MODULES}/file{i % 97}.{lang}"
+    commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+    curies = _planted_curies(i, raw_ids)
+    imports = _planted_imports(i)
+    lines = [f"// synthetic file {i} in {lang}"]
+    lines += [f"import {m}" for m in imports]
+    lines += [f"# ontology ref {c}" for c in curies]
+    lines += [f"fn body_{i}() {{ return {i % 1000}; }}" for _ in range(3 + i % 5)]
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": "\n".join(lines),
+    }
+
+
+def _raw_id_universe(snapshot: DictionarySnapshot) -> List[str]:
+    """Deterministic planted-id list: every dictionary raw_id plus a few
+    known misses (ids matching the CURIE regex but absent everywhere)."""
+    ids = sorted(snapshot.db_ids)
+    ids += [f"MESH:DMISS{k}" for k in range(5)]
+    return ids
+
+
+def generate_corpus(
+    out_dir: str,
+    n_files: int,
+    snapshot: DictionarySnapshot,
+    overwrite: bool = False,
+    parallelism: int = 0,
+) -> str:
+    """Write the corpus Parquet dir (idempotent unless ``overwrite``)."""
+    done_marker = os.path.join(out_dir, "_DONE_%d" % n_files)
+    if os.path.exists(done_marker) and not overwrite:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    raw_ids = _raw_id_universe(snapshot)
+
+    def gen(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = [file_row(int(i), raw_ids) for i in batch["id"]]
+        return pd.DataFrame(rows)
+
+    ds = rd.range(n_files, override_num_blocks=max(8, n_files // 50_000))
+    ds = ds.map_batches(gen, batch_format="pandas")
+    ds.write_parquet(out_dir)
+    with open(done_marker, "w") as f:
+        f.write(str(n_files))
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Closed-form expected triples (F6) — computed WITHOUT the engine.
+# ---------------------------------------------------------------------------
+
+def expected_triples(
+    n_files: int, snapshot: DictionarySnapshot, spec, strategy=None
+) -> Set[Tuple[str, str, str]]:
+    """The exact triple set the corpus KG pipeline must emit.
+
+    Rules mirror the documented engine contract (not its code): mentions
+    link through the §2.8 tree (canonical for ok, raw for ok_raw/failed
+    readmission under mixture); imports become (file, imports, module).
+    Subjects are ``repo/path`` URIs.
+    """
+    # independent mini-router (NOT the engine's route_id): canonical id iff
+    # the dictionary maps the raw id to exactly one default-db id; raw id
+    # otherwise (no-hit, non-default-only, or multi-default under mixture)
+    raw_ids = _raw_id_universe(snapshot)
+    route_cache: Dict[str, str] = {}
+    for rid in raw_ids:
+        prefix = rid.split(":", 1)[0]
+        if prefix == spec.default:
+            route_cache[rid] = rid
+            continue
+        entry = snapshot.db_ids.get(rid) or {}
+        defaults = entry.get(spec.default) or []
+        route_cache[rid] = defaults[0] if len(defaults) == 1 else rid
+    triples: Set[Tuple[str, str, str]] = set()
+    for i in range(n_files):
+        row = file_row(i, raw_ids)
+        subj = f"{row['repo']}/{row['path']}"
+        for c in _planted_curies(i, raw_ids):
+            triples.add((subj, "mentions", route_cache[c]))
+        for m in _planted_imports(i):
+            triples.add((subj, "imports", m))
+        triples.add((subj, "in_lang", row["lang"]))
+    return triples

@@ -1,0 +1,314 @@
+"""DuckDB oracle SQL for every SQL-expressible query in ``__ray_entry__``.
+
+The SQL is an INDEPENDENT second implementation: routing outcomes come from
+the hand-written ``EXPECTED_ROUTE`` literals in ``state/fixtures.py`` (not
+from the engine's routing code), and all text/stat kernels are re-derived
+with DuckDB list/string functions.  Tables ``documents``, ``events``,
+``embeddings`` etc. are pre-registered views over the same parquet files
+the Ray pipelines read.
+"""
+
+from __future__ import annotations
+
+from ontology_matcher_ray.schemas import DISEASE_SPEC
+from ontology_matcher_ray.state.fixtures import (
+    EXPECTED_ROUTE,
+    FIXTURE_TERMS,
+    ORDERED_TERMS,
+)
+
+N_TERMS = len(ORDERED_TERMS)
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def terms_cte() -> str:
+    """terms(term, raw_id, status, reason, out_id, xrefs) VALUES literal."""
+    rows = []
+    for term, raw_id in sorted(FIXTURE_TERMS.items()):
+        status, reason, out_id, xrefs = EXPECTED_ROUTE[raw_id]
+        rows.append(
+            f"({_sq(term)}, {_sq(raw_id)}, {_sq(status)}, {_sq(reason)}, "
+            f"{_sq(out_id)}, {_sq(xrefs)})"
+        )
+    return (
+        "terms(term, raw_id, status, reason, out_id, xrefs) AS (VALUES\n  "
+        + ",\n  ".join(rows)
+        + ")"
+    )
+
+
+def troute_cte() -> str:
+    """troute(i, raw_id, status, reason, out_id, xrefs): indexed by the
+    deterministic doc_id %% N_TERMS entity derivation."""
+    rows = []
+    for i, (_term, raw_id) in enumerate(ORDERED_TERMS):
+        status, reason, out_id, xrefs = EXPECTED_ROUTE[raw_id]
+        rows.append(
+            f"({i}, {_sq(raw_id)}, {_sq(status)}, {_sq(reason)}, "
+            f"{_sq(out_id)}, {_sq(xrefs)})"
+        )
+    return (
+        "troute(i, raw_id, status, reason, out_id, xrefs) AS (VALUES\n  "
+        + ",\n  ".join(rows)
+        + ")"
+    )
+
+
+MENTION_JOIN = "(' ' || d.text || ' ') LIKE ('% ' || t.term || ' %')"
+
+CURIE_REGEX_SQL = (
+    "'^(" + "|".join(DISEASE_SPEC.choices) + r"):[a-z0-9A-Z\.\*\+]+$'"
+)
+
+# merge_unique(col): union of pipe-split cell values, sorted pipe-join
+def _mu(col: str) -> str:
+    # COALESCE: DuckDB's array_to_string([]) is NULL, the engine emits ''
+    return (
+        "COALESCE(array_to_string(list_sort(list_filter(list_distinct("
+        f"flatten(list(str_split({col}, '|')))), x -> x <> '')), '|'), '')"
+    )
+
+
+ENTITY_DERIVE = f"""
+e AS (
+  SELECT d.doc_id, d.source, t.raw_id, t.status, t.reason, t.out_id, t.xrefs
+  FROM documents d JOIN troute t ON (d.doc_id % {N_TERMS}) = t.i
+)"""
+
+FORMAT_SELECT = """
+fmt AS (
+  SELECT
+    e.doc_id AS doc_id,
+    e.out_id AS id,
+    CASE WHEN e.raw_id = 'MESH:D0000014' AND e.status = 'ok'
+         THEN 'group disorder' ELSE 'name_' || e.doc_id END AS name,
+    'Disease' AS label,
+    e.source AS resource,
+    CASE WHEN e.raw_id = 'MESH:D0000014' AND e.status = 'ok'
+         THEN 'a grouped disorder' ELSE '' END AS description,
+    CASE WHEN e.status = 'failed' THEN 'syn_' || (e.doc_id % 5) || '|shared_syn'
+         WHEN e.raw_id = 'MESH:D0000014'
+         THEN 'aggregation disease|group syndrome|shared_syn|syn_' || (e.doc_id % 5)
+         ELSE 'shared_syn|syn_' || (e.doc_id % 5) END AS synonyms,
+    '' AS pmids,
+    '' AS taxid,
+    CASE WHEN e.status = 'failed' THEN '' ELSE e.xrefs END AS xrefs,
+    CASE WHEN e.status = 'ok' THEN e.raw_id ELSE '' END AS raw_id
+  FROM e
+)"""
+
+
+DOC_STATS_SQL = """
+SELECT
+  doc_id,
+  lang,
+  len(str_split(text, ' ')) AS n_tokens,
+  len(list_distinct(str_split(text, ' '))) AS n_distinct_tokens,
+  length(text) AS n_chars,
+  (len(list_filter(str_split(text, ' '),
+       x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1000000)
+    // greatest(len(str_split(text, ' ')), 1) AS stopword_ratio_micro,
+  ((length(text) - (len(str_split(text, ' ')) - 1)) * 1000000)
+    // greatest(len(str_split(text, ' ')), 1) AS avg_token_len_micro,
+  (len(list_distinct(str_split(text, ' '))) * 500000)
+    // greatest(len(str_split(text, ' ')), 1)
+  + (1000000 - (len(list_filter(str_split(text, ' '),
+       x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1000000)
+       // greatest(len(str_split(text, ' ')), 1)) // 2 AS quality_micro
+FROM documents
+"""
+
+
+def build_oracle_sql() -> dict:
+    terms = terms_cte()
+    troute = troute_cte()
+
+    sql = {}
+
+    sql["mentions"] = f"""
+WITH {terms}
+SELECT d.doc_id, t.term, t.raw_id
+FROM documents d JOIN terms t ON {MENTION_JOIN}
+"""
+
+    sql["mention_triples"] = f"""
+WITH {terms}
+SELECT DISTINCT 'doc:' || d.doc_id AS subj, 'mentions' AS pred, t.out_id AS obj
+FROM documents d JOIN terms t ON {MENTION_JOIN}
+"""
+
+    sql["doc_meta_triples"] = """
+SELECT 'doc:' || doc_id AS subj, 'in_lang' AS pred, lang AS obj FROM documents
+UNION ALL
+SELECT 'doc:' || doc_id AS subj, 'from_source' AS pred, source AS obj FROM documents
+"""
+
+    sql["entity_xref_triples"] = f"""
+WITH {terms},
+mentioned AS (
+  SELECT DISTINCT t.out_id, t.xrefs
+  FROM documents d JOIN terms t ON {MENTION_JOIN}
+  WHERE t.status IN ('ok', 'ok_raw')
+)
+SELECT DISTINCT m.out_id AS subj, 'xref' AS pred, u.x AS obj
+FROM mentioned m, UNNEST(str_split(m.xrefs, '|')) AS u(x)
+WHERE u.x <> ''
+"""
+
+    sql["kg_triples"] = f"""
+WITH {terms},
+mentioned AS (
+  SELECT DISTINCT t.out_id, t.status, t.xrefs
+  FROM documents d JOIN terms t ON {MENTION_JOIN}
+)
+SELECT DISTINCT 'doc:' || d.doc_id AS subj, 'mentions' AS pred, t.out_id AS obj
+FROM documents d JOIN terms t ON {MENTION_JOIN}
+UNION ALL
+SELECT 'doc:' || doc_id, 'in_lang', lang FROM documents
+UNION ALL
+SELECT 'doc:' || doc_id, 'from_source', source FROM documents
+UNION ALL
+SELECT DISTINCT m.out_id, 'xref', u.x
+FROM mentioned m, UNNEST(str_split(m.xrefs, '|')) AS u(x)
+WHERE m.status IN ('ok', 'ok_raw') AND u.x <> ''
+"""
+
+    sql["resolve_route"] = f"""
+WITH {troute}
+SELECT d.doc_id, t.raw_id, t.status, t.reason, t.out_id
+FROM documents d JOIN troute t ON (d.doc_id % {N_TERMS}) = t.i
+"""
+
+    sql["format_entities"] = f"""
+WITH {troute},{ENTITY_DERIVE},{FORMAT_SELECT}
+SELECT id, name, label, resource, description, synonyms, pmids, taxid, xrefs, raw_id
+FROM fmt
+"""
+
+    sql["canonical_merge"] = f"""
+WITH {troute},{ENTITY_DERIVE},{FORMAT_SELECT}
+SELECT
+  id, label,
+  arg_min(name, doc_id) AS name,
+  arg_min(description, doc_id) AS description,
+  arg_min(resource, doc_id) AS resource,
+  arg_min(taxid, doc_id) AS taxid,
+  {_mu('xrefs')} AS xrefs,
+  {_mu('synonyms')} AS synonyms,
+  {_mu('pmids')} AS pmids,
+  {_mu('raw_id')} AS raw_id
+FROM fmt
+GROUP BY id, label
+"""
+
+    sql["curie_validate"] = f"""
+SELECT doc_id, id,
+       regexp_matches(id, {CURIE_REGEX_SQL}) AS valid
+FROM (
+  SELECT doc_id,
+    CASE (doc_id % 5)
+      WHEN 0 THEN 'MESH:D' || doc_id
+      WHEN 1 THEN 'FOO:' || doc_id
+      WHEN 2 THEN 'MONDO:00' || doc_id
+      WHEN 3 THEN 'MESH:D ' || doc_id
+      ELSE 'noprefix'
+    END AS id
+  FROM documents
+)
+"""
+
+    sql["curie_parse"] = f"""
+WITH {troute}
+SELECT str_split(t.raw_id, ':')[1] AS prefix,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       CAST(count(DISTINCT t.raw_id) AS BIGINT) AS n_distinct_ids
+FROM documents d JOIN troute t ON (d.doc_id % {N_TERMS}) = t.i
+GROUP BY 1
+"""
+
+    sql["doc_stats"] = DOC_STATS_SQL
+
+    sql["lang_stats"] = f"""
+WITH ds AS ({DOC_STATS_SQL})
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(quality_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_quality_micro
+FROM ds GROUP BY lang
+"""
+
+    sql["token_freq"] = """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+    sql["lang_id"] = """
+SELECT doc_id, lang AS declared_lang,
+  CASE WHEN list_contains(str_split(text,' '), 'the')
+         OR list_contains(str_split(text,' '), 'a')
+       THEN 'en' ELSE 'und' END AS guessed_lang
+FROM documents
+"""
+
+    sql["dedup_exact"] = """
+SELECT sha256(text) AS content_sha256,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+"""
+
+    sql["knn_brute"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 4
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       CAST(floor(sim * 1000000) AS BIGINT) AS cos_sim_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+    sql["events_hourly"] = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+    sql["events_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+    return sql

@@ -1,0 +1,402 @@
+"""KG-construction pipelines over the synthetic ``documents`` table.
+
+This is the engine's flagship surface wired to the driver's test data:
+``documents(doc_id, text, lang, source, n_chars)`` plays the role of the
+text corpus; the fixture lexicon/dictionary (``state/fixtures.py``) plays
+the role of the compiled ontology xref dictionaries.  Stages:
+
+    read_parquet(documents)
+      -> map_batches(MentionExtractor actor pool)     # term mentions
+      -> map_batches(Resolver actor pool)             # §2.8 routing
+      -> map_batches(emit (subj,pred,obj))            # triple emission
+      -> groupby(subj,pred,obj) dedup                 # exact dedup (O3)
+
+plus the entity-format / canonical-merge pipelines (reference
+``default_format`` + ``cli.py:276-291`` dedup aggregation) over an entity
+table derived DETERMINISTICALLY from documents so a DuckDB oracle can
+recompute every result in closed form.
+
+Every function takes ``sf_dir`` and returns a lazy ``ray.data.Dataset``;
+none of them calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ontology_matcher_ray.functions.listops import merge_unique
+from ontology_matcher_ray.schemas import DISEASE_SPEC, FORMATTED_COLUMNS, OntologySpec, Strategy
+from ontology_matcher_ray.stages.extract import MentionExtractor
+from ontology_matcher_ray.stages.format import Formatter
+from ontology_matcher_ray.stages.resolve import Resolver, RouteResult, route_id
+from ontology_matcher_ray.state.fixtures import ORDERED_TERMS
+from ontology_matcher_ray.state.snapshot import DictionarySnapshot, get_snapshot
+
+SPEC = DISEASE_SPEC
+
+# Broadcast cache: one ray.put per (process, snapshot identity); actors read
+# the object-store copy instead of re-shipping the dict with every task.
+_BROADCAST: Dict[int, "ray.ObjectRef"] = {}
+
+
+def _snapshot_ref(snapshot: Optional[DictionarySnapshot] = None) -> "ray.ObjectRef":
+    snap = snapshot or get_snapshot(SPEC)
+    key = id(snap)
+    if key not in _BROADCAST:
+        _BROADCAST[key] = ray.put(snap)
+    return _BROADCAST[key]
+
+
+def _lexicon_ref(snapshot: Optional[DictionarySnapshot] = None) -> "ray.ObjectRef":
+    snap = snapshot or get_snapshot(SPEC)
+    key = -id(snap)
+    if key not in _BROADCAST:
+        _BROADCAST[key] = ray.put(dict(snap.lexicon))
+    return _BROADCAST[key]
+
+
+def read_documents(sf_dir: str, columns: Optional[List[str]] = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Entity-table derivation (deterministic; mirrored by the oracle SQL).
+# ---------------------------------------------------------------------------
+
+def _derive_entity_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    doc_id = batch["doc_id"].astype("int64")
+    n = len(ORDERED_TERMS)
+    raw_ids = [ORDERED_TERMS[i % n][1] for i in doc_id]
+    return pd.DataFrame(
+        {
+            "doc_id": doc_id,
+            "id": raw_ids,
+            "name": ["name_%d" % i for i in doc_id],
+            "label": "Disease",
+            "resource": batch["source"].astype(str),
+            "description": "",
+            "synonyms": ["syn_%d|shared_syn" % (i % 5) for i in doc_id],
+            "pmids": "",
+            "taxid": "",
+            "xrefs": "",
+        }
+    )
+
+
+def derive_entities(sf_dir: str) -> rd.Dataset:
+    """documents -> reference-shaped entity input table (FIXTURES.md F2)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "source"])
+    return ds.map_batches(_derive_entity_batch, batch_format="pandas")
+
+
+def resolve_entities(sf_dir: str, strategy: Strategy = Strategy.MIXTURE) -> rd.Dataset:
+    """Entity table + Resolver -> routing decisions (status/reason/out_id)."""
+    ref = _snapshot_ref()
+    ds = derive_entities(sf_dir)
+    ds = ds.map_batches(
+        Resolver,
+        fn_constructor_kwargs=dict(snapshot_ref=ref, spec=SPEC, strategy=strategy),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+    return ds
+
+
+def resolve_route(sf_dir: str) -> rd.Dataset:
+    """Query surface: (doc_id, raw_id, status, reason, out_id)."""
+    ds = resolve_entities(sf_dir)
+    ds = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "raw_id": b["id"],
+                "status": b["status"],
+                "reason": b["reason"],
+                "out_id": b["out_id"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    return ds
+
+
+def format_entities(sf_dir: str, keep_doc_id: bool = False) -> rd.Dataset:
+    """Full ontology-format pipeline output (FORMATTED_COLUMNS + sink)."""
+    ds = resolve_entities(sf_dir)
+    fmt = Formatter(SPEC, Strategy.MIXTURE)
+
+    def _fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        out = fmt(batch)
+        if keep_doc_id:
+            out["doc_id"] = batch["doc_id"].astype("int64").values
+        return out
+
+    return ds.map_batches(_fmt, batch_format="pandas")
+
+
+def formatted_entities(sf_dir: str) -> rd.Dataset:
+    """The formatted sink only (reference main output TSV)."""
+    ds = format_entities(sf_dir)
+    ds = ds.map_batches(
+        lambda b: b[b["sink"] == "formatted"][FORMATTED_COLUMNS], batch_format="pandas"
+    )
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# Canonical-id merge (A1, cli.py:276-291) as a two-phase salted-safe merge.
+# ---------------------------------------------------------------------------
+
+_FIRST_COLS = ["name", "description", "resource", "taxid"]
+_MERGE_COLS = ["xrefs", "synonyms", "pmids", "raw_id"]
+
+
+def _partial_merge(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: one row per (id,label) per batch.
+
+    'first' is made deterministic as arg-min over doc_id (the reference's
+    pandas ``first`` is input-order dependent — SURVEY §4.1); merge_unique
+    is associative, so partial->final composition is exact.
+    """
+    recs = []
+    for (eid, label), g in batch.groupby(["id", "label"], sort=False):
+        i = g["doc_id"].idxmin()
+        rec = {"id": eid, "label": label, "doc_id": int(g["doc_id"].min())}
+        for c in _FIRST_COLS:
+            rec[c] = g.loc[i, c]
+        for c in _MERGE_COLS:
+            rec[c] = merge_unique(g[c].tolist())
+        recs.append(rec)
+    cols = ["id", "label", "doc_id"] + _FIRST_COLS + _MERGE_COLS
+    if not recs:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    return pd.DataFrame(recs)[cols]
+
+
+def canonical_merge(sf_dir: str) -> rd.Dataset:
+    """groupby(id,label) merge: THE canonicalization shuffle.
+
+    Phase 1 combines inside each batch (map_batches) so the all-to-all
+    exchange moves one row per key per block, not one per input row; phase 2
+    is the small groupby().map_groups final merge.
+    """
+    ds = format_entities(sf_dir, keep_doc_id=True)
+    ds = ds.map_batches(
+        lambda b: _partial_merge(b[b["sink"] == "formatted"]), batch_format="pandas"
+    )
+    from ontology_matcher_ray.stages import exchange
+
+    ds = exchange.partitioned_apply(ds, ["id", "label"], _partial_merge, num_partitions=32)
+    return ds.drop_columns(["doc_id"])
+
+
+def curie_validate(sf_dir: str) -> rd.Dataset:
+    """M2 as a routed (not raised) validator: (doc_id, id, valid).
+
+    Input ids are derived deterministically with valid and invalid shapes;
+    validation is the reference CURIE regex (ontology_formatter.py:292).
+    """
+    from ontology_matcher_ray.functions.curie import validate_ids
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        doc_id = b["doc_id"].astype("int64")
+        shapes = [
+            lambda i: "MESH:D%d" % i,
+            lambda i: "FOO:%d" % i,
+            lambda i: "MONDO:00%d" % i,
+            lambda i: "MESH:D %d" % i,
+            lambda i: "noprefix",
+        ]
+        ids = [shapes[i % 5](i) for i in doc_id]
+        return pd.DataFrame(
+            {"doc_id": doc_id, "id": ids, "valid": validate_ids(ids, SPEC)}
+        )
+
+    return ds.map_batches(stage, batch_format="pandas")
+
+
+def curie_parse(sf_dir: str) -> rd.Dataset:
+    """M3 prefix grouping: per-prefix id counts over the derived entities.
+
+    Uses the vectorized pyarrow CURIE splitter + a two-phase count
+    (per-batch combiner, then a tiny groupby over partials).
+    """
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from ontology_matcher_ray.functions.curie import split_curie_arrays
+
+    ds = derive_entities(sf_dir)
+
+    def partial(t: _pa.Table) -> _pa.Table:
+        # combiner: one row per (prefix, raw_id) per batch — exact distinct
+        # counting composes across batches, unlike partial count_distinct
+        prefix, _ = split_curie_arrays(t["id"])
+        tbl = _pa.table({"prefix": prefix, "raw_id": t["id"]})
+        g = tbl.group_by(["prefix", "raw_id"]).aggregate([("raw_id", "count")])
+        return g.rename_columns(["prefix", "raw_id", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    from ontology_matcher_ray.stages import exchange
+
+    def agg(gb) -> pd.DataFrame:
+        return gb.agg(n_ids=("n", "sum"), n_distinct_ids=("raw_id", "nunique"))
+
+    return exchange.grouped_agg(partials, ["prefix"], agg, num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# Mention extraction, linking, triples.
+# ---------------------------------------------------------------------------
+
+def mentions(sf_dir: str) -> rd.Dataset:
+    """Distinct (doc_id, term, raw_id) mentions via the extractor pool."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        MentionExtractor,
+        fn_constructor_kwargs=dict(lexicon_ref=_lexicon_ref()),
+        batch_format="pandas",
+        concurrency=(1, 8),
+        batch_size=2048,
+    )
+
+
+def linked_mentions(sf_dir: str) -> rd.Dataset:
+    """Mentions resolved through the dictionary: + status/out_id columns."""
+    ds = mentions(sf_dir)
+    return ds.map_batches(
+        Resolver,
+        fn_constructor_kwargs=dict(snapshot_ref=_snapshot_ref(), spec=SPEC, id_column="raw_id"),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        batch_size=8192,
+    )
+
+
+def _dedup_triples(ds: rd.Dataset) -> rd.Dataset:
+    """Exact (subj,pred,obj) dedup (O3) via per-batch dedup + groupby-first.
+
+    The per-batch drop_duplicates is the partial combiner; the groupby is
+    the one shuffle, keyed on the triple itself.
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    return exchange.distinct(ds, ["subj", "pred", "obj"], num_partitions=32)
+
+
+def mention_triples(sf_dir: str) -> rd.Dataset:
+    """(doc:<id>, mentions, resolved-output-id) triples.
+
+    Under MIXTURE every mention yields a triple: canonical id when routing
+    succeeded, raw id for fallback/readmitted rows (§2.8 rules 7-8).
+    """
+    ds = linked_mentions(sf_dir)
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "doc:" + b["doc_id"].astype("int64").astype(str),
+                "pred": "mentions",
+                "obj": b["out_id"].astype(str),
+            }
+        )
+
+    return _dedup_triples(ds.map_batches(emit, batch_format="pandas"))
+
+
+def doc_meta_triples(sf_dir: str) -> rd.Dataset:
+    """(doc, in_lang, lang) and (doc, from_source, source) triples."""
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "source"])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        subj = "doc:" + b["doc_id"].astype("int64").astype(str)
+        lang = pd.DataFrame({"subj": subj, "pred": "in_lang", "obj": b["lang"].astype(str)})
+        src = pd.DataFrame({"subj": subj, "pred": "from_source", "obj": b["source"].astype(str)})
+        return pd.concat([lang, src], ignore_index=True)
+
+    return _dedup_triples(ds.map_batches(emit, batch_format="pandas"))
+
+
+def entity_xref_triples(sf_dir: str) -> rd.Dataset:
+    """(resolved-id, xref, alias-id) triples for converted mentions.
+
+    alias semantics per ``get_alias_ids`` (ontology_formatter.py:625-641);
+    failed/readmitted mentions emit nothing (no xref enrichment, rule 8).
+    """
+    ds = linked_mentions(sf_dir)
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["status"].isin(["ok", "ok_raw"])]
+        xref_lists = [
+            sorted(set(a) | set(m))
+            for a, m in zip(keep["alias_ids"], keep["meta_xrefs"])
+        ]
+        frame = pd.DataFrame(
+            {"subj": keep["out_id"].astype(str), "obj": xref_lists}
+        ).explode("obj")
+        frame = frame[frame["obj"].notna()]
+        frame["pred"] = "xref"
+        return frame[["subj", "pred", "obj"]]
+
+    return _dedup_triples(ds.map_batches(emit, batch_format="pandas"))
+
+
+def kg_triples(sf_dir: str) -> rd.Dataset:
+    """Flagship: mention + doc-metadata + xref triples, deduped.
+
+    Built from ONE extract+link pass (a single extractor pool and a single
+    resolver pool) — the mention and xref emissions are cheap task-stages
+    fanning out of the same linked stream.  A union of independently-linked
+    branches would multiply actor pools and, on a small CPU budget, starve
+    the read stage (idle actors reserve CPUs).
+    """
+    linked = linked_mentions(sf_dir)
+
+    def emit_both(b: pd.DataFrame) -> pd.DataFrame:
+        mention = pd.DataFrame(
+            {
+                "subj": "doc:" + b["doc_id"].astype("int64").astype(str),
+                "pred": "mentions",
+                "obj": b["out_id"].astype(str),
+            }
+        )
+        keep = b[b["status"].isin(["ok", "ok_raw"])]
+        xref_lists = [
+            sorted(set(a) | set(m))
+            for a, m in zip(keep["alias_ids"], keep["meta_xrefs"])
+        ]
+        xref = pd.DataFrame(
+            {"subj": keep["out_id"].astype(str), "obj": xref_lists}
+        ).explode("obj")
+        xref = xref[xref["obj"].notna()]
+        xref["pred"] = "xref"
+        return pd.concat([mention, xref[["subj", "pred", "obj"]]], ignore_index=True)
+
+    body = _dedup_triples(linked.map_batches(emit_both, batch_format="pandas"))
+    # doc-metadata triples are distinct per doc by construction: no actor
+    # pool, no dedup shuffle needed
+    meta = read_documents(sf_dir, columns=["doc_id", "lang", "source"]).map_batches(
+        lambda b: pd.concat(
+            [
+                pd.DataFrame({"subj": "doc:" + b["doc_id"].astype("int64").astype(str),
+                              "pred": "in_lang", "obj": b["lang"].astype(str)}),
+                pd.DataFrame({"subj": "doc:" + b["doc_id"].astype("int64").astype(str),
+                              "pred": "from_source", "obj": b["source"].astype(str)}),
+            ],
+            ignore_index=True,
+        ),
+        batch_format="pandas",
+    )
+    return body.union(meta)

@@ -1,0 +1,173 @@
+"""Text-analysis & dedup pipelines over the ``documents`` table.
+
+Training-data-pipeline operators: per-doc stats/quality, token frequency,
+language stats, fingerprints, exact/near dedup, plus ANN over
+``embeddings``.  Every function takes ``sf_dir`` and returns a lazy
+Dataset (or a small pandas frame for top-k results); Ray is initialised by
+the caller.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ontology_matcher_ray.functions.text import (
+    doc_stats_frame,
+    guess_lang,
+    rolling_fingerprint,
+)
+from ontology_matcher_ray.stages import dedup as dedup_stages
+from ontology_matcher_ray.stages import ann as ann_stages
+
+
+def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def read_embeddings(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
+def doc_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document token/quality stats (vectorized, no shuffle)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        stats = doc_stats_frame(b["text"].astype(str))
+        stats.insert(0, "doc_id", b["doc_id"].to_numpy())
+        stats.insert(1, "lang", b["lang"].to_numpy())
+        return stats
+
+    return ds.map_batches(stage, batch_format="pandas")
+
+
+def lang_stats(sf_dir: str) -> rd.Dataset:
+    """Per-language aggregate: docs, tokens, mean quality (2-phase)."""
+    ds = doc_stats(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang", sort=False).agg(
+            n_docs=("doc_id", "size"),
+            total_tokens=("n_tokens", "sum"),
+            quality_sum=("quality_micro", "sum"),
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    from ontology_matcher_ray.stages import exchange
+
+    def agg(gb) -> pd.DataFrame:
+        return gb.agg(
+            n_docs=("n_docs", "sum"),
+            total_tokens=("total_tokens", "sum"),
+            quality_sum=("quality_sum", "sum"),
+        )
+
+    out = exchange.grouped_agg(partials, ["lang"], agg, num_partitions=8)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        # integer micro-units: exact under any partial-sum order
+        b["avg_quality_micro"] = (b["quality_sum"] // b["n_docs"]).astype("int64")
+        return b.drop(columns=["quality_sum"])
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def token_freq(sf_dir: str) -> rd.Dataset:
+    """Global token frequencies (combiner inside map_batches, tiny groupby)."""
+    ds = read_documents(sf_dir, columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts = b["text"].astype(str).str.split(" ").explode().value_counts()
+        return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    from ontology_matcher_ray.stages import exchange
+
+    return exchange.grouped_agg(
+        partials, ["token"], lambda gb: gb.agg(n=("n", "sum")), num_partitions=8
+    )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """Heuristic language id per document (stopword-overlap scorer)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "declared_lang": b["lang"].to_numpy(),
+                "guessed_lang": guess_lang(b["text"].astype(str)).to_numpy(),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pandas")
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowing-style rolling-hash fingerprints per doc."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "fingerprint": rolling_fingerprint(b["text"].astype(str)).to_numpy(),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pandas")
+
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    return dedup_stages.exact_dedup(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    return dedup_stages.minhash_near_dups(
+        read_documents(sf_dir, columns=["doc_id", "text"]), threshold=threshold
+    )
+
+
+def dedup_simhash(sf_dir: str) -> rd.Dataset:
+    return dedup_stages.simhash_buckets(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def dedup_embedding(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+    # threshold tuned to the synthetic embeddings (random 64-dim vectors:
+    # no true near-dups; 0.4 surfaces the closest-pair tail)
+    return dedup_stages.embedding_near_dups(
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]), threshold=threshold
+    )
+
+
+def _query_vectors(sf_dir: str, n_queries: int = 4):
+    head = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).limit(
+        max(n_queries, 8)
+    ).to_pandas().sort_values("vec_id").head(n_queries)
+    qids = head["vec_id"].to_numpy(dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    return qids, qmat
+
+
+def knn_brute(sf_dir: str, top_k: int = 5, n_queries: int = 4) -> pd.DataFrame:
+    """Exact cosine top-k for the first ``n_queries`` embedding rows."""
+    qids, qmat = _query_vectors(sf_dir, n_queries)
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    return ann_stages.brute_force_topk(ds, qmat, qids, top_k=top_k)
+
+
+def knn_ivf(sf_dir: str, top_k: int = 5, n_queries: int = 4) -> pd.DataFrame:
+    qids, qmat = _query_vectors(sf_dir, n_queries)
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    return ann_stages.ivf_topk(ds, qmat, qids, top_k=top_k)

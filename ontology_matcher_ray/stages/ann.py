@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — every batch of database vectors is
+scored against a BROADCAST query matrix with one numpy matmul (queries are
+shipped via ``ray.put`` once, fetched per actor in ``__init__``), partial
+top-k per batch, final top-k in a tiny driver-side reduce.  Scale path:
+IVF — vectors are assigned to deterministic centroid buckets in one pass,
+queries probe only ``nprobe`` buckets, so the scored fraction drops by
+~nlist/nprobe; bucket assignment is groupby-free (assignment is a map, the
+search is a filtered brute-force).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceScorer:
+    """map_batches stage: emit per-batch top-k (query_id, vec_id, cos_sim)."""
+
+    def __init__(self, query_ref, top_k: int, id_col: str, vec_col: str):
+        self.qids, self.qmat = ray.get(query_ref)
+        self.top_k = top_k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in b[self.vec_col]]))
+        sims = self.qmat @ mat.T                     # (n_queries, n_batch)
+        # exclude self-matches (their sim sits exactly on the 1.0 grid
+        # point, where float paths across engines can disagree)
+        sims[b[self.id_col].to_numpy()[None, :] == self.qids[:, None]] = -np.inf
+        k = min(self.top_k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(sims.shape[0]), k)
+        cols = idx.reshape(-1)
+        return pd.DataFrame(
+            {
+                "query_id": self.qids[rows],
+                "vec_id": b[self.id_col].to_numpy()[cols],
+                "cos_sim": sims[rows, cols],
+            }
+        )
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k: distributed partial top-k + small final reduce.
+
+    Returns a pandas frame (n_queries * top_k rows) with ``rank`` starting
+    at 1 per query — small by construction, so driver-side materialize is
+    correct here.
+    """
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat))
+    partial = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs=dict(query_ref=ref, top_k=top_k, id_col=id_col, vec_col=vec_col),
+        batch_format="pandas",
+        concurrency=(1, 8),
+        batch_size=4096,
+    )
+    allp = partial.to_pandas()
+    return _finalize_topk(allp, top_k)
+
+
+def _finalize_topk(allp: pd.DataFrame, top_k: int) -> pd.DataFrame:
+    allp = allp[np.isfinite(allp["cos_sim"])]
+    allp = allp.sort_values(
+        ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True]
+    )
+    top = allp.groupby("query_id", sort=True).head(top_k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    # integer micro-units for a platform-stable value hash
+    top["cos_sim_micro"] = np.floor(top["cos_sim"] * 1_000_000).astype("int64")
+    return top[["query_id", "vec_id", "cos_sim_micro", "rank"]]
+
+
+def kmeanspp_centroids(mat: np.ndarray, nlist: int, seed: int = 11) -> np.ndarray:
+    """Deterministic k-means++-style centroid pick (no Lloyd iterations —
+    enough for bucketing; exactness is not required for an ANN index)."""
+    rng = np.random.RandomState(seed)
+    n = len(mat)
+    first = rng.randint(n)
+    cents = [mat[first]]
+    for _ in range(1, nlist):
+        d = np.min(
+            np.stack([np.linalg.norm(mat - c, axis=1) ** 2 for c in cents]), axis=0
+        )
+        probs = d / d.sum() if d.sum() > 0 else np.full(n, 1.0 / n)
+        cents.append(mat[rng.choice(n, p=probs)])
+    return np.stack(cents)
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    top_k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> pd.DataFrame:
+    """IVF-bucketed ANN: score only vectors whose bucket is probed.
+
+    Centroids are trained on a deterministic sample (first block) so every
+    worker agrees on the index without a shuffle.
+    """
+    sample = ds.limit(2048).to_pandas()
+    smat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    cents = _normalize(kmeanspp_centroids(smat, nlist, seed))
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]    # (nq, nprobe)
+    probed_buckets = [set(row) for row in probe]
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, cents, probed_buckets))
+
+    class Stage:
+        def __init__(self):
+            self.qids, self.qmat, self.cents, self.probed = ray.get(ref)
+            self.top_k = top_k
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
+            assign = np.argmax(mat @ self.cents.T, axis=1)
+            outs = []
+            for qi in range(len(self.qids)):
+                mask = np.isin(assign, list(self.probed[qi]))
+                mask &= b[id_col].to_numpy() != self.qids[qi]      # no self-match
+                if not mask.any():
+                    continue
+                sims = mat[mask] @ self.qmat[qi]
+                k = min(self.top_k, len(sims))
+                idx = np.argpartition(-sims, k - 1)[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": self.qids[qi],
+                            "vec_id": b[id_col].to_numpy()[mask][idx],
+                            "cos_sim": sims[idx],
+                        }
+                    )
+                )
+            if not outs:
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "vec_id": pd.Series([], dtype=np.int64),
+                                     "cos_sim": pd.Series([], dtype=float)})
+            return pd.concat(outs, ignore_index=True)
+
+    partial = ds.map_batches(Stage, batch_format="pandas", concurrency=(1, 8), batch_size=4096)
+    return _finalize_topk(partial.to_pandas(), top_k)

@@ -1,0 +1,55 @@
+"""CLI surface tests (ontology / dedup / idtypes / template / corpus-kg)."""
+
+import os
+
+import pandas as pd
+
+from ontology_matcher_ray.cli import main
+
+
+def test_template_and_idtypes(tmp_path, capsys):
+    out = tmp_path / "tmpl.tsv"
+    assert main(["template", "-O", "disease", "-o", str(out)]) == 0
+    df = pd.read_csv(out, sep="\t")
+    assert list(df.columns) == ["id", "name", "label", "resource"]
+
+    assert main(["idtypes", "-O", "gene"]) == 0
+    got = capsys.readouterr().out
+    for db in ["ENTREZ", "ENSEMBL", "HGNC", "MGI", "SYMBOL", "UNIPROT"]:
+        assert db in got
+
+
+def test_ontology_command(tmp_path):
+    inp = tmp_path / "in.tsv"
+    pd.DataFrame(
+        [
+            {"id": "MESH:D0000001", "name": "spark", "label": "Disease", "resource": "CTD"},
+            {"id": "MESH:D0000008", "name": "vector", "label": "Disease", "resource": "CTD"},
+        ]
+    ).to_csv(inp, sep="\t", index=False)
+    out = tmp_path / "out.tsv"
+    assert main(["ontology", "-i", str(inp), "-o", str(out), "-O", "disease"]) == 0
+    res = pd.read_csv(out, sep="\t").fillna("")
+    assert set(res["id"]) == {"MONDO:0000001", "MESH:D0000008"}
+
+
+def test_dedup_command(tmp_path):
+    inp = tmp_path / "fmt.tsv"
+    pd.DataFrame(
+        [
+            {"id": "MONDO:1", "label": "Disease", "name": "a", "xrefs": "X:1|X:2",
+             "synonyms": "s1", "raw_id": "MESH:1"},
+            {"id": "MONDO:1", "label": "Disease", "name": "b", "xrefs": "X:2|X:3",
+             "synonyms": "s2", "raw_id": "MESH:2"},
+            {"id": "MONDO:2", "label": "Disease", "name": "c", "xrefs": "",
+             "synonyms": "", "raw_id": "MESH:3"},
+        ]
+    ).to_csv(inp, sep="\t", index=False)
+    out = tmp_path / "dedup.tsv"
+    assert main(["dedup", "-i", str(inp), "-o", str(out)]) == 0
+    res = pd.read_csv(out, sep="\t").fillna("")
+    assert len(res) == 2
+    row = res[res["id"] == "MONDO:1"].iloc[0]
+    assert row["name"] == "a"                       # first by input order
+    assert row["xrefs"] == "X:1|X:2|X:3"            # merge_unique
+    assert row["raw_id"] == "MESH:1|MESH:2"

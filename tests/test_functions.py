@@ -1,0 +1,112 @@
+"""Unit tests for the scalar/batch kernels (listops, curie, text, hashing)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ontology_matcher_ray.functions.curie import split_curie_arrays, validate_ids
+from ontology_matcher_ray.functions.hashing import (
+    band_keys,
+    jaccard,
+    minhash_signature_matrix,
+    sha256_hex,
+    simhash64,
+)
+from ontology_matcher_ray.functions.listops import concat, flatten_dedup, join_lst, merge_unique
+from ontology_matcher_ray.functions.text import doc_stats_frame, guess_lang
+from ontology_matcher_ray.schemas import DISEASE_SPEC
+
+
+def test_join_lst_str():
+    # ontology_formatter.py:544-553 semantics, sorted for determinism
+    assert join_lst("b|a|b|") == "a|b"
+    assert join_lst(["a|b", "c", "", None]) == "a|b|c"
+    assert join_lst(None) == ""
+    assert join_lst([]) == ""
+
+
+def test_concat_union():
+    assert concat("x", ["y", "x"]) == ["x", "y"]
+    assert concat(None, "y") == ["y"]
+    assert concat([], None) == []
+
+
+def test_flatten_dedup():
+    assert flatten_dedup([["b", "a"], "c", ["a"]]) == ["a", "b", "c"]
+
+
+def test_merge_unique():
+    # cli.py:262-267 combiner — associative, sorted
+    assert merge_unique(["a|b", "b|c", ""]) == "a|b|c"
+    a = merge_unique([merge_unique(["a|b"]), merge_unique(["b|c", "d"])])
+    b = merge_unique(["a|b", "b|c", "d"])
+    assert a == b
+
+
+def test_split_curie():
+    prefix, local = split_curie_arrays(pa.array(["MESH:D015673", "ICD-9:349.89", "bare"]))
+    assert prefix.to_pylist() == ["MESH", "ICD-9", "bare"]
+    assert local.to_pylist() == ["D015673", "349.89", ""]
+
+
+def test_validate_ids():
+    ids = ["MESH:D015673", "ICD-9:349.89", "FOO:1", "MESH:D 5", "noprefix", None]
+    assert validate_ids(ids, DISEASE_SPEC).tolist() == [True, True, False, False, False, False]
+
+
+def test_doc_stats_integer_exact():
+    s = pd.Series(["the cat sat on the mat", "a a a"])
+    df = doc_stats_frame(s)
+    assert df["n_tokens"].tolist() == [6, 3]
+    assert df["n_distinct_tokens"].tolist() == [5, 1]
+    # 'the' twice of 6 tokens -> floor(2e6/6) = 333333
+    assert df["stopword_ratio_micro"].tolist()[0] == 333333
+    assert df["stopword_ratio_micro"].tolist()[1] == 1000000
+
+
+def test_guess_lang():
+    assert guess_lang(pd.Series(["the big table", "zzz qqq"])).tolist() == ["en", "und"]
+
+
+def test_minhash_similar_docs_share_bands():
+    texts = pd.Series([
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # near-dup
+        "one two three four five six seven eight",        # unrelated
+    ])
+    sig = minhash_signature_matrix(texts, num_perm=64, k=3)
+    keys = band_keys(sig, bands=16)
+    shared_near = (keys[0] == keys[1]).sum()
+    shared_far = (keys[0] == keys[2]).sum()
+    assert shared_near > shared_far
+    assert shared_far == 0
+
+
+def test_minhash_deterministic():
+    texts = pd.Series(["alpha beta gamma delta"])
+    s1 = minhash_signature_matrix(texts)
+    s2 = minhash_signature_matrix(texts)
+    assert (s1 == s2).all()
+
+
+def test_simhash_close_for_near_dups():
+    texts = pd.Series([
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",
+        "completely different words entirely here now",
+    ])
+    h = simhash64(texts)
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+
+def test_jaccard():
+    assert jaccard(list("abcd"), list("abcd"), k=2) == 1.0
+    assert jaccard(list("abcd"), list("wxyz"), k=2) == 0.0
+
+
+def test_sha256():
+    import hashlib
+    s = pd.Series(["hello"])
+    assert sha256_hex(s).iloc[0] == hashlib.sha256(b"hello").hexdigest()
