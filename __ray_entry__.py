@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": docs_kg.kg_triples,                   # flagship union
         "resolve_route": docs_kg.resolve_route,             # §2.8 routing tree
         "format_entities": docs_kg.formatted_entities,      # default_format (J1+rules)
+        "format_entities_unique": docs_kg.formatted_entities_unique,  # Strategy.UNIQUE
+        "failed_entities_unique": docs_kg.failed_entities_unique,     # failed sink
         "canonical_merge": docs_kg.canonical_merge,         # A1 dedup aggregation
         "curie_validate": docs_kg.curie_validate,           # M2
         "curie_parse": docs_kg.curie_parse,                 # M3
@@ -54,10 +56,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_brute": docs_text.knn_brute,
         "knn_ivf": docs_text.knn_ivf,                       # rows-only (approx)
+        # --- multimodal plumbing (decode stubbed; see stages/multimodal) ---
+        "media_featurize": _media_featurize,                # rows-only
         # --- stream-shaped ---
         "events_hourly": events.hourly_windows,
         "events_sessionize": events.sessionize,
     }
+
+
+def _media_featurize(sf_dir: str):
+    """Binary-column plumbing demo: deterministic fake media table sized
+    from the documents row count -> actor-pool featurizer."""
+    import ray.data as rd
+
+    from ontology_matcher_ray.pipelines.docs_text import read_documents
+    from ontology_matcher_ray.stages.multimodal import (
+        featurize_media,
+        synthesize_media_table,
+    )
+
+    n = read_documents(sf_dir, columns=["doc_id"]).count()
+    ds = rd.from_pandas(synthesize_media_table(min(n, 256)))
+    return featurize_media(ds)
 
 
 def oracle_sql() -> dict[str, str]:

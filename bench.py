@@ -32,6 +32,7 @@ def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     n_files = int(os.environ.get("GRAFT_CORPUS_FILES", "120000"))
     dict_size = int(os.environ.get("GRAFT_DICT_SIZE", "200000"))
+    body_lines = int(os.environ.get("GRAFT_BODY_LINES", "30"))
 
     ray.init(
         address="local",
@@ -54,8 +55,8 @@ def run_bench() -> dict:
 
     # ---- setup (untimed): snapshot + corpus, cached across runs ----
     snap = build_snapshot(DISEASE_SPEC, n_synthetic=dict_size, seed=42)
-    corpus_dir = f"/tmp/onto_ray_bench/corpus_{n_files}"
-    corpus_mod.generate_corpus(corpus_dir, n_files, snap)
+    corpus_dir = f"/tmp/onto_ray_bench/corpus_v3_{n_files}_{body_lines}"
+    corpus_mod.generate_corpus(corpus_dir, n_files, snap, body_lines=body_lines)
     # warm the page cache so we measure compute+shuffle, not first disk read
     import ray.data as rd
 
@@ -110,7 +111,10 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same headline job at two parallelism levels in fresh processes."""
     results = {}
-    scaling_files = os.environ.get("GRAFT_SCALING_FILES", "400000")
+    # scaling config: KB-sized files (like real source corpora) so
+    # per-file compute dominates over single-node exchange constants
+    scaling_files = os.environ.get("GRAFT_SCALING_FILES", "3200000")
+    scaling_lines = os.environ.get("GRAFT_SCALING_BODY_LINES", "400")
     for ncpu in (8, 32):
         env = dict(
             os.environ,
@@ -119,6 +123,7 @@ def run_scaling() -> dict:
             # pipeline startup (resume granularity is exercised in tests)
             GRAFT_KG_SHARDS="1",
             GRAFT_CORPUS_FILES=scaling_files,
+            GRAFT_BODY_LINES=scaling_lines,
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -70,25 +70,25 @@ def cmd_ontology(args) -> int:
 
 
 def cmd_dedup(args) -> int:
+    """Full dedup semantics (cli.py:192-296): per-label cascade (J3) +
+    canonical merge (A1); labels without a registered ontology type pass
+    through unmerged (cli.py:215-218)."""
     _ensure_ray()
     import pandas as pd
 
-    import ray.data as rd
-
-    from ontology_matcher_ray.pipelines.docs_kg import _partial_merge
-    from ontology_matcher_ray.stages import exchange
+    from ontology_matcher_ray.pipelines.dedup_merge import dedup_cascade
+    from ontology_matcher_ray.schemas import SPECS
 
     df = pd.read_csv(args.input_file, sep="\t", dtype=str).fillna("")
     for col in ["id", "label", "xrefs"]:
         if col not in df.columns:
             raise SystemExit(f"Cannot find the column {col} in the input file.")
-    for col in ["name", "description", "resource", "taxid", "synonyms", "pmids", "raw_id"]:
-        if col not in df.columns:
-            df[col] = ""
-    df["doc_id"] = range(len(df))        # input order drives 'first'
-    ds = rd.from_pandas(df)
-    out = exchange.partitioned_apply(ds, ["id", "label"], _partial_merge, 32)
-    res = out.to_pandas().drop(columns=["doc_id"]).sort_values("id")
+    pieces = []
+    for label in df["label"].unique():
+        sub = df[df["label"] == label]
+        spec = SPECS.get(str(label).lower())
+        pieces.append(dedup_cascade(sub, spec) if spec else sub)
+    res = pd.concat(pieces, ignore_index=True)
     res.to_csv(args.output_file, sep="\t", index=False)
     print(f"dedup: {len(df)} -> {len(res)} rows -> {args.output_file}")
     return 0

@@ -60,17 +60,34 @@ def _planted_imports(i: int) -> List[str]:
     return mods
 
 
-def file_row(i: int, raw_ids: List[str]) -> Dict[str, str]:
+def _planted_terms(i: int, terms: List[str]) -> List[str]:
+    """Two ontology-term surface forms planted per file (token-level)."""
+    if not terms:
+        return []
+    n = len(terms)
+    return sorted({terms[(i * 13 + 1) % n], terms[(i * 17 + 3) % n]})
+
+
+def file_row(i: int, raw_ids: List[str], terms: List[str],
+             body_lines: int = 5) -> Dict[str, str]:
     lang = LANGS[i % len(LANGS)]
     repo = _repo_for(i)
-    path = f"src/mod{i % N_MODULES}/file{i % 97}.{lang}"
+    # path unique per file index: the subject space must GROW with the
+    # corpus (a trillion-file corpus has ~a trillion distinct paths);
+    # a saturating path space would manufacture an unrealistically heavy
+    # duplicate-collapse load in the dedup exchange
+    path = f"src/mod{i % N_MODULES}/d{i // 9700}/file{i % 97}_{i}.{lang}"
     commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
     curies = _planted_curies(i, raw_ids)
     imports = _planted_imports(i)
+    planted = _planted_terms(i, terms)
     lines = [f"// synthetic file {i} in {lang}"]
     lines += [f"import {m}" for m in imports]
     lines += [f"# ontology ref {c}" for c in curies]
-    lines += [f"fn body_{i}() {{ return {i % 1000}; }}" for _ in range(3 + i % 5)]
+    if planted:
+        lines.append("# refs " + " ".join(planted))
+    lines += [f"fn body_{i}_{k}() {{ return {(i + k) % 1000}; }}"
+              for k in range(body_lines + i % 5)]
     return {
         "repo": repo,
         "path": path,
@@ -78,6 +95,12 @@ def file_row(i: int, raw_ids: List[str]) -> Dict[str, str]:
         "lang": lang,
         "content": "\n".join(lines),
     }
+
+
+def token_lexicon_terms(snapshot: DictionarySnapshot) -> List[str]:
+    """Single-token lexicon terms only: corpus mention extraction is
+    token-level (phrase terms are exercised by the documents pipeline)."""
+    return sorted(t for t in snapshot.lexicon if " " not in t)
 
 
 def _raw_id_universe(snapshot: DictionarySnapshot) -> List[str]:
@@ -94,16 +117,22 @@ def generate_corpus(
     snapshot: DictionarySnapshot,
     overwrite: bool = False,
     parallelism: int = 0,
+    body_lines: int = 5,
 ) -> str:
-    """Write the corpus Parquet dir (idempotent unless ``overwrite``)."""
-    done_marker = os.path.join(out_dir, "_DONE_%d" % n_files)
+    """Write the corpus Parquet dir (idempotent unless ``overwrite``).
+
+    ``body_lines`` sizes file content (real source files are KBs, not a
+    few hundred bytes; bench scaling runs use larger bodies so per-file
+    compute dominates over exchange constants)."""
+    done_marker = os.path.join(out_dir, "_DONE_%d_%d" % (n_files, body_lines))
     if os.path.exists(done_marker) and not overwrite:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     raw_ids = _raw_id_universe(snapshot)
+    terms = token_lexicon_terms(snapshot)
 
     def gen(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = [file_row(int(i), raw_ids) for i in batch["id"]]
+        rows = [file_row(int(i), raw_ids, terms, body_lines) for i in batch["id"]]
         return pd.DataFrame(rows)
 
     ds = rd.range(n_files, override_num_blocks=max(8, n_files // 50_000))
@@ -119,7 +148,8 @@ def generate_corpus(
 # ---------------------------------------------------------------------------
 
 def expected_triples(
-    n_files: int, snapshot: DictionarySnapshot, spec, strategy=None
+    n_files: int, snapshot: DictionarySnapshot, spec, strategy=None,
+    body_lines: int = 5,
 ) -> Set[Tuple[str, str, str]]:
     """The exact triple set the corpus KG pipeline must emit.
 
@@ -141,12 +171,24 @@ def expected_triples(
         entry = snapshot.db_ids.get(rid) or {}
         defaults = entry.get(spec.default) or []
         route_cache[rid] = defaults[0] if len(defaults) == 1 else rid
+    terms = token_lexicon_terms(snapshot)
     triples: Set[Tuple[str, str, str]] = set()
     for i in range(n_files):
-        row = file_row(i, raw_ids)
+        row = file_row(i, raw_ids, terms, body_lines)
         subj = f"{row['repo']}/{row['path']}"
         for c in _planted_curies(i, raw_ids):
             triples.add((subj, "mentions", route_cache[c]))
+        for t in _planted_terms(i, terms):
+            rid = snapshot.lexicon[t]
+            out = route_cache.get(rid)
+            if out is None:
+                prefix = rid.split(":", 1)[0]
+                entry = snapshot.db_ids.get(rid) or {}
+                defaults = entry.get(spec.default) or []
+                out = rid if prefix == spec.default else (
+                    defaults[0] if len(defaults) == 1 else rid
+                )
+            triples.add((subj, "mentions", out))
         for m in _planted_imports(i):
             triples.add((subj, "imports", m))
         triples.add((subj, "in_lang", row["lang"]))

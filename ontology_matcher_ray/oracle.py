@@ -204,6 +204,32 @@ FROM fmt
 GROUP BY id, label
 """
 
+    # UNIQUE strategy: failed rows leave the formatted sink entirely
+    sql["format_entities_unique"] = f"""
+WITH {troute},{ENTITY_DERIVE},{FORMAT_SELECT}
+SELECT f.id, f.name, f.label, f.resource, f.description, f.synonyms,
+       f.pmids, f.taxid, f.xrefs, f.raw_id
+FROM fmt f JOIN e ON f.doc_id = e.doc_id
+WHERE e.status <> 'failed'
+"""
+
+    sql["failed_entities_unique"] = f"""
+WITH {troute},{ENTITY_DERIVE}
+SELECT
+  e.raw_id AS id,
+  'name_' || e.doc_id AS name,
+  'Disease' AS label,
+  e.source AS resource,
+  '' AS description,
+  'syn_' || (e.doc_id % 5) || '|shared_syn' AS synonyms,
+  '' AS pmids,
+  '' AS taxid,
+  '' AS xrefs,
+  '' AS raw_id,
+  e.reason AS reason
+FROM e WHERE e.status = 'failed'
+"""
+
     sql["curie_validate"] = f"""
 SELECT doc_id, id,
        regexp_matches(id, {CURIE_REGEX_SQL}) AS valid

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -33,7 +34,7 @@ import ray
 import ray.data as rd
 
 from ontology_matcher_ray.functions.hashing import sha256_hex
-from ontology_matcher_ray.lineage import Manifest, plan_shards, run_sharded, xor_sha_agg
+from ontology_matcher_ray.lineage import Manifest, plan_shards, run_sharded, xor_sha_agg  # noqa: F401 (xor_sha_agg used by callers)
 from ontology_matcher_ray.schemas import DISEASE_SPEC, OntologySpec, Strategy
 from ontology_matcher_ray.stages.extract import CurieExtractor, ImportExtractor
 from ontology_matcher_ray.stages.resolve import route_id
@@ -91,38 +92,77 @@ class ExtractEmit:
         self.imports = ImportExtractor(id_col="subj", text_col="content")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["subj"] = batch["repo"].astype(str) + "/" + batch["path"].astype(str)
+        # single pass over content, single output DataFrame: no per-batch
+        # concat/rename/explode (those cost ~100us/row at corpus scale)
+        subj = (batch["repo"].astype(str) + "/" + batch["path"].astype(str)).to_numpy()
+        content = batch["content"].to_numpy()
+        lang = batch["lang"].astype(str).to_numpy()
 
-        curies = self.curie(batch).rename(columns={"raw_id": "obj"})
-        curies["pred"] = "mentions"
-        imps = self.imports(batch).rename(columns={"module": "obj"})
-        imps["pred"] = "imports"
-        langs = pd.DataFrame(
-            {"subj": batch["subj"], "pred": "in_lang", "obj": batch["lang"].astype(str)}
+        cur_rx, imp_rx = self.curie.rx, self.imports.RX
+        c_counts = np.empty(len(subj), dtype=np.int64)
+        i_counts = np.empty(len(subj), dtype=np.int64)
+        c_vals: List[str] = []
+        i_vals: List[str] = []
+        import hashlib
+
+        acc = 0
+        for k, text in enumerate(content):
+            cs = sorted(set(m.group(0) for m in cur_rx.finditer(text)))
+            c_counts[k] = len(cs)
+            c_vals.extend(cs)
+            ms = sorted(set(imp_rx.findall(text)))
+            i_counts[k] = len(ms)
+            i_vals.extend(ms)
+            acc ^= int.from_bytes(
+                hashlib.sha256(text.encode()).digest()[:16], "big"
+            )
+
+        n = len(subj)
+        subjs = np.concatenate(
+            [np.repeat(subj, c_counts), np.repeat(subj, i_counts), subj, ["agg"]]
         )
-        sha_rows = pd.DataFrame(
-            {"subj": batch["subj"], "pred": SHA_PRED,
-             "obj": sha256_hex(batch["content"].astype(str))}
+        preds = np.concatenate(
+            [np.full(len(c_vals), "mentions"), np.full(len(i_vals), "imports"),
+             np.full(n, "in_lang"), [SHA_PRED]]
         )
-        return pd.concat(
-            [curies[["subj", "pred", "obj"]], imps[["subj", "pred", "obj"]],
-             langs, sha_rows],
-            ignore_index=True,
+        # per-BATCH sha aggregate row: xor of per-row sha256 prefixes is
+        # order-independent and associative, so batch aggregates fold into
+        # the shard lineage aggregate exactly without shipping one row
+        # per file through the exchange
+        objs = np.concatenate(
+            [np.array(c_vals, dtype=object), np.array(i_vals, dtype=object),
+             lang.astype(object), ["%d:%032x" % (n, acc)]]
         )
+        return pd.DataFrame({"subj": subjs, "pred": preds, "obj": objs})
+
+
+def routes_to_arrays(routes: Dict[str, str]):
+    """Sorted (keys, values) numpy unicode arrays for broadcast.
+
+    Fixed-width unicode arrays are contiguous buffers, so ``ray.put`` /
+    ``ray.get`` move them through the object store without pickling a
+    200k-entry Python dict per actor; lookup is a vectorized binary
+    search per batch."""
+    keys = np.array(sorted(routes), dtype=np.str_)
+    vals = np.array([routes[k] for k in keys], dtype=np.str_)
+    return keys, vals
 
 
 class Linker:
     """Actor stage: map ``mentions`` objects through the precomputed route
-    table (hash lookups only); other preds pass through untouched.
+    table (vectorized searchsorted over broadcast arrays); other preds
+    pass through untouched.
 
     ``strategy=UNIQUE`` drops failed mentions (routes mapped to "" and
     dictionary misses); MIXTURE keeps the raw id (readmission)."""
 
     def __init__(self, routes_ref, strategy: Strategy = Strategy.MIXTURE):
-        self.routes = (
+        routes = (
             ray.get(routes_ref) if isinstance(routes_ref, ray.ObjectRef) else routes_ref
         )
+        if isinstance(routes, dict):
+            routes = routes_to_arrays(routes)
+        self.keys, self.vals = routes
         self.unique = strategy == Strategy.UNIQUE
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
@@ -130,13 +170,21 @@ class Linker:
         if m.any():
             b = b.copy()
             col = b["obj"].to_numpy(dtype=object)
-            routes = self.routes
-            miss = "" if self.unique else None
-            col[m] = [routes.get(x, x if miss is None else miss) for x in col[m]]
+            mentions = col[m].astype(np.str_)
+            idx = np.searchsorted(self.keys, mentions)
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            hit = self.keys[idx] == mentions
+            miss_val = "" if self.unique else None
+            out = np.where(hit, self.vals[idx],
+                           mentions if miss_val is None else miss_val)
+            col[m] = out
             b["obj"] = col
             if self.unique:
                 b = b[(b["obj"].to_numpy(dtype=object) != "")]
         return b
+
+
+TOKEN_RX = re.compile(r"[A-Za-z_]\w*")
 
 
 class ExtractLinkEmit(ExtractEmit):
@@ -145,16 +193,53 @@ class ExtractLinkEmit(ExtractEmit):
     Extraction and linking are both per-row maps; fusing them into one
     actor pool removes an inter-stage serialization boundary and a second
     pool's startup/memory cost — at 100 TB the intermediate (raw-CURIE)
-    stream never needs to exist.  The dictionary state is still broadcast
-    once and fetched per actor in ``__init__``.
+    stream never needs to exist.  The dictionary state (route table +
+    PRE-ROUTED token-lexicon term index, the Aho-Corasick analogue for
+    single-token terms) is broadcast once and fetched per actor in
+    ``__init__``.
     """
 
-    def __init__(self, spec: OntologySpec, routes_ref, strategy: Strategy = Strategy.MIXTURE):
+    def __init__(self, spec: OntologySpec, routes_ref,
+                 strategy: Strategy = Strategy.MIXTURE, term_ref=None):
         super().__init__(spec)
         self.linker = Linker(routes_ref, strategy)
+        self.term_out: Dict[str, str] = {}
+        if term_ref is not None:
+            tk, tv = (
+                ray.get(term_ref) if isinstance(term_ref, ray.ObjectRef) else term_ref
+            )
+            self.term_out = dict(zip(tk.tolist(), tv.tolist()))
+
+    def _term_rows(self, batch: pd.DataFrame) -> Optional[pd.DataFrame]:
+        if not self.term_out:
+            return None
+        subj = (batch["repo"].astype(str) + "/" + batch["path"].astype(str)).to_numpy()
+        term_out = self.term_out
+        counts = np.empty(len(subj), dtype=np.int64)
+        vals: List[str] = []
+        for k, text in enumerate(batch["content"].to_numpy()):
+            hits = sorted(
+                {term_out[t] for t in TOKEN_RX.findall(text) if t in term_out}
+            )
+            counts[k] = len(hits)
+            vals.extend(hits)
+        if not vals:
+            return None
+        frame = pd.DataFrame(
+            {
+                "subj": np.repeat(subj, counts),
+                "pred": "mentions",
+                "obj": np.array(vals, dtype=object),
+            }
+        )
+        return frame[frame["obj"] != ""]      # unique-strategy failures drop
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return self.linker(super().__call__(batch))
+        out = self.linker(super().__call__(batch))
+        terms = self._term_rows(batch)
+        if terms is None or terms.empty:
+            return out
+        return pd.concat([out, terms], ignore_index=True)
 
 
 def corpus_files(corpus_dir: str) -> List[str]:
@@ -169,50 +254,82 @@ def _shard_pipeline(
     extract_concurrency,
     link_concurrency,
     strategy: Strategy = Strategy.MIXTURE,
+    term_ref=None,
 ) -> Dict[str, object]:
-    # Size read blocks to the extract pool: ~2 blocks per actor balances
-    # the pool without flooding the downstream exchange with hundreds of
-    # small blocks (shuffle cost grows with blocks x partitions, and the
-    # scheduler becomes the bottleneck long before the CPUs do).
+    # Read-block sizing is BYTE-driven: let Ray's planner split to
+    # target_max_block_size (forcing a per-pool block count makes blocks
+    # balloon to hundreds of MB on KB-sized files and chokes the object
+    # store), but never fewer blocks than the extract pool needs to stay
+    # busy.  The exchange partition count is fixed separately: it bounds
+    # Python invocations per partition and the per-partition reduce size.
     pool = extract_concurrency if isinstance(extract_concurrency, int) else (
         extract_concurrency[1] if extract_concurrency else 8
     )
-    nblocks = max(16, 2 * pool)
+    disk_bytes = sum(os.path.getsize(f) for f in input_files)
+    # ~4x decompression factor; target ~96MB in-memory read blocks
+    nblocks = max(2 * pool, int(disk_bytes * 4 / (96 << 20)) + 1)
+    num_partitions = 96
     ds = rd.read_parquet(
         input_files,
         columns=["repo", "path", "lang", "content"],
         override_num_blocks=nblocks,
     )
-    linked = ds.map_batches(
-        ExtractLinkEmit,
-        fn_constructor_kwargs=dict(spec=spec, routes_ref=routes_ref, strategy=strategy),
-        batch_format="pandas",
-        concurrency=extract_concurrency,
-        batch_size=1024,
-    )
-    # exact dedup: per-batch combiner + ONE int-keyed hash-partition
-    # exchange (see stages/exchange.py — ~130x faster than Ray's
-    # string-key groupby aggregate on this shape)
     from ontology_matcher_ray.stages import exchange
 
-    deduped = exchange.distinct(linked, ["subj", "pred", "obj"], num_partitions=64)
+    cols = ["subj", "pred", "obj"]
+
+    def dedup_keep_agg(g: pd.DataFrame) -> pd.DataFrame:
+        # the per-batch sha aggregate rows are dedup-EXEMPT (each is
+        # unique bookkeeping; two identical aggregates must both survive)
+        is_agg = g["pred"] == SHA_PRED
+        return pd.concat([g[is_agg], g[~is_agg].drop_duplicates(cols)],
+                         ignore_index=True)
+
+    class ShardStage(ExtractLinkEmit):
+        """extract + link + combiner-dedup + partition key, ONE actor pass.
+
+        Folding the cheap task stages into the actor avoids the downstream
+        task pool starving behind a full-width actor pool — the exchange
+        reads partition-keyed blocks straight from the actors."""
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = dedup_keep_agg(super().__call__(batch))
+            return exchange.add_partition_column(out, cols, num_partitions)
+
+    pre = ds.map_batches(
+        ShardStage,
+        fn_constructor_kwargs=dict(spec=spec, routes_ref=routes_ref,
+                                   strategy=strategy, term_ref=term_ref),
+        batch_format="pandas",
+        concurrency=extract_concurrency,
+        batch_size=4096,
+    )
+    # triples are ~2 orders of magnitude smaller than content: coalesce
+    # the many read-granularity blocks into ~num_partitions blocks before
+    # the sort so the exchange does P x P object fetches, not blocks x P
+    pre = pre.repartition(num_partitions)
+    deduped = exchange.partitioned_apply_prepartitioned(pre, dedup_keep_agg, cols)
     deduped.write_parquet(out_dir)
 
-    # lineage from the WRITTEN output (columnar filtered read; nothing
-    # upstream re-executes)
+    # lineage from the WRITTEN output: only the few per-batch aggregate
+    # rows are read back (columnar filtered read; nothing re-executes)
     written = rd.read_parquet(out_dir)
     total = written.count()                       # metadata-only
     acc = 0
     n_rows = 0
+    n_agg = 0
     for b in written.filter(expr=f"pred == '{SHA_PRED}'").select_columns(
         ["obj"]
     ).iter_batches(batch_size=65536, batch_format="pandas"):
-        acc ^= int(xor_sha_agg(b["obj"]), 16)
-        n_rows += len(b)
+        for cell in b["obj"]:
+            cnt, _, hexagg = cell.partition(":")
+            n_rows += int(cnt)
+            acc ^= int(hexagg, 16)
+            n_agg += 1
     return {
         "row_count": n_rows,
         "content_sha256_agg": "%032x" % acc,
-        "triple_count": total - n_rows,
+        "triple_count": total - n_agg,
     }
 
 
@@ -231,13 +348,23 @@ def build_kg(
     Returns the lineage records (one per shard).  Rerunning after a crash
     skips completed shards via the manifest.
     """
+    from ontology_matcher_ray.corpus import token_lexicon_terms
+
     if extract_concurrency is None:
         # the fused extract+link pool IS the compute: fixed-size pool at
         # ~3/4 of the node (autoscaling pools don't ramp up within a short
         # job; fixed pools pre-start), leaving headroom for read/shuffle
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         extract_concurrency = max(2, (ncpu * 3) // 4)
-    routes_ref = ray.put(precompute_routes(snapshot, spec, strategy))
+    routes = precompute_routes(snapshot, spec, strategy)
+    routes_ref = ray.put(routes_to_arrays(routes))
+    # pre-route the single-token lexicon terms: term -> final output id
+    unique = strategy == Strategy.UNIQUE
+    term_map: Dict[str, str] = {}
+    for t in token_lexicon_terms(snapshot):
+        rid = snapshot.lexicon[t]
+        term_map[t] = routes.get(rid, "" if unique else rid)
+    term_ref = ray.put(routes_to_arrays(term_map)) if term_map else None
     manifest = Manifest(os.path.join(out_dir, "_manifest", "lineage.jsonl"))
     shards = plan_shards(corpus_files(corpus_dir), n_shards)
     return run_sharded(
@@ -247,7 +374,7 @@ def build_kg(
         manifest,
         lambda files, shard_out: _shard_pipeline(
             files, shard_out, routes_ref, spec, extract_concurrency,
-            link_concurrency, strategy,
+            link_concurrency, strategy, term_ref,
         ),
     )
 

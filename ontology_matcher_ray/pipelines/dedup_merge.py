@@ -1,0 +1,169 @@
+"""Unofficial->official dedup cascade + canonical merge (J3 + A1).
+
+Reimplements the reference's specified dedup semantics
+(``cli.py:192-296``, the commented-out implementation behind the stub):
+
+1. split rows into OFFICIAL (id starts with the type's default database)
+   and UNOFFICIAL;
+2. for each unofficial row, cascade containment-match against official
+   rows on ``xrefs`` (contains the row's id) -> ``synonyms`` (contains the
+   row's name) -> ``name`` (contains the row's name), case-insensitive,
+   first key with ANY match decides:
+     * exactly 1 match  -> merge: official row wins, its xrefs gain the
+       unofficial row's id + xrefs (``merge_ids``, cli.py:201-209)
+     * >1 match         -> DROP the unofficial row (ambiguous)
+     * 0 matches on all -> keep the unofficial row as-is
+3. global ``groupby(id, label)`` canonical merge (A1, cli.py:276-291).
+
+Ray shape: the official side is small relative to the corpus (one row per
+canonical entity) — it is BROADCAST via ``ray.put`` and each worker
+cascades its unofficial batch against an in-memory index (semi-join with
+priority, no shuffle); only the final A1 merge shuffles, via the
+hash-partition exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from ontology_matcher_ray.functions.listops import merge_unique
+from ontology_matcher_ray.schemas import OntologySpec
+from ontology_matcher_ray.stages import exchange
+
+
+class OfficialIndex:
+    """Driver-built index of the official rows for the cascade.
+
+    Lookup keys are lowercased; xref/synonym membership is exact-token
+    (the reference uses substring ``str.contains`` on the pipe-joined
+    cell, which for CURIE/synonym tokens is containment of the escaped
+    value — token membership reproduces it for well-formed cells without
+    O(rows) scans per probe).
+    """
+
+    def __init__(self, official: pd.DataFrame):
+        self.rows = official.reset_index(drop=True)
+        self.by_xref: Dict[str, List[int]] = {}
+        self.by_synonym: Dict[str, List[int]] = {}
+        self.by_name: Dict[str, List[int]] = {}
+        for i, row in self.rows.iterrows():
+            for x in str(row.get("xrefs", "")).split("|"):
+                x = x.strip().lower()
+                if x:
+                    self.by_xref.setdefault(x, []).append(i)
+            for s_ in str(row.get("synonyms", "")).split("|"):
+                s_ = s_.strip().lower()
+                if s_:
+                    self.by_synonym.setdefault(s_, []).append(i)
+            nm = str(row.get("name", "")).strip().lower()
+            if nm:
+                self.by_name.setdefault(nm, []).append(i)
+
+    def cascade(self, row_id: str, row_name: str) -> Tuple[str, Optional[int]]:
+        """-> ("merge", idx) | ("drop", None) | ("keep", None)."""
+        probes = [
+            (self.by_xref, row_id.lower()),
+            (self.by_synonym, row_name.lower()),
+            (self.by_name, row_name.lower()),
+        ]
+        for index, key in probes:
+            hits = index.get(key, [])
+            if hits:
+                return ("merge", hits[0]) if len(hits) == 1 else ("drop", None)
+        return ("keep", None)
+
+
+class CascadeMatcher:
+    """map_batches stage over UNOFFICIAL rows.
+
+    Emits kept unofficial rows unchanged plus, for merges, a patch row
+    that carries the OFFICIAL row's identity with xrefs extended by the
+    unofficial id+xrefs (``merge_ids`` semantics) — the A1 merge then
+    folds patch rows into their official rows.
+    """
+
+    def __init__(self, index_ref):
+        self.index: OfficialIndex = (
+            ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        )
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for _, row in b.iterrows():
+            verdict, idx = self.index.cascade(str(row["id"]), str(row["name"]))
+            if verdict == "keep":
+                out_rows.append(row)
+            elif verdict == "merge":
+                official = self.index.rows.iloc[idx].copy()
+                official["xrefs"] = merge_unique(
+                    [str(row["id"]), str(row.get("xrefs", "")), str(official.get("xrefs", ""))]
+                )
+                out_rows.append(official)
+            # "drop": ambiguous -> row vanishes (cli.py:242)
+        if not out_rows:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in b.columns})
+        return pd.DataFrame(out_rows)[list(b.columns)].reset_index(drop=True)
+
+
+_FIRST = ["name", "description", "resource", "taxid"]
+_MERGE = ["xrefs", "synonyms", "pmids", "raw_id"]
+
+
+def _final_merge(batch: pd.DataFrame) -> pd.DataFrame:
+    recs = []
+    for (eid, label), g in batch.groupby(["id", "label"], sort=False):
+        i = g["_order"].idxmin()
+        rec = {"id": eid, "label": label, "_order": int(g["_order"].min())}
+        for c in _FIRST:
+            rec[c] = g.loc[i, c]
+        for c in _MERGE:
+            rec[c] = merge_unique(g[c].tolist())
+        recs.append(rec)
+    cols = ["id", "label", "_order"] + _FIRST + _MERGE
+    if not recs:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    return pd.DataFrame(recs)[cols]
+
+
+def dedup_cascade(
+    formatted: pd.DataFrame, spec: OntologySpec, num_partitions: int = 32
+) -> pd.DataFrame:
+    """Full J3+A1 dedup over a formatted entity frame (driver-callable).
+
+    The formatted table is entity-scale (not corpus-scale) so the official
+    split fits driver memory; unofficial rows stream through the cascade
+    actor pool; the canonical merge is the one shuffle.
+    """
+    df = formatted.fillna("").astype(str).reset_index(drop=True)
+    for c in _FIRST + _MERGE + ["id", "label"]:
+        if c not in df.columns:
+            df[c] = ""
+    df["_order"] = np.arange(len(df))
+    official_mask = df["id"].str.startswith(spec.default)
+    official = df[official_mask]
+    unofficial = df[~official_mask]
+
+    index_ref = ray.put(OfficialIndex(official))
+    pieces = [official]
+    if len(unofficial):
+        ds = rd.from_pandas(unofficial)
+        matched = ds.map_batches(
+            CascadeMatcher,
+            fn_constructor_kwargs=dict(index_ref=index_ref),
+            batch_format="pandas",
+            concurrency=(1, 4),
+            batch_size=4096,
+        )
+        pieces.append(matched.to_pandas())
+    combined = pd.concat(pieces, ignore_index=True)
+    out = exchange.partitioned_apply(
+        rd.from_pandas(combined), ["id", "label"], _final_merge, num_partitions
+    ).to_pandas()
+    out = out.sort_values("_order").drop(columns=["_order"]).reset_index(drop=True)
+    return out

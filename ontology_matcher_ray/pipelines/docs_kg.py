@@ -129,10 +129,11 @@ def resolve_route(sf_dir: str) -> rd.Dataset:
     return ds
 
 
-def format_entities(sf_dir: str, keep_doc_id: bool = False) -> rd.Dataset:
+def format_entities(sf_dir: str, keep_doc_id: bool = False,
+                    strategy: Strategy = Strategy.MIXTURE) -> rd.Dataset:
     """Full ontology-format pipeline output (FORMATTED_COLUMNS + sink)."""
-    ds = resolve_entities(sf_dir)
-    fmt = Formatter(SPEC, Strategy.MIXTURE)
+    ds = resolve_entities(sf_dir, strategy)
+    fmt = Formatter(SPEC, strategy)
 
     def _fmt(batch: pd.DataFrame) -> pd.DataFrame:
         out = fmt(batch)
@@ -150,6 +151,24 @@ def formatted_entities(sf_dir: str) -> rd.Dataset:
         lambda b: b[b["sink"] == "formatted"][FORMATTED_COLUMNS], batch_format="pandas"
     )
     return ds
+
+
+def formatted_entities_unique(sf_dir: str) -> rd.Dataset:
+    """UNIQUE-strategy formatted sink: failed ids with non-default prefixes
+    are NOT readmitted (ontology_formatter.py:756-763)."""
+    ds = format_entities(sf_dir, strategy=Strategy.UNIQUE)
+    return ds.map_batches(
+        lambda b: b[b["sink"] == "formatted"][FORMATTED_COLUMNS], batch_format="pandas"
+    )
+
+
+def failed_entities_unique(sf_dir: str) -> rd.Dataset:
+    """UNIQUE-strategy failed sink with reasons (the *.failed.tsv surface)."""
+    ds = format_entities(sf_dir, strategy=Strategy.UNIQUE)
+    return ds.map_batches(
+        lambda b: b[b["sink"] == "failed"][FORMATTED_COLUMNS + ["reason"]],
+        batch_format="pandas",
+    )
 
 
 # ---------------------------------------------------------------------------

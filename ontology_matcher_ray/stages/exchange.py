@@ -68,6 +68,20 @@ def partitioned_apply(
     )
 
 
+def partitioned_apply_prepartitioned(
+    ds: rd.Dataset,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    key_cols: Sequence[str],
+) -> rd.Dataset:
+    """Like ``partitioned_apply`` for datasets that ALREADY carry the
+    partition column (e.g. emitted by an upstream actor stage so no extra
+    task pass is needed)."""
+    def strip_then_apply(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=[PARTITION_COL]))
+
+    return ds.groupby(PARTITION_COL).map_groups(strip_then_apply, batch_format="pandas")
+
+
 def distinct(
     ds: rd.Dataset, cols: Sequence[str], num_partitions: int = 64
 ) -> rd.Dataset:

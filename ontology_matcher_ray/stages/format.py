@@ -92,10 +92,12 @@ class Formatter:
             xrefs = concat(meta_xrefs, xrefs_in)
             pmids = concat(meta_pmids, pmids_in)
             if self.spec.gene_style_metadata:
-                # gene/__init__.py:332-354: SYMBOL name, taxid, summary
-                # description, alias+other_names synonyms are already folded
-                # into meta_* by the snapshot/Resolver.
+                # gene/__init__.py:332-354: taxid and summary-description
+                # REPLACE the record values unconditionally (no fallback —
+                # gene/__init__.py:343-345); alias+other_names synonyms are
+                # already folded into meta_* by the snapshot/Resolver.
                 new_row["taxid"] = str(row.get("meta_taxid") or "")
+                new_row["description"] = str(row.get("meta_description") or "")
         else:
             synonyms: List[str] | str = syn_in
             xrefs = xrefs_in
