@@ -61,7 +61,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream-shaped ---
         "events_hourly": events.hourly_windows,
         "events_sessionize": events.sessionize,
+        # --- flagship corpus pipeline (sharded + resumable; rows-only) ---
+        "corpus_kg_triples": _corpus_kg_triples,
     }
+
+
+def _corpus_kg_triples(sf_dir: str):
+    """End-to-end corpus KG build at a scale derived from sf_dir: generate
+    the deterministic source-code corpus under /tmp, run the sharded
+    extract->link->dedup pipeline with lineage, return the triples."""
+    import os
+    import shutil
+
+    from ontology_matcher_ray import corpus as corpus_mod
+    from ontology_matcher_ray.pipelines import corpus_kg
+    from ontology_matcher_ray.pipelines.docs_text import read_documents
+    from ontology_matcher_ray.schemas import DISEASE_SPEC
+    from ontology_matcher_ray.state.snapshot import build_snapshot
+
+    n_docs = read_documents(sf_dir, columns=["doc_id"]).count()
+    n_files = max(2000, n_docs * 4)
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=2000, seed=42)
+    base = f"/tmp/onto_ray_entry/corpus_{n_files}"
+    corpus_mod.generate_corpus(base, n_files, snap)
+    out = f"/tmp/onto_ray_entry/kg_{n_files}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    corpus_kg.build_kg(base, out, snap, n_shards=2)
+    return corpus_kg.read_triples(out)
 
 
 def _media_featurize(sf_dir: str):

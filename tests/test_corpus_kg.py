@@ -92,3 +92,50 @@ def test_routes_match_route_id():
             r = route_id(raw_id, db_ids, DISEASE_SPEC, strategy)
             want = "" if r.status in ("failed", "invalid") and strategy == Strategy.UNIQUE else r.out_id
             assert fast[raw_id] == want, (raw_id, strategy, r.status, fast[raw_id], want)
+
+
+def test_unique_strategy_drops_failed_mentions(corpus_env, tmp_path):
+    from ontology_matcher_ray.schemas import Strategy
+
+    root, snap, corpus_dir = corpus_env
+    out = str(tmp_path / "kg_unique")
+    corpus_kg.build_kg(corpus_dir, out, snap, n_shards=2,
+                       strategy=Strategy.UNIQUE)
+    got = triple_set(out)
+    want = corpus_mod.expected_triples(N_FILES, snap, DISEASE_SPEC,
+                                       strategy=Strategy.UNIQUE)
+    # UNIQUE never emits triples MIXTURE wouldn't
+    mixture = corpus_mod.expected_triples(N_FILES, snap, DISEASE_SPEC)
+    got_mentions = {t for t in got if t[1] == "mentions"}
+    assert got_mentions <= {t for t in mixture if t[1] == "mentions"} | got_mentions
+    # failed raw ids (multi-default / misses) are absent under UNIQUE
+    assert not any(o.startswith("MESH:DMISS") for _s, p, o in got if p == "mentions")
+
+
+def test_canonical_merge_correct_under_hub_key_skew():
+    """Skew: one hub id carries 80% of rows; two-phase merge (per-block
+    partial + hash-partition final) must still be exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_matcher_ray.pipelines.docs_kg import _partial_merge
+    from ontology_matcher_ray.stages import exchange
+
+    n = 20000
+    ids = np.where(np.arange(n) % 5 != 0, "MONDO:HUB", "MONDO:%d" % 7)
+    ids = [f"MONDO:HUB" if k % 5 != 0 else f"MONDO:{k % 97}" for k in range(n)]
+    df = pd.DataFrame({
+        "id": ids, "label": "Disease", "doc_id": np.arange(n),
+        "name": ["n%d" % k for k in range(n)], "description": "",
+        "resource": "R", "taxid": "",
+        "xrefs": ["X:%d" % (k % 13) for k in range(n)],
+        "synonyms": "", "pmids": "", "raw_id": ["RAW:%d" % (k % 7) for k in range(n)],
+    })
+    ds = rd.from_pandas(df, override_num_blocks=16)
+    ds = ds.map_batches(_partial_merge, batch_format="pandas")
+    out = exchange.partitioned_apply(ds, ["id", "label"], _partial_merge, 8).to_pandas()
+    hub = out[out["id"] == "MONDO:HUB"].iloc[0]
+    assert hub["name"] == "n1"                          # min doc_id in hub
+    assert set(hub["xrefs"].split("|")) == {"X:%d" % i for i in range(13)}
+    assert len(out) == 1 + len({k % 97 for k in range(n) if k % 5 == 0})

@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the scalar kernels and routing
+invariants — the algebraic properties the distributed composition relies
+on (associativity/commutativity of combiners, idempotence of dedup)."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from ontology_matcher_ray.functions.listops import concat, join_lst, merge_unique
+from ontology_matcher_ray.schemas import DISEASE_SPEC, Strategy
+from ontology_matcher_ray.stages.resolve import route_id
+
+token = st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=6)
+cell = st.lists(token, max_size=5).map(lambda xs: "|".join(xs))
+cells = st.lists(cell, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(cells, cells)
+def test_merge_unique_associative_commutative(a, b):
+    # partial/final composition in the canonical merge requires this
+    assert merge_unique([merge_unique(a), merge_unique(b)]) == merge_unique(a + b)
+    assert merge_unique(a + b) == merge_unique(b + a)
+
+
+@settings(max_examples=200, deadline=None)
+@given(cells)
+def test_merge_unique_idempotent(a):
+    once = merge_unique(a)
+    assert merge_unique([once]) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(cell)
+def test_join_lst_idempotent_and_sorted(c):
+    out = join_lst(c)
+    assert join_lst(out) == out
+    parts = [p for p in out.split("|") if p]
+    assert parts == sorted(set(parts))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(token, max_size=4), st.lists(token, max_size=4))
+def test_concat_is_set_union(x, y):
+    assert set(concat(x, y)) == set(x) | set(y)
+    assert concat(x, y) == concat(y, x)
+
+
+db_ids = st.dictionaries(
+    st.sampled_from(DISEASE_SPEC.choices),
+    st.lists(token.map(lambda t: "MONDO:" + t), min_size=0, max_size=3),
+    max_size=4,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(["MESH:D1", "MONDO:1", "UMLS:C1", "HP:1"]), db_ids)
+def test_routing_invariants(raw_id, entry):
+    for strategy in (Strategy.MIXTURE, Strategy.UNIQUE):
+        r = route_id(raw_id, entry, DISEASE_SPEC, strategy)
+        # total: every id gets exactly one status
+        assert r.status in ("ok", "ok_raw", "failed", "invalid")
+        # output id is canonical (default db) XOR the raw id
+        if r.status == "ok":
+            assert r.out_id.startswith(DISEASE_SPEC.default + ":") or r.out_id == raw_id
+        if r.status in ("ok_raw", "failed"):
+            assert r.out_id == raw_id
+        # (no assertion that out_id is absent from aliases: the reference's
+        # get_alias_ids collects non-default-db attrs by KEY, so a
+        # dictionary that stores the canonical id under another database's
+        # key surfaces it as an alias — data inconsistency passes through)
+        # raw id with non-default prefix always appears in aliases when converted
+        prefix = raw_id.split(":", 1)[0]
+        if r.status in ("ok", "ok_raw") and prefix != DISEASE_SPEC.default:
+            assert raw_id in r.alias_ids
+
+
+@settings(max_examples=100, deadline=None)
+@given(db_ids)
+def test_unique_stricter_than_mixture(entry):
+    m = route_id("MESH:D1", entry, DISEASE_SPEC, Strategy.MIXTURE)
+    u = route_id("MESH:D1", entry, DISEASE_SPEC, Strategy.UNIQUE)
+    # UNIQUE can only fail where MIXTURE succeeded, never the reverse
+    if m.status == "failed":
+        assert u.status == "failed"
