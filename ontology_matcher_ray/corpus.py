@@ -60,6 +60,13 @@ def _planted_imports(i: int) -> List[str]:
     return mods
 
 
+def _planted_annotations(i: int) -> List[str]:
+    """Java/Python-style annotations planted per file (i%4 of a fixed set)."""
+    pool = ["Deprecated", "Override", "Benchmark", "Transactional",
+            "Inject", "Test"]
+    return sorted({pool[(i * 5 + k) % len(pool)] for k in range(i % 3)})
+
+
 def _planted_terms(i: int, terms: List[str]) -> List[str]:
     """Two ontology-term surface forms planted per file (token-level)."""
     if not terms:
@@ -86,6 +93,7 @@ def file_row(i: int, raw_ids: List[str], terms: List[str],
     lines += [f"# ontology ref {c}" for c in curies]
     if planted:
         lines.append("# refs " + " ".join(planted))
+    lines += [f"@{a}" for a in _planted_annotations(i)]
     lines += [f"fn body_{i}_{k}() {{ return {(i + k) % 1000}; }}"
               for k in range(body_lines + i % 5)]
     return {
@@ -191,5 +199,7 @@ def expected_triples(
             triples.add((subj, "mentions", out))
         for m in _planted_imports(i):
             triples.add((subj, "imports", m))
+        for a in _planted_annotations(i):
+            triples.add((subj, "annotated_with", a))
         triples.add((subj, "in_lang", row["lang"]))
     return triples

@@ -79,13 +79,16 @@ def precompute_routes(
 
 
 class ExtractEmit:
-    """Fused per-file stage: sha256 invariant + CURIE & import extraction.
+    """Fused per-file stage: sha256 invariant + CURIE / import / annotation
+    extraction.
 
     Emits (subj, pred, obj) rows: ``mentions`` (raw CURIEs), ``imports``,
-    ``in_lang``, plus one ``__sha__`` row per file carrying the content
-    sha256 (the per-row invariant, BASELINE.json input_hint).  Compiled
-    regexes built once per actor.
+    ``annotated_with`` (decorator/annotation markers), ``in_lang``, plus a
+    per-batch ``__sha__`` aggregate row (the per-row invariant,
+    BASELINE.json input_hint).  Compiled regexes built once per actor.
     """
+
+    ANNOT_RX = re.compile(r"^\s*@([A-Za-z_]\w*)", re.M)
 
     def __init__(self, spec: OntologySpec):
         self.curie = CurieExtractor(spec, id_col="subj", text_col="content")
@@ -98,11 +101,13 @@ class ExtractEmit:
         content = batch["content"].to_numpy()
         lang = batch["lang"].astype(str).to_numpy()
 
-        cur_rx, imp_rx = self.curie.rx, self.imports.RX
+        cur_rx, imp_rx, ann_rx = self.curie.rx, self.imports.RX, self.ANNOT_RX
         c_counts = np.empty(len(subj), dtype=np.int64)
         i_counts = np.empty(len(subj), dtype=np.int64)
+        a_counts = np.empty(len(subj), dtype=np.int64)
         c_vals: List[str] = []
         i_vals: List[str] = []
+        a_vals: List[str] = []
         import hashlib
 
         acc = 0
@@ -113,16 +118,21 @@ class ExtractEmit:
             ms = sorted(set(imp_rx.findall(text)))
             i_counts[k] = len(ms)
             i_vals.extend(ms)
+            anns = sorted(set(ann_rx.findall(text)))
+            a_counts[k] = len(anns)
+            a_vals.extend(anns)
             acc ^= int.from_bytes(
                 hashlib.sha256(text.encode()).digest()[:16], "big"
             )
 
         n = len(subj)
         subjs = np.concatenate(
-            [np.repeat(subj, c_counts), np.repeat(subj, i_counts), subj, ["agg"]]
+            [np.repeat(subj, c_counts), np.repeat(subj, i_counts),
+             np.repeat(subj, a_counts), subj, ["agg"]]
         )
         preds = np.concatenate(
             [np.full(len(c_vals), "mentions"), np.full(len(i_vals), "imports"),
+             np.full(len(a_vals), "annotated_with"),
              np.full(n, "in_lang"), [SHA_PRED]]
         )
         # per-BATCH sha aggregate row: xor of per-row sha256 prefixes is
@@ -131,6 +141,7 @@ class ExtractEmit:
         # per file through the exchange
         objs = np.concatenate(
             [np.array(c_vals, dtype=object), np.array(i_vals, dtype=object),
+             np.array(a_vals, dtype=object),
              lang.astype(object), ["%d:%032x" % (n, acc)]]
         )
         return pd.DataFrame({"subj": subjs, "pred": preds, "obj": objs})
