@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": docs_text.fingerprints,             # rows-only
         # --- dedup family ---
         "dedup_exact": docs_text.dedup_exact,
+        "dedup_jaccard_adjacent": docs_text.dedup_jaccard_adjacent,
         "dedup_minhash": docs_text.dedup_minhash,           # rows-only
         "dedup_simhash": docs_text.dedup_simhash,           # rows-only
         "dedup_embedding": docs_text.dedup_embedding,       # rows-only

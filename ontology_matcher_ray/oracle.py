@@ -280,6 +280,23 @@ SELECT doc_id, lang AS declared_lang,
 FROM documents
 """
 
+    sql["dedup_jaccard_adjacent"] = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(str_split(text,' ')) - 2, 0)),
+           i -> str_split(text,' ')[i+1] || ' ' || str_split(text,' ')[i+2]
+                || ' ' || str_split(text,' ')[i+3]
+         )) AS s
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       (len(list_intersect(a.s, b.s)) * 1000000)
+         // len(list_distinct(a.s || b.s)) AS jaccard_micro
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+WHERE len(a.s) > 0 AND len(b.s) > 0
+"""
+
     sql["dedup_exact"] = """
 SELECT sha256(text) AS content_sha256,
        CAST(min(doc_id) AS BIGINT) AS doc_id,

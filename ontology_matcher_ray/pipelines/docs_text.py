@@ -133,6 +133,56 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
     return dedup_stages.exact_dedup(read_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def dedup_jaccard_adjacent(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Exact 3-gram Jaccard for adjacent doc pairs (doc_id, doc_id+1).
+
+    The oracle-checkable member of the near-dup family: shingle sets are
+    computed per doc in map_batches, pairs are co-located by a pair-id
+    exchange (each doc contributes to pairs (i-1,i) and (i,i+1)), and the
+    score is integer micro-units.  The same shape scales to LSH-selected
+    candidate pairs (dedup_minhash) where the pair list is data-dependent.
+    """
+    from ontology_matcher_ray.functions.hashing import shingles
+    from ontology_matcher_ray.stages import exchange
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
+        doc_id = b["doc_id"].astype("int64").to_numpy()
+        sets = [
+            sorted(set(shingles(t.split(" "), k)))
+            for t in b["text"].astype(str)
+        ]
+        left = pd.DataFrame({"pair_id": doc_id, "doc_id": doc_id, "sh": sets})
+        right = pd.DataFrame({"pair_id": doc_id - 1, "doc_id": doc_id, "sh": sets})
+        out = pd.concat([left, right], ignore_index=True)
+        return out[out["pair_id"] >= 0]
+
+    pairsrc = ds.map_batches(shingle_rows, batch_format="pandas")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for pid, grp in g.groupby("pair_id", sort=False):
+            if len(grp) != 2:
+                continue                    # boundary pair (last doc)
+            grp = grp.sort_values("doc_id")
+            a = set(grp.iloc[0]["sh"])
+            b_ = set(grp.iloc[1]["sh"])
+            if not a or not b_:
+                continue
+            union = len(a | b_)
+            recs.append(
+                {"a": int(grp.iloc[0]["doc_id"]), "b": int(grp.iloc[1]["doc_id"]),
+                 "jaccard_micro": (len(a & b_) * 1_000_000) // union}
+            )
+        cols = ["a", "b", "jaccard_micro"]
+        if not recs:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        return pd.DataFrame(recs)[cols]
+
+    return exchange.partitioned_apply(pairsrc, ["pair_id"], per_partition, 16)
+
+
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     return dedup_stages.minhash_near_dups(
         read_documents(sf_dir, columns=["doc_id", "text"]), threshold=threshold
