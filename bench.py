@@ -30,7 +30,7 @@ def run_bench() -> dict:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_files = int(os.environ.get("GRAFT_CORPUS_FILES", "120000"))
+    n_files = int(os.environ.get("GRAFT_CORPUS_FILES", "400000"))
     dict_size = int(os.environ.get("GRAFT_DICT_SIZE", "200000"))
     body_lines = int(os.environ.get("GRAFT_BODY_LINES", "30"))
 
