@@ -165,7 +165,15 @@ def expected_triples(
     link through the §2.8 tree (canonical for ok, raw for ok_raw/failed
     readmission under mixture); imports become (file, imports, module).
     Subjects are ``repo/path`` URIs.
+
+    Under ``strategy=UNIQUE``, failed/miss mentions are DROPPED (mapped
+    to None below) except ids whose prefix equals the default database,
+    which are readmitted raw (reference semantics:
+    ``ontology_formatter.py:755-763``).
     """
+    from ontology_matcher_ray.schemas import Strategy
+
+    unique = strategy == Strategy.UNIQUE
     # independent mini-router (NOT the engine's route_id): canonical id iff
     # the dictionary maps the raw id to exactly one default-db id; raw id
     # otherwise (no-hit, non-default-only, or multi-default under mixture)
@@ -176,27 +184,49 @@ def expected_triples(
         if prefix == spec.default:
             route_cache[rid] = rid
             continue
-        entry = snapshot.db_ids.get(rid) or {}
+        entry = snapshot.db_ids.get(rid)
+        if entry is None:                      # dictionary miss
+            route_cache[rid] = None if unique else rid
+            continue
         defaults = entry.get(spec.default) or []
-        route_cache[rid] = defaults[0] if len(defaults) == 1 else rid
+        # ambiguity rule (§2.8): >1 default hits always fails; under
+        # UNIQUE, >1 hits in ANY other database also fails (dropped)
+        multi_any = any(len(v) > 1 for db, v in entry.items() if db != prefix)
+        if len(defaults) > 1 or (unique and multi_any):
+            route_cache[rid] = None if unique else rid
+        elif len(defaults) == 1:
+            route_cache[rid] = defaults[0]
+        else:
+            route_cache[rid] = rid
     terms = token_lexicon_terms(snapshot)
     triples: Set[Tuple[str, str, str]] = set()
     for i in range(n_files):
         row = file_row(i, raw_ids, terms, body_lines)
         subj = f"{row['repo']}/{row['path']}"
         for c in _planted_curies(i, raw_ids):
-            triples.add((subj, "mentions", route_cache[c]))
+            out = route_cache[c]
+            if out is not None:
+                triples.add((subj, "mentions", out))
         for t in _planted_terms(i, terms):
             rid = snapshot.lexicon[t]
-            out = route_cache.get(rid)
-            if out is None:
+            if rid in route_cache:
+                out = route_cache[rid]
+            else:
+                # lexicon target absent from the raw-id universe: same
+                # miss rule — readmit default-prefix, drop others (UNIQUE)
                 prefix = rid.split(":", 1)[0]
-                entry = snapshot.db_ids.get(rid) or {}
-                defaults = entry.get(spec.default) or []
-                out = rid if prefix == spec.default else (
-                    defaults[0] if len(defaults) == 1 else rid
-                )
-            triples.add((subj, "mentions", out))
+                if rid in snapshot.db_ids:
+                    entry = snapshot.db_ids[rid]
+                    defaults = entry.get(spec.default) or []
+                    out = rid if prefix == spec.default else (
+                        defaults[0] if len(defaults) == 1 else rid
+                    )
+                elif unique and prefix != spec.default:
+                    out = None
+                else:
+                    out = rid
+            if out is not None:
+                triples.add((subj, "mentions", out))
         for m in _planted_imports(i):
             triples.add((subj, "imports", m))
         for a in _planted_annotations(i):

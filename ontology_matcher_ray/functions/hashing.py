@@ -5,6 +5,14 @@ BASELINE.json ``input_hint``), the exact/near dedup stages, and salted
 shuffle keys.  All functions are batch-level (numpy/pandas in, numpy out);
 MinHash signatures use the standard ``(a*x + b) mod p`` universal hash
 family with a fixed seed so every worker derives identical permutations.
+
+ORACLE PARITY: content hashes for the oracle-checked dedup family
+(MinHash shingles, SimHash tokens) are the LOW 8 BYTES of md5,
+little-endian — exactly DuckDB's ``md5_number_lower()`` — and the
+permutation arithmetic stays inside 62 bits (31-bit hash domain,
+Mersenne p = 2^31-1) so numpy int64 and DuckDB BIGINT compute identical
+values with no wrap-around ambiguity.  ``stable_hash64`` (partition/
+shuffle keys only, never oracle-compared) stays blake2b.
 """
 
 from __future__ import annotations
@@ -15,8 +23,13 @@ from typing import List
 import numpy as np
 import pandas as pd
 
-MERSENNE_P = (1 << 61) - 1
+MERSENNE_P = (1 << 31) - 1        # 31-bit domain: a*x+b fits int64 exactly
 I64_MASK = (1 << 63) - 1
+
+
+def md5half(s: str) -> int:
+    """Low 8 bytes of md5, little-endian == DuckDB md5_number_lower()."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
 
 
 def sha256_hex(texts: pd.Series) -> pd.Series:
@@ -40,46 +53,45 @@ def stable_hash64(values: pd.Series) -> np.ndarray:
 
 def _minhash_params(num_perm: int, seed: int = 7):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE_P, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, MERSENNE_P, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, MERSENNE_P, size=num_perm).astype(np.int64)
+    b = rng.randint(0, MERSENNE_P, size=num_perm).astype(np.int64)
     return a, b
 
 
 def shingles(tokens: List[str], k: int = 3) -> List[str]:
-    """Word k-gram shingles; short docs fall back to the whole token list."""
+    """Word k-gram shingles; docs with fewer than ``k`` tokens yield []
+    (such docs carry no shingle signal and are excluded from the near-dup
+    candidate space — and from the oracle SQL — rather than compared on a
+    degenerate whole-text shingle)."""
     if len(tokens) < k:
-        return [" ".join(tokens)] if tokens else []
+        return []
     return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
 
 
 def minhash_signature_matrix(
     texts: pd.Series, num_perm: int = 64, k: int = 3, seed: int = 7
 ) -> np.ndarray:
-    """(len(texts), num_perm) uint64 MinHash signature matrix.
+    """(len(texts), num_perm) int64 MinHash signature matrix; -1 rows mark
+    docs with no shingles (fewer than ``k`` tokens).
 
-    Shingle hashes are blake2b-derived (stable across processes); the
-    permutation family is seeded, so signatures are globally consistent
-    across actors and cluster sizes.
+    Shingle hashes are ``md5half % p`` (p = 2^31-1) and the permutation
+    family is seeded, so signatures are globally consistent across actors
+    AND recomputable in DuckDB SQL (md5_number_lower + BIGINT modmul).
     """
     a, b = _minhash_params(num_perm, seed)
-    out = np.empty((len(texts), num_perm), dtype=np.uint64)
+    out = np.empty((len(texts), num_perm), dtype=np.int64)
     for row, text in enumerate(texts):
         toks = text.split(" ") if isinstance(text, str) else []
         sh = shingles(toks, k)
         if not sh:
-            out[row, :] = 0
+            out[row, :] = -1
             continue
         hv = np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-                % MERSENNE_P
-                for s in sh
-            ),
-            dtype=np.uint64,
-            count=len(sh),
+            (md5half(s) % MERSENNE_P for s in sh), dtype=np.int64, count=len(sh)
         )
-        # (a*x + b) mod p for every (perm, shingle) pair, then column-min
-        prods = (hv[None, :] * a[:, None] + b[:, None]) % np.uint64(MERSENNE_P)
+        # (a*x + b) mod p for every (perm, shingle) pair, then column-min;
+        # products < 2^62: exact in int64, no wrap-around
+        prods = (hv[None, :] * a[:, None] + b[:, None]) % np.int64(MERSENNE_P)
         out[row, :] = prods.min(axis=1)
     return out
 
@@ -87,42 +99,47 @@ def minhash_signature_matrix(
 def band_keys(signatures: np.ndarray, bands: int = 16) -> np.ndarray:
     """Collapse each signature into ``bands`` LSH bucket keys.
 
-    Returns (n_docs, bands) int64: hash of each band's rows.  Docs sharing
-    any band key are near-dup candidates (groupby on (band_idx, band_key)).
+    Returns (n_docs, bands) object array of STRINGS — each band's
+    signature values joined with '-'.  Exact (no hash collisions between
+    bands) and trivially recomputable in SQL via ordered string_agg; the
+    exchange hashes the string to an int partition key anyway, so the only
+    scale cost is ~10x wider candidate rows (still tiny vs the corpus).
+    Docs sharing any band key are near-dup candidates.
     """
     n, num_perm = signatures.shape
     rows_per_band = num_perm // bands
-    keys = np.empty((n, bands), dtype=np.int64)
+    keys = np.empty((n, bands), dtype=object)
     for bidx in range(bands):
         chunk = signatures[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
-        acc = np.zeros(n, dtype=np.uint64)
-        for col in range(chunk.shape[1]):
-            acc = (acc * np.uint64(1099511628211)) ^ chunk[:, col]
-        keys[:, bidx] = (acc & np.uint64(I64_MASK)).astype(np.int64)
+        acc = chunk[:, 0].astype(str).astype(object)
+        for col in range(1, chunk.shape[1]):
+            acc = acc + "-" + chunk[:, col].astype(str)
+        keys[:, bidx] = acc
     return keys
 
 
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash over word tokens (stable blake2b token hashes)."""
+    """63-bit SimHash over word tokens (md5half token hashes, bit 63
+    dropped so the value is a non-negative int64 == DuckDB BIGINT).
+
+    Bit i is set iff the count-weighted sum of (+1 if token-hash bit i
+    else -1) over the doc's tokens is > 0 — recomputable in SQL as a
+    group-by over (token, bit) with md5_number_lower bit extraction.
+    """
     out = np.empty(len(texts), dtype=np.int64)
-    bit_idx = np.arange(64, dtype=np.uint64)
+    bit_idx = np.arange(63, dtype=np.uint64)
+    powers = (np.int64(1) << np.arange(63, dtype=np.int64))
     for row, text in enumerate(texts):
         toks = text.split(" ") if isinstance(text, str) else []
         if not toks:
             out[row] = 0
             continue
-        acc = np.zeros(64, dtype=np.int64)
+        acc = np.zeros(63, dtype=np.int64)
         for tok, cnt in pd.Series(toks).value_counts().items():
-            hv = np.uint64(
-                int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-            )
+            hv = np.uint64(md5half(tok))
             bits = (hv >> bit_idx) & np.uint64(1)
             acc += np.where(bits.astype(bool), cnt, -cnt)
-        val = 0
-        for i in range(64):
-            if acc[i] > 0:
-                val |= 1 << i
-        out[row] = val & I64_MASK
+        out[row] = int(powers[acc > 0].sum())
     return out
 
 

@@ -85,26 +85,26 @@ def guess_lang(texts: pd.Series) -> pd.Series:
 
 
 def rolling_fingerprint(texts: pd.Series, window: int = 4) -> pd.Series:
-    """Deterministic document fingerprint: min of FNV-1a rolling window hashes.
+    """Deterministic document fingerprint: min over word ``window``-gram
+    hashes (winnowing-style — documents sharing content windows share
+    fingerprints).
 
-    A winnowing-style fingerprint over word ``window``-grams; documents
-    sharing content windows share fingerprints.  Returns uint64 as int64
-    (masked to 63 bits so Arrow/DuckDB BIGINT agree).
+    The gram hash is the low md5 half masked to 63 bits, which DuckDB
+    recomputes exactly (``md5_number_lower(gram) % 2^63``) — the oracle
+    for this operator is full recomputation in SQL.
     """
+    from ontology_matcher_ray.functions.hashing import md5half
+
+    mask = (1 << 63) - 1
+
     def fp(tokens: List[str]) -> int:
-        if not tokens:
+        if not tokens or tokens == [""]:
             return 0
-        best = (1 << 63) - 1
         n = len(tokens)
         w = min(window, n)
-        for i in range(n - w + 1):
-            h = FNV_OFFSET
-            for t in tokens[i : i + w]:
-                for b in t.encode():
-                    h = ((h ^ b) * FNV_PRIME) & U64_MASK
-            v = h & ((1 << 63) - 1)
-            if v < best:
-                best = v
-        return best
+        return min(
+            md5half(" ".join(tokens[i : i + w])) & mask
+            for i in range(n - w + 1)
+        )
 
     return token_lists(texts).map(fp).astype("int64")

@@ -10,6 +10,8 @@ the Ray pipelines read.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ontology_matcher_ray.schemas import DISEASE_SPEC
 from ontology_matcher_ray.state.fixtures import (
     EXPECTED_ROUTE,
@@ -119,6 +121,155 @@ SELECT
        x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1000000)
        // greatest(len(str_split(text, ' ')), 1)) // 2 AS quality_micro
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup-family oracles: FULL recomputation of the engine's hash algebra in
+# SQL.  The engine's content hashes are md5-low-half (== DuckDB
+# md5_number_lower) and all modular arithmetic stays inside 62 bits, so
+# numpy and DuckDB BIGINT agree exactly (functions/hashing.py).
+# ---------------------------------------------------------------------------
+
+MINHASH_P = 2147483647          # functions/hashing.MERSENNE_P (2^31 - 1)
+
+
+def _perms_cte(num_perm: int = 64, seed: int = 7) -> str:
+    """perms(j, a, b): the seeded universal-hash family, as literals."""
+    from ontology_matcher_ray.functions.hashing import _minhash_params
+
+    a, b = _minhash_params(num_perm, seed)
+    rows = ", ".join(
+        f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perm)
+    )
+    return f"perms(j, a, b) AS (VALUES {rows})"
+
+
+SHINGLE_CTES = """
+tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(t) - 2, 0)),
+           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         )) AS s
+  FROM tk
+)"""
+
+
+def minhash_sql(threshold_micro: int = 800_000, bands: int = 16,
+                rows_per_band: int = 4) -> str:
+    return f"""
+WITH {_perms_cte()},
+{SHINGLE_CTES},
+hv AS (
+  SELECT doc_id, CAST(md5_number_lower(g) % {MINHASH_P} AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0)
+),
+sig AS (
+  SELECT doc_id, p.j AS j, min((p.a * h + p.b) % {MINHASH_P}) AS sig
+  FROM hv CROSS JOIN perms p GROUP BY doc_id, p.j
+),
+bandkey AS (
+  SELECT doc_id, j // {rows_per_band} AS band,
+         string_agg(CAST(sig AS VARCHAR), '-' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {rows_per_band}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkey x JOIN bandkey y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b,
+       (len(list_intersect(sa.s, sb.s)) * 1000000)
+         // len(list_distinct(sa.s || sb.s)) AS jaccard_micro
+FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+WHERE (len(list_intersect(sa.s, sb.s)) * 1000000)
+        // len(list_distinct(sa.s || sb.s)) >= {threshold_micro}
+"""
+
+
+SIMHASH_SQL = """
+WITH tc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+bits AS (
+  SELECT doc_id, i.bit AS bit,
+         sum(CASE WHEN (md5_number_lower(w) >> i.bit) & 1 = 1
+                  THEN cnt ELSE -cnt END) AS acc
+  FROM tc CROSS JOIN (SELECT unnest(range(63)) AS bit) i
+  GROUP BY doc_id, i.bit
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, COALESCE(simhash, 0) AS simhash,
+       COALESCE(simhash, 0) >> 48 AS bucket
+FROM sh
+"""
+
+
+FINGERPRINTS_SQL = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, len(toks) - least(len(toks), 4) + 1),
+           i -> array_to_string(toks[i+1 : i+least(len(toks), 4)], ' ')
+         ) AS grams
+  FROM t
+  WHERE NOT (len(toks) = 1 AND toks[1] = '')
+)
+SELECT doc_id,
+       min(CAST(md5_number_lower(gram) % CAST(9223372036854775808 AS UHUGEINT)
+                AS BIGINT)) AS fingerprint
+FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+GROUP BY doc_id
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS fingerprint
+FROM t WHERE len(toks) = 1 AND toks[1] = ''
+"""
+
+
+def _planes_cte(dim: int = 64, tables: int = 8, bits: int = 6, seed: int = 23) -> str:
+    """planes(tbl, bit, vec): the seeded LSH hyperplanes, as double literals
+    (repr round-trips float64 exactly)."""
+    from ontology_matcher_ray.stages.dedup import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(dim, tables, bits, seed)
+    rows = []
+    for t in range(tables):
+        for i in range(bits):
+            vec = "[" + ", ".join(repr(float(x)) for x in planes[t, i]) + "]"
+            rows.append(f"({t}, {i}, CAST({vec} AS DOUBLE[]))")
+    return "planes(tbl, bit, vec) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def embedding_sql(threshold: float = 0.4) -> str:
+    return f"""
+WITH {_planes_cte()},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (
+  SELECT e.vec_id, p.tbl AS tbl,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.vec) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bk x JOIN bk y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.a, c.b,
+       CAST(floor(list_cosine_similarity(ea.v, eb.v) * 1000000) AS BIGINT)
+         AS cos_sim_micro
+FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
 """
 
 
@@ -296,6 +447,11 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 WHERE len(a.s) > 0 AND len(b.s) > 0
 """
+
+    sql["dedup_minhash"] = minhash_sql()
+    sql["dedup_simhash"] = SIMHASH_SQL
+    sql["fingerprints"] = FINGERPRINTS_SQL
+    sql["dedup_embedding"] = embedding_sql()
 
     sql["dedup_exact"] = """
 SELECT sha256(text) AS content_sha256,

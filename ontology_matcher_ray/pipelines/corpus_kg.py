@@ -165,9 +165,14 @@ class Linker:
     pass through untouched.
 
     ``strategy=UNIQUE`` drops failed mentions (routes mapped to "" and
-    dictionary misses); MIXTURE keeps the raw id (readmission)."""
+    dictionary misses) EXCEPT misses whose prefix equals the default
+    database — those are readmitted with the raw id, matching the
+    reference's failed-id readmission (``ontology_formatter.py:755-763``:
+    ``prefix == default or strategy == MIXTURE``).  MIXTURE keeps every
+    raw id."""
 
-    def __init__(self, routes_ref, strategy: Strategy = Strategy.MIXTURE):
+    def __init__(self, routes_ref, strategy: Strategy = Strategy.MIXTURE,
+                 default_prefix: str = ""):
         routes = (
             ray.get(routes_ref) if isinstance(routes_ref, ray.ObjectRef) else routes_ref
         )
@@ -175,6 +180,7 @@ class Linker:
             routes = routes_to_arrays(routes)
         self.keys, self.vals = routes
         self.unique = strategy == Strategy.UNIQUE
+        self.default_prefix = (default_prefix + ":") if default_prefix else ""
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         m = b["pred"].to_numpy() == "mentions"
@@ -185,9 +191,16 @@ class Linker:
             idx = np.searchsorted(self.keys, mentions)
             idx = np.clip(idx, 0, len(self.keys) - 1)
             hit = self.keys[idx] == mentions
-            miss_val = "" if self.unique else None
-            out = np.where(hit, self.vals[idx],
-                           mentions if miss_val is None else miss_val)
+            if self.unique:
+                # miss path: readmit default-prefix ids, drop the rest
+                readmit = (
+                    np.char.startswith(mentions, self.default_prefix)
+                    if self.default_prefix else np.zeros(len(mentions), dtype=bool)
+                )
+                miss = np.where(readmit, mentions, "")
+            else:
+                miss = mentions
+            out = np.where(hit, self.vals[idx], miss)
             col[m] = out
             b["obj"] = col
             if self.unique:
@@ -213,7 +226,7 @@ class ExtractLinkEmit(ExtractEmit):
     def __init__(self, spec: OntologySpec, routes_ref,
                  strategy: Strategy = Strategy.MIXTURE, term_ref=None):
         super().__init__(spec)
-        self.linker = Linker(routes_ref, strategy)
+        self.linker = Linker(routes_ref, strategy, default_prefix=spec.default)
         self.term_out: Dict[str, str] = {}
         if term_ref is not None:
             tk, tv = (
@@ -369,12 +382,16 @@ def build_kg(
         extract_concurrency = max(2, (ncpu * 3) // 4)
     routes = precompute_routes(snapshot, spec, strategy)
     routes_ref = ray.put(routes_to_arrays(routes))
-    # pre-route the single-token lexicon terms: term -> final output id
+    # pre-route the single-token lexicon terms: term -> final output id.
+    # Dictionary misses follow the same readmission rule as the Linker:
+    # under UNIQUE, default-prefix ids keep the raw id, others drop.
     unique = strategy == Strategy.UNIQUE
+    default_pfx = spec.default + ":"
     term_map: Dict[str, str] = {}
     for t in token_lexicon_terms(snapshot):
         rid = snapshot.lexicon[t]
-        term_map[t] = routes.get(rid, "" if unique else rid)
+        miss = rid if (not unique or rid.startswith(default_pfx)) else ""
+        term_map[t] = routes.get(rid, miss)
     term_ref = ray.put(routes_to_arrays(term_map)) if term_map else None
     manifest = Manifest(os.path.join(out_dir, "_manifest", "lineage.jsonl"))
     shards = plan_shards(corpus_files(corpus_dir), n_shards)

@@ -42,14 +42,27 @@ from ontology_matcher_ray.state.snapshot import DictionarySnapshot, get_snapshot
 
 SPEC = DISEASE_SPEC
 
-# Broadcast cache: one ray.put per (process, snapshot identity); actors read
-# the object-store copy instead of re-shipping the dict with every task.
-_BROADCAST: Dict[int, "ray.ObjectRef"] = {}
+# Broadcast cache: one ray.put per snapshot identity; actors read the
+# object-store copy instead of re-shipping the dict with every task.  The
+# cache key is a token ATTACHED to the snapshot object (not id(): a GC'd
+# snapshot's address can be reused, which would silently serve a stale
+# object-store dictionary).
+_BROADCAST: Dict[str, "ray.ObjectRef"] = {}
+_BC_SEQ = [0]
+
+
+def _broadcast_token(snap: DictionarySnapshot) -> str:
+    tok = getattr(snap, "_bc_token", None)
+    if tok is None:
+        _BC_SEQ[0] += 1
+        tok = "snap-%d" % _BC_SEQ[0]
+        object.__setattr__(snap, "_bc_token", tok)
+    return tok
 
 
 def _snapshot_ref(snapshot: Optional[DictionarySnapshot] = None) -> "ray.ObjectRef":
     snap = snapshot or get_snapshot(SPEC)
-    key = id(snap)
+    key = _broadcast_token(snap)
     if key not in _BROADCAST:
         _BROADCAST[key] = ray.put(snap)
     return _BROADCAST[key]
@@ -57,7 +70,7 @@ def _snapshot_ref(snapshot: Optional[DictionarySnapshot] = None) -> "ray.ObjectR
 
 def _lexicon_ref(snapshot: Optional[DictionarySnapshot] = None) -> "ray.ObjectRef":
     snap = snapshot or get_snapshot(SPEC)
-    key = -id(snap)
+    key = "lex:" + _broadcast_token(snap)
     if key not in _BROADCAST:
         _BROADCAST[key] = ray.put(dict(snap.lexicon))
     return _BROADCAST[key]

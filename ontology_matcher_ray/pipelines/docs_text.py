@@ -195,9 +195,11 @@ def dedup_simhash(sf_dir: str) -> rd.Dataset:
 
 def dedup_embedding(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
     # threshold tuned to the synthetic embeddings (random 64-dim vectors:
-    # no true near-dups; 0.4 surfaces the closest-pair tail)
+    # no true near-dups; 0.4 surfaces the closest-pair tail).  dim passed
+    # explicitly so the pipeline stays fully lazy (no driver peek).
     return dedup_stages.embedding_near_dups(
-        read_embeddings(sf_dir, columns=["vec_id", "embedding"]), threshold=threshold
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]),
+        threshold=threshold, dim=64,
     )
 
 

@@ -2,9 +2,10 @@
 
 Ray Data has no event-time windows; tumbling windows are expressed as a
 keyed aggregation over ``(event_type, window_start)`` with a per-batch
-combiner before the shuffle (see /opt/skills/guides/ray_guide.md,
-"Streaming-shaped workloads").  Values are aggregated in integer cents so
-partial-sum order cannot perturb the result hash.
+combiner before the shuffle (the standard map-side pre-aggregation
+pattern from the Ray Data docs on groupby/shuffle).  Values are
+aggregated in integer cents so partial-sum order cannot perturb the
+result hash.
 """
 
 from __future__ import annotations
@@ -32,7 +33,12 @@ def hourly_windows(sf_dir: str) -> rd.Dataset:
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["window_start"] = b["ts"].dt.floor("h")
-        b["value_cents"] = np.round(b["value"].to_numpy() * 100).astype("int64")
+        # half-away-from-zero to match DuckDB round() (np.round is
+        # banker's rounding: diverges on exact half-cents)
+        v = b["value"].to_numpy() * 100
+        b["value_cents"] = np.where(
+            v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+        ).astype("int64")
         g = b.groupby(["event_type", "window_start"], sort=False).agg(
             n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
         )
@@ -54,23 +60,36 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user: events within ``gap_minutes`` of the
     previous event share a session.
 
-    groupby(user_id).map_groups sorts each user's events by ts and applies
-    the gap rule — the documented partitioning assumption is that one
-    user's history fits in one group (true for per-user event logs).
+    Runs as ONE hash-partition exchange on ``user_id`` (stages/exchange)
+    with a fully vectorized per-partition kernel: sort by (user, ts)
+    once, session breaks via diff + cumsum over the whole partition (no
+    per-user Python call), then a C-speed pandas aggregate.  The
+    partitioning assumption is that one user's history fits in one
+    partition (true for per-user event logs; hot users would be handled
+    upstream by splitting on a coarser time key).
     Emits (user_id, session_id, n_events, session_start, session_end).
     """
     ds = read_events(sf_dir, columns=["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        session = gap.cumsum().fillna(0).astype("int64")
-        out = g.assign(session_id=session).groupby("session_id").agg(
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0:1] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user | (g["ts"].diff() > gap).to_numpy()
+        run = np.cumsum(brk)                       # global session counter
+        # per-user session_id starts at 0: subtract the user's first run id
+        first_run = pd.Series(run).groupby(uid).transform("min").to_numpy()
+        g["session_id"] = (run - first_run).astype("int64")
+        out = g.groupby(["user_id", "session_id"], sort=False).agg(
             n_events=("event_id", "size"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
         ).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from ontology_matcher_ray.stages import exchange
+
+    return exchange.partitioned_apply(ds, ["user_id"], per_partition, 32)

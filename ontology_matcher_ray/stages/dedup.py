@@ -14,7 +14,7 @@ runs per group.  Keys are content-derived (stable across cluster sizes).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -23,11 +23,9 @@ import ray.data as rd
 
 from ontology_matcher_ray.functions.hashing import (
     band_keys,
-    jaccard,
     minhash_signature_matrix,
     sha256_hex,
     simhash64,
-    stable_hash64,
 )
 
 
@@ -71,11 +69,13 @@ class MinHasher:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sig = minhash_signature_matrix(batch[self.text_col].astype(str), self.num_perm, self.k)
-        keys = band_keys(sig, self.bands)
-        n = len(batch)
+        keep = sig[:, 0] >= 0          # docs with >= k tokens (have shingles)
+        sig = sig[keep]
+        keys = band_keys(sig, self.bands) if len(sig) else np.empty((0, self.bands), object)
+        n = len(sig)
         return pd.DataFrame(
             {
-                self.id_col: np.repeat(batch[self.id_col].to_numpy(), self.bands),
+                self.id_col: np.repeat(batch[self.id_col].to_numpy()[keep], self.bands),
                 "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
                 "band_key": keys.reshape(-1),
             }
@@ -127,37 +127,61 @@ def minhash_candidate_pairs(
 
 def minhash_near_dups(
     ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 64, bands: int = 16, k: int = 3,
-    id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 32,
 ) -> rd.Dataset:
-    """Candidates verified by true k-shingle Jaccard >= threshold.
+    """Candidates verified by true k-shingle Jaccard >= threshold — fully
+    DISTRIBUTED (no driver-side materialization anywhere).
 
-    Verification joins the candidate pairs back to the (small) projected
-    text columns via a broadcast map — appropriate when candidates are
-    sparse; at 100 TB the join would be bucketed by pair key instead.
+    Verification is a two-exchange bucketed join:
+
+      1. doc-id exchange: each doc ships its sorted-unique shingle set
+         ONCE; candidate pairs ship two membership rows (one per side).
+         Co-located by hash(doc_id), each membership row picks up its
+         doc's shingle set (vectorized pandas merge per partition).
+      2. pair exchange: the two shingle-carrying sides of each pair
+         co-locate by hash((a, b)); exact Jaccard in integer micro-units,
+         thresholded with pure integer arithmetic (floor(j*1e6) >= t_micro
+         <=> j >= t for integral t_micro), so the DuckDB oracle agrees
+         bit-for-bit.
+
+    Only shingle SETS move through the shuffle (never raw text), and only
+    for docs that are actually members of candidate pairs after the first
+    exchange drops non-candidates.  Emits (a, b, jaccard_micro).
     """
-    import ray
+    from ontology_matcher_ray.functions.hashing import shingles
+    from ontology_matcher_ray.stages import exchange
 
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.select_columns([id_col, text_col]).iter_rows()
-    }
-    text_ref = ray.put(texts)
+    t_micro = int(round(threshold * 1_000_000))
     cand = minhash_candidate_pairs(ds, num_perm, bands, k, id_col, text_col)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(text_ref)
+    def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b[id_col].astype("int64").to_numpy(),
+             "payload": [sorted(set(shingles(t.split(" "), k)))
+                         for t in b[text_col].astype(str)]}
+        )
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            sims = [
-                jaccard(self.texts[a].split(" "), self.texts[x].split(" "), k)
-                for a, x in zip(b["a"], b["b"])
-            ]
-            b = b.copy()
-            b["jaccard_micro"] = np.floor(np.array(sims) * 1_000_000).astype("int64")
-            return b[np.array(sims) >= threshold]
+    pair_sh = exchange.pair_payload_join(ds, cand, id_col, shingle_rows, num_partitions)
 
-    return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for (pa, pb), grp in g.groupby(["a", "b"], sort=False):
+            if len(grp) != 2:
+                continue
+            s1 = set(grp.iloc[0]["payload"])
+            s2 = set(grp.iloc[1]["payload"])
+            union = len(s1 | s2)
+            if not union:
+                continue
+            jm = (len(s1 & s2) * 1_000_000) // union
+            if jm >= t_micro:
+                recs.append({"a": int(pa), "b": int(pb), "jaccard_micro": jm})
+        cols = ["a", "b", "jaccard_micro"]
+        if not recs:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        return pd.DataFrame(recs)[cols]
+
+    return exchange.partitioned_apply(pair_sh, ["a", "b"], verify, num_partitions)
 
 
 def simhash_buckets(ds: rd.Dataset, prefix_bits: int = 16,
@@ -180,39 +204,114 @@ def simhash_buckets(ds: rd.Dataset, prefix_bits: int = 16,
     return ds.map_batches(stage, batch_format="pandas", batch_size=1024)
 
 
+def lsh_hyperplanes(dim: int, tables: int = 8, bits: int = 6, seed: int = 23) -> np.ndarray:
+    """(tables, bits, dim) seeded Gaussian hyperplanes — every worker (and
+    the DuckDB oracle, via float literals) derives the identical family."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def embedding_lsh_candidates(
+    ds: rd.Dataset, dim: int, tables: int = 8, bits: int = 6, seed: int = 23,
+    id_col: str = "vec_id", vec_col: str = "embedding", num_partitions: int = 32,
+) -> rd.Dataset:
+    """Random-hyperplane LSH blocking: distinct (a, b) candidate pairs.
+
+    Each vector gets one sign-bit bucket per table (bucket = sum of
+    2^i * [v . r_i >= 0]); vectors sharing a (table, bucket) cell are
+    candidates.  The shuffle moves (table, bucket, vec_id) rows only —
+    never the vectors — and singleton buckets are pruned per partition.
+    Collision probability per table is (1 - theta/pi)^bits, so near-dup
+    pairs (small angle) collide with high probability across ``tables``
+    tables while random pairs rarely do.
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    planes = lsh_hyperplanes(dim, tables, bits, seed)
+    pows = (1 << np.arange(bits)).astype(np.int64)
+
+    def bucket_rows(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        ids = b[id_col].astype("int64").to_numpy()
+        frames = []
+        for t in range(planes.shape[0]):
+            signs = (mat @ planes[t].T) >= 0.0            # (n, bits)
+            bucket = signs.astype(np.int64) @ pows
+            frames.append(pd.DataFrame(
+                {"table": np.int64(t), "bucket": bucket, id_col: ids}))
+        return pd.concat(frames, ignore_index=True)
+
+    rows = ds.map_batches(bucket_rows, batch_format="pandas", batch_size=2048)
+
+    def pairs_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["table", "bucket"], sort=False)[id_col].transform("size")
+        multi = g[sizes > 1]
+        out = []
+        for _key, grp in multi.groupby(["table", "bucket"], sort=False):
+            ids = np.sort(grp[id_col].unique())
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            out.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        if not out:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    cand = exchange.partitioned_apply(
+        rows, ["table", "bucket"], pairs_per_partition, num_partitions
+    )
+    return exchange.distinct(cand, ["a", "b"], num_partitions)
+
+
 def embedding_near_dups(
     ds: rd.Dataset, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    tables: int = 8, bits: int = 6, seed: int = 23, dim: Optional[int] = None,
+    num_partitions: int = 32,
 ) -> rd.Dataset:
-    """Embedding-cosine near-dup pairs via blocked matmul.
+    """Embedding-cosine near-dup pairs, LSH-blocked and fully distributed.
 
-    Each batch computes cosine sims against a broadcast normalized matrix
-    (numpy matmul); emits (a, b, cos_sim) with a < b and sim >= threshold.
-    The broadcast side must fit in memory (IVF-bucket it beyond ~10^7 rows).
+    Candidates from random-hyperplane LSH (``embedding_lsh_candidates``),
+    then exact cosine verification through the same two-exchange pair join
+    as the MinHash verifier (``exchange.pair_payload_join``): vectors ship
+    to their pairs' partitions, each pair is scored ONCE with a single
+    deterministic np.dot.  No driver-side materialization at any step.
+    Emits (a, b, cos_sim_micro) with a < b and cos >= threshold.
     """
-    import ray
+    from ontology_matcher_ray.stages import exchange
 
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
+    if dim is None:
+        first = ds.take(1)
+        dim = len(np.asarray(first[0][vec_col]))
+    cand = embedding_lsh_candidates(
+        ds, dim, tables, bits, seed, id_col, vec_col, num_partitions
+    )
 
-    class Stage:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+    def vec_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # payload as plain lists: object columns of np.ndarray break the
+        # pandas<->Arrow block conversion inside the exchange
+        return pd.DataFrame(
+            {"doc_id": b[id_col].astype("int64").to_numpy(),
+             "payload": [np.asarray(v, dtype=np.float64).tolist() for v in b[vec_col]]}
+        )
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            q = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ self.mat.T
-            qa, xb = np.where(sims >= threshold)
-            a = b[id_col].to_numpy()[qa]
-            bb = self.ids[xb]
-            keep = a < bb
-            return pd.DataFrame(
-                {"a": a[keep], "b": bb[keep],
-                 "cos_sim_micro": np.floor(sims[qa, xb][keep] * 1_000_000).astype("int64")}
-            )
+    pair_vec = exchange.pair_payload_join(ds, cand, id_col, vec_rows, num_partitions)
 
-    return ds.map_batches(Stage, batch_format="pandas", concurrency=(1, 4), batch_size=512)
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for (pa, pb), grp in g.groupby(["a", "b"], sort=False):
+            if len(grp) != 2:
+                continue
+            v1 = np.asarray(grp.iloc[0]["payload"], dtype=np.float64)
+            v2 = np.asarray(grp.iloc[1]["payload"], dtype=np.float64)
+            sim = float(np.dot(v1, v2) / (np.linalg.norm(v1) * np.linalg.norm(v2)))
+            if sim >= threshold:
+                recs.append({"a": int(pa), "b": int(pb),
+                             "cos_sim_micro": int(np.floor(sim * 1_000_000))})
+        cols = ["a", "b", "cos_sim_micro"]
+        if not recs:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        return pd.DataFrame(recs)[cols]
+
+    return exchange.partitioned_apply(pair_vec, ["a", "b"], verify, num_partitions)

@@ -98,6 +98,61 @@ def distinct(
     )
 
 
+def pair_payload_join(
+    ds: rd.Dataset,
+    cand: rd.Dataset,
+    id_col: str,
+    payload_rows: Callable[[pd.DataFrame], pd.DataFrame],
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Distributed join of candidate pairs ``cand(a, b)`` with a per-row
+    payload from ``ds`` — the verification shape of the near-dup family,
+    with NO driver-side materialization.
+
+    ``payload_rows`` maps a batch of ``ds`` to (doc_id, payload).  Two
+    exchanges: (1) co-locate payload rows and pair-membership rows by
+    hash(doc_id) and attach each doc's payload to its memberships
+    (vectorized merge per partition; docs in no pair are dropped there);
+    (2) co-locate the two payload-carrying sides of each pair by
+    hash((a, b)).  Returns rows (a, b, doc_id, payload) — exactly two per
+    surviving pair, co-located per partition.
+    """
+
+    def doc_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = payload_rows(b)
+        out = out[["doc_id", "payload"]].copy()
+        out["a"] = np.int64(-1)
+        out["b"] = np.int64(-1)
+        return out[["doc_id", "a", "b", "payload"]]
+
+    def member_rows(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].astype("int64").to_numpy()
+        bb = b["b"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {"doc_id": np.concatenate([a, bb]),
+             "a": np.concatenate([a, a]),
+             "b": np.concatenate([bb, bb]),
+             "payload": [None] * (2 * len(b))}
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["a"].to_numpy() < 0
+        payloads = g.loc[is_doc, ["doc_id", "payload"]]
+        members = g.loc[~is_doc, ["doc_id", "a", "b"]]
+        out = members.merge(payloads, on="doc_id", how="inner")
+        return out[["a", "b", "doc_id", "payload"]]
+
+    joined = partitioned_apply(
+        ds.map_batches(doc_rows, batch_format="pandas").union(
+            cand.map_batches(member_rows, batch_format="pandas")
+        ),
+        ["doc_id"],
+        attach,
+        num_partitions,
+    )
+    return joined
+
+
 def grouped_agg(
     ds: rd.Dataset,
     key_cols: Sequence[str],

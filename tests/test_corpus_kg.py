@@ -104,10 +104,12 @@ def test_unique_strategy_drops_failed_mentions(corpus_env, tmp_path):
     got = triple_set(out)
     want = corpus_mod.expected_triples(N_FILES, snap, DISEASE_SPEC,
                                        strategy=Strategy.UNIQUE)
-    # UNIQUE never emits triples MIXTURE wouldn't
+    assert got == want
+    # UNIQUE never emits mention triples MIXTURE wouldn't
     mixture = corpus_mod.expected_triples(N_FILES, snap, DISEASE_SPEC)
     got_mentions = {t for t in got if t[1] == "mentions"}
-    assert got_mentions <= {t for t in mixture if t[1] == "mentions"} | got_mentions
+    assert got_mentions <= {t for t in mixture if t[1] == "mentions"}
+    assert len(got_mentions) < len({t for t in mixture if t[1] == "mentions"})
     # failed raw ids (multi-default / misses) are absent under UNIQUE
     assert not any(o.startswith("MESH:DMISS") for _s, p, o in got if p == "mentions")
 
@@ -139,3 +141,30 @@ def test_canonical_merge_correct_under_hub_key_skew():
     assert hub["name"] == "n1"                          # min doc_id in hub
     assert set(hub["xrefs"].split("|")) == {"X:%d" % i for i in range(13)}
     assert len(out) == 1 + len({k % 97 for k in range(n) if k % 5 == 0})
+
+
+def test_linker_readmits_default_prefix_misses_under_unique():
+    """Reference semantics (ontology_formatter.py:755-763): failed/miss ids
+    whose prefix equals the default database stay in the output even under
+    Strategy.UNIQUE; other misses are dropped."""
+    import pandas as pd
+
+    from ontology_matcher_ray.pipelines.corpus_kg import Linker
+    from ontology_matcher_ray.schemas import Strategy
+
+    routes = {"MESH:D1": "MONDO:0001", "MESH:D2": ""}
+    b = pd.DataFrame(
+        {
+            "subj": ["f"] * 5,
+            "pred": ["mentions"] * 4 + ["in_lang"],
+            "obj": ["MESH:D1", "MESH:D2", "MONDO:MISS9", "MESH:DMISS1", "py"],
+        }
+    )
+    out = Linker(routes, Strategy.UNIQUE, default_prefix="MONDO")(b)
+    objs = set(out[out["pred"] == "mentions"]["obj"])
+    assert objs == {"MONDO:0001", "MONDO:MISS9"}   # routed + readmitted
+    assert (out["pred"] == "in_lang").sum() == 1   # non-mentions untouched
+
+    out_mix = Linker(routes, Strategy.MIXTURE, default_prefix="MONDO")(b)
+    objs_mix = set(out_mix[out_mix["pred"] == "mentions"]["obj"])
+    assert objs_mix == {"MONDO:0001", "", "MONDO:MISS9", "MESH:DMISS1"}

@@ -1,0 +1,75 @@
+"""Near-dup verification must be fully distributed: no driver-side
+materialization (take_all / to_pandas / iter_rows on the corpus) anywhere
+in the minhash or embedding near-dup pipelines (VERDICT r01 items 1-2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from ontology_matcher_ray.stages import dedup as dedup_stages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def forbid_driver_materialization(monkeypatch):
+    def banned(name):
+        def _raise(self, *a, **k):
+            raise AssertionError(
+                f"driver-side materialization via Dataset.{name} is forbidden "
+                "in distributed dedup pipelines"
+            )
+        return _raise
+
+    for name in ("take_all", "to_pandas", "iter_rows"):
+        monkeypatch.setattr(rd.Dataset, name, banned(name))
+    yield
+
+
+def _collect(ds: rd.Dataset) -> pd.DataFrame:
+    frames = [b for b in ds.iter_batches(batch_size=8192, batch_format="pandas")]
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_minhash_near_dups_no_driver_materialization(forbid_driver_materialization):
+    docs = rd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    out = _collect(dedup_stages.minhash_near_dups(docs, threshold=0.5))
+    # pipeline executes end-to-end under the ban; output shape is stable
+    if len(out):
+        assert list(out.columns) == ["a", "b", "jaccard_micro"]
+        assert (out["a"] < out["b"]).all()
+        assert (out["jaccard_micro"] >= 500_000).all()
+
+
+def test_embedding_near_dups_no_driver_materialization(forbid_driver_materialization):
+    vecs = rd.read_parquet(SF + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = _collect(dedup_stages.embedding_near_dups(vecs, threshold=0.4, dim=64))
+    if len(out):
+        assert list(out.columns) == ["a", "b", "cos_sim_micro"]
+        assert (out["a"] < out["b"]).all()
+
+
+def test_embedding_lsh_recall_on_planted_near_dups():
+    """Planted near-identical vectors must be recovered by the LSH blocking
+    + exact verification (high-sim pairs collide with prob ~1 across 8
+    tables of 6 bits)."""
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 64))
+    # 10 planted near-dup partners: tiny perturbation of vectors 0..9
+    partners = base[:10] + 0.01 * rng.standard_normal((10, 64))
+    mat = np.concatenate([base, partners])
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(mat), dtype=np.int64),
+        "embedding": [v.tolist() for v in mat],
+    })
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    out = dedup_stages.embedding_near_dups(ds, threshold=0.95, dim=64)
+    got = {(int(a), int(b)) for a, b in
+           _collect(out)[["a", "b"]].itertuples(index=False)}
+    want = {(i, 40 + i) for i in range(10)}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, (recall, sorted(want - got))
