@@ -51,9 +51,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact": docs_text.dedup_exact,
         "dedup_jaccard_adjacent": docs_text.dedup_jaccard_adjacent,
-        "dedup_minhash": docs_text.dedup_minhash,           # rows-only
-        "dedup_simhash": docs_text.dedup_simhash,           # rows-only
-        "dedup_embedding": docs_text.dedup_embedding,       # rows-only
+        "dedup_minhash": docs_text.dedup_minhash,           # SQL-recomputed oracle
+        "dedup_clusters": docs_text.dedup_clusters,         # CC cluster resolution
+        "dedup_simhash": docs_text.dedup_simhash,           # SQL-recomputed oracle
+        "dedup_embedding": docs_text.dedup_embedding,       # LSH + SQL oracle
         # --- similarity search ---
         "knn_brute": docs_text.knn_brute,
         "knn_ivf": docs_text.knn_ivf,                       # rows-only (approx)

@@ -157,10 +157,12 @@ sh AS (
 )"""
 
 
-def minhash_sql(threshold_micro: int = 800_000, bands: int = 16,
-                rows_per_band: int = 4) -> str:
-    return f"""
-WITH {_perms_cte()},
+def _minhash_pair_ctes(threshold_micro: int = 800_000, bands: int = 16,
+                       rows_per_band: int = 4) -> str:
+    """CTE chain ending in pairs(a, b, jaccard_micro): the engine's
+    MinHash-LSH candidate generation + exact-Jaccard verification, fully
+    recomputed in SQL."""
+    return f"""{_perms_cte()},
 {SHINGLE_CTES},
 hv AS (
   SELECT doc_id, CAST(md5_number_lower(g) % {MINHASH_P} AS BIGINT) AS h
@@ -179,13 +181,43 @@ cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bandkey x JOIN bandkey y
     ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT c.a, c.b,
+         (len(list_intersect(sa.s, sb.s)) * 1000000)
+           // len(list_distinct(sa.s || sb.s)) AS jaccard_micro
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+  WHERE (len(list_intersect(sa.s, sb.s)) * 1000000)
+          // len(list_distinct(sa.s || sb.s)) >= {threshold_micro}
+)"""
+
+
+def minhash_sql(threshold_micro: int = 800_000) -> str:
+    return f"""
+WITH {_minhash_pair_ctes(threshold_micro)}
+SELECT a, b, jaccard_micro FROM pairs
+"""
+
+
+def clusters_sql(threshold_micro: int = 800_000) -> str:
+    """Connected components over the verified MinHash pairs, as a
+    recursive min-label propagation: cc(doc, label) holds every label
+    reachable along (undirected) edges, so min(label) per doc is the min
+    doc id of its component; keep marks the survivor."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes(threshold_micro)},
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+cc(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.doc_id
 )
-SELECT c.a, c.b,
-       (len(list_intersect(sa.s, sb.s)) * 1000000)
-         // len(list_distinct(sa.s || sb.s)) AS jaccard_micro
-FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
-WHERE (len(list_intersect(sa.s, sb.s)) * 1000000)
-        // len(list_distinct(sa.s || sb.s)) >= {threshold_micro}
+SELECT doc_id, min(label) AS cluster_id, (min(label) = doc_id) AS keep
+FROM cc GROUP BY doc_id
 """
 
 
@@ -273,11 +305,58 @@ WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
 """
 
 
+def corpus_expected_parquet(n_files: int = 2000, dict_size: int = 2000,
+                            seed: int = 42) -> str:
+    """Write the CLOSED-FORM expected corpus-KG triple set as parquet and
+    return its path (idempotent, atomic).
+
+    ``expected_triples`` computes the set without running the engine
+    (corpus.py: pure per-file derivation + an independent mini-router), so
+    this is a genuine second implementation the driver can diff against.
+    The size parameters mirror ``__ray_entry__._corpus_kg_triples`` at the
+    driver's correctness scale (500 docs -> n_files = 2000).
+    """
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_matcher_ray import corpus as corpus_mod
+    from ontology_matcher_ray.state.snapshot import build_snapshot
+
+    out_dir = "/tmp/onto_ray_oracle"
+    path = os.path.join(out_dir, f"expected_corpus_{n_files}_{dict_size}_v1.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=dict_size, seed=seed)
+    triples = sorted(corpus_mod.expected_triples(n_files, snap, DISEASE_SPEC))
+    table = pa.table(
+        {
+            "subj": pa.array([t[0] for t in triples], pa.string()),
+            "pred": pa.array([t[1] for t in triples], pa.string()),
+            "obj": pa.array([t[2] for t in triples], pa.string()),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def build_oracle_sql() -> dict:
     terms = terms_cte()
     troute = troute_cte()
 
     sql = {}
+
+    # flagship corpus pipeline vs the closed-form expected set (written as
+    # parquet: ~17k rows is too big for a VALUES literal)
+    sql["corpus_kg_triples"] = (
+        f"SELECT subj, pred, obj FROM read_parquet('{corpus_expected_parquet()}')"
+    )
 
     sql["mentions"] = f"""
 WITH {terms}
@@ -449,6 +528,7 @@ WHERE len(a.s) > 0 AND len(b.s) > 0
 """
 
     sql["dedup_minhash"] = minhash_sql()
+    sql["dedup_clusters"] = clusters_sql()
     sql["dedup_simhash"] = SIMHASH_SQL
     sql["fingerprints"] = FINGERPRINTS_SQL
     sql["dedup_embedding"] = embedding_sql()

@@ -411,4 +411,8 @@ def read_triples(out_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(
         sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")))
     )
-    return ds.filter(expr=f"pred != '{SHA_PRED}'")
+    # project away the shard partition column: the logical result is the
+    # triple set (the shard an output row landed in is physical layout)
+    return ds.filter(expr=f"pred != '{SHA_PRED}'").select_columns(
+        ["subj", "pred", "obj"]
+    )

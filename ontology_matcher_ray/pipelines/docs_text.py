@@ -189,6 +189,16 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     )
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Near-dup cluster resolution: connected components over verified
+    MinHash pairs -> (doc_id, cluster_id, keep) with the min-id survivor
+    per component (every doc appears; singletons keep themselves)."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    pairs = dedup_stages.minhash_near_dups(docs, threshold=threshold)
+    ids = read_documents(sf_dir, columns=["doc_id"])
+    return dedup_stages.near_dup_clusters(ids, pairs)
+
+
 def dedup_simhash(sf_dir: str) -> rd.Dataset:
     return dedup_stages.simhash_buckets(read_documents(sf_dir, columns=["doc_id", "text"]))
 

@@ -184,6 +184,142 @@ def minhash_near_dups(
     return exchange.partitioned_apply(pair_sh, ["a", "b"], verify, num_partitions)
 
 
+def near_dup_clusters(
+    ds: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    max_rounds: int = 25,
+) -> rd.Dataset:
+    """Cluster resolution: connected components over near-dup candidate
+    pairs -> per-doc (doc_id, cluster_id, keep).
+
+    This is the operator a training-data pipeline actually runs after any
+    near-dup detector: every doc gets the MIN doc id of its connected
+    component as ``cluster_id`` and ``keep`` is true exactly for that
+    survivor — the corpus-scale generalization of the reference's
+    first-on-duplicate rule (``ontology_formatter.py:604-605``, which is
+    the 1-D case where components are exact-duplicate groups).
+
+    Algorithm: iterative min-label propagation through the hash-partition
+    exchange (two exchanges per round: src-keyed label pickup, dst-keyed
+    min-reduce), converging in O(component diameter) rounds — near-dup
+    components are shallow in practice.  Labels are a bounded (doc_id,
+    label) table, materialized per round so lineage doesn't re-execute;
+    the corpus itself is touched exactly once (singleton fill at the
+    end).  Convergence is detected with a tiny driver-side sum of a
+    per-row changed flag (a scalar aggregate, not a materialization).
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    # edges both directions, materialized ONCE (tiny vs corpus; reused
+    # every round so re-executing the detector lineage per round would be
+    # quadratic waste)
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].astype("int64").to_numpy()
+        bb = b["b"].astype("int64").to_numpy()
+        return pd.DataFrame({"src": np.concatenate([a, bb]),
+                             "dst": np.concatenate([bb, a])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    # initial labels: each pair-member doc labels itself
+    def self_labels(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([
+            b["a"].astype("int64").to_numpy(), b["b"].astype("int64").to_numpy()
+        ]))
+        # 'changed' present from round 0 so every labels generation (and
+        # the singleton fill) shares one schema
+        return pd.DataFrame({"doc_id": ids, "label": ids,
+                             "changed": np.zeros(len(ids), dtype=np.int64)})
+
+    labels = exchange.distinct(
+        pairs.map_batches(self_labels, batch_format="pandas"),
+        ["doc_id"], num_partitions,
+    ).materialize()
+
+    for _round in range(max_rounds):
+        # IMPORTANT (Ray 2.49): each iteration consumes `labels` exactly
+        # ONCE — a union() of two branches derived from the same
+        # MaterializedDataset re-attaches its full lineage and doubles
+        # execution every round.  Exchange 1 therefore forwards each
+        # label row through as its own 'own' message (dst = doc itself)
+        # while also emitting one candidate message per out-edge.
+        lab_rows = labels.map_batches(
+            lambda b: pd.DataFrame({"key": b["doc_id"].astype("int64"),
+                                    "dst": np.int64(-1),
+                                    "label": b["label"].astype("int64")}),
+            batch_format="pandas",
+        )
+        edge_rows = edges.map_batches(
+            lambda b: pd.DataFrame({"key": b["src"].astype("int64"),
+                                    "dst": b["dst"].astype("int64"),
+                                    "label": np.int64(-1)}),
+            batch_format="pandas",
+        )
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g.loc[g["dst"] < 0, ["key", "label"]]
+            ed = g.loc[g["dst"] >= 0, ["key", "dst"]]
+            m = ed.merge(lab, on="key", how="inner")
+            return pd.DataFrame(
+                {"doc_id": np.concatenate(
+                    [m["dst"].to_numpy(), lab["key"].to_numpy()]),
+                 "label": np.concatenate(
+                    [m["label"].to_numpy(), lab["label"].to_numpy()]),
+                 "own": np.concatenate(
+                    [np.zeros(len(m), dtype=np.int64),
+                     np.ones(len(lab), dtype=np.int64)])}
+            )
+
+        msgs = exchange.partitioned_apply(
+            lab_rows.union(edge_rows), ["key"], emit, num_partitions
+        )
+
+        # exchange 2: min-reduce incoming labels with the current label
+        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+            mins = g.groupby("doc_id", sort=False)["label"].min()
+            own = g[g["own"] == 1].set_index("doc_id")["label"]
+            out = pd.DataFrame({"doc_id": mins.index.to_numpy(),
+                                "label": mins.to_numpy()})
+            out["changed"] = (
+                out["label"].to_numpy()
+                < own.reindex(out["doc_id"]).to_numpy()
+            ).astype("int64")
+            return out
+
+        new_labels = exchange.partitioned_apply(
+            msgs, ["doc_id"], reduce_min, num_partitions
+        ).materialize()
+        changed = new_labels.sum("changed")
+        # next round's input is the MaterializedDataset ITSELF (chaining a
+        # lazy op like drop_columns would re-attach pre-materialization
+        # lineage); downstream map_batches ignores the 'changed' column
+        labels = new_labels
+        if not changed:
+            break
+
+    # singleton fill: docs in no pair keep their own id (one exchange over
+    # the corpus ids; min(own, final) == final for pair members)
+    all_self = ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b[id_col].astype("int64"),
+                                "label": b[id_col].astype("int64"),
+                                "changed": np.zeros(len(b), dtype=np.int64)}),
+        batch_format="pandas",
+    )
+
+    def final_min(g: pd.DataFrame) -> pd.DataFrame:
+        mins = g.groupby("doc_id", sort=False)["label"].min()
+        out = pd.DataFrame({"doc_id": mins.index.to_numpy(),
+                            "cluster_id": mins.to_numpy()})
+        out["keep"] = out["cluster_id"].to_numpy() == out["doc_id"].to_numpy()
+        return out
+
+    return exchange.partitioned_apply(
+        all_self.union(labels), ["doc_id"], final_min, num_partitions
+    )
+
+
 def simhash_buckets(ds: rd.Dataset, prefix_bits: int = 16,
                     id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """SimHash dedup surface: (doc_id, simhash, bucket = top prefix_bits).

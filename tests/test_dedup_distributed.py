@@ -73,3 +73,29 @@ def test_embedding_lsh_recall_on_planted_near_dups():
     want = {(i, 40 + i) for i in range(10)}
     recall = len(got & want) / len(want)
     assert recall >= 0.9, (recall, sorted(want - got))
+
+
+def test_near_dup_clusters_chain_components():
+    """Min-label propagation must cross multi-hop chains: a 0-1-2-...-9
+    path component, a 3-cycle, and singletons."""
+    import ray.data as rd
+
+    chain = [(i, i + 1) for i in range(9)]            # component {0..9}
+    cycle = [(20, 21), (21, 22), (20, 22)]            # component {20,21,22}
+    pairs = pd.DataFrame(chain + cycle, columns=["a", "b"])
+    ids = pd.DataFrame({"doc_id": list(range(10)) + [15, 20, 21, 22, 30]})
+    out = dedup_stages.near_dup_clusters(
+        rd.from_pandas(ids, override_num_blocks=3),
+        rd.from_pandas(pairs, override_num_blocks=2),
+        num_partitions=4,
+    )
+    df = _collect(out).sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(df["doc_id"], df["cluster_id"]))
+    for i in range(10):
+        assert got[i] == 0
+    for i in (20, 21, 22):
+        assert got[i] == 20
+    assert got[15] == 15 and got[30] == 30
+    keep = set(df[df["keep"]]["doc_id"])
+    assert keep == {0, 15, 20, 30}
+    assert len(df) == len(ids)
