@@ -84,7 +84,7 @@ def _corpus_kg_triples(sf_dir: str):
     n_docs = read_documents(sf_dir, columns=["doc_id"]).count()
     n_files = max(2000, n_docs * 4)
     snap = build_snapshot(DISEASE_SPEC, n_synthetic=2000, seed=42)
-    base = f"/tmp/onto_ray_entry/corpus_{n_files}"
+    base = f"/tmp/onto_ray_entry/corpus_v{corpus_mod.CORPUS_VERSION}_{n_files}"
     corpus_mod.generate_corpus(base, n_files, snap)
     out = f"/tmp/onto_ray_entry/kg_{n_files}"
     if os.path.isdir(out):

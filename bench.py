@@ -55,7 +55,10 @@ def run_bench() -> dict:
 
     # ---- setup (untimed): snapshot + corpus, cached across runs ----
     snap = build_snapshot(DISEASE_SPEC, n_synthetic=dict_size, seed=42)
-    corpus_dir = f"/tmp/onto_ray_bench/corpus_v4_{n_files}_{body_lines}"
+    corpus_dir = (
+        f"/tmp/onto_ray_bench/corpus_g{corpus_mod.CORPUS_VERSION}"
+        f"_{n_files}_{body_lines}"
+    )
     corpus_mod.generate_corpus(corpus_dir, n_files, snap, body_lines=body_lines)
     # warm the page cache so we measure compute+shuffle, not first disk read
     import ray.data as rd

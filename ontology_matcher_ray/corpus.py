@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 import pandas as pd
@@ -32,6 +32,24 @@ from ontology_matcher_ray.state.snapshot import DictionarySnapshot
 LANGS = ["py", "rs", "java", "md"]
 N_REPOS = 23
 N_MODULES = 17
+
+# Bump whenever generated file CONTENT changes: cached corpus dirs under
+# /tmp key their done-markers (and callers their paths) on this, so a
+# generator change can never silently serve a stale corpus.
+CORPUS_VERSION = 2
+
+
+def normalize_term(tok: str, index) -> Optional[str]:
+    """The engine's fuzzy-tier normalization contract (exact-then-fuzzy,
+    north-star): lowercase fold, then a single trailing-'s' plural strip
+    (len > 3).  Returns the INDEX key the token resolves to, or None.
+    Exact (pre-normalization) membership is checked by callers first."""
+    t = tok.lower()
+    if t in index:
+        return t
+    if len(t) > 3 and t.endswith("s") and t[:-1] in index:
+        return t[:-1]
+    return None
 
 
 def _repo_for(i: int) -> str:
@@ -75,6 +93,21 @@ def _planted_terms(i: int, terms: List[str]) -> List[str]:
     return sorted({terms[(i * 13 + 1) % n], terms[(i * 17 + 3) % n]})
 
 
+def _planted_fuzzy(i: int, terms: List[str]) -> List[str]:
+    """FUZZY surface variants planted in every 4th file: a lexicon term in
+    capitalized / upper / pluralized form, exercising the exact-then-fuzzy
+    match tier (the variant is NOT an exact lexicon key)."""
+    if not terms or i % 4 != 1:
+        return []
+    term = terms[(i * 19 + 5) % len(terms)]
+    kind = (i // 4) % 3
+    if kind == 0:
+        return [term.capitalize()]
+    if kind == 1:
+        return [term.upper()]
+    return [term + "s"]
+
+
 def file_row(i: int, raw_ids: List[str], terms: List[str],
              body_lines: int = 5) -> Dict[str, str]:
     lang = LANGS[i % len(LANGS)]
@@ -88,11 +121,14 @@ def file_row(i: int, raw_ids: List[str], terms: List[str],
     curies = _planted_curies(i, raw_ids)
     imports = _planted_imports(i)
     planted = _planted_terms(i, terms)
+    fuzzy = _planted_fuzzy(i, terms)
     lines = [f"// synthetic file {i} in {lang}"]
     lines += [f"import {m}" for m in imports]
     lines += [f"# ontology ref {c}" for c in curies]
     if planted:
         lines.append("# refs " + " ".join(planted))
+    if fuzzy:
+        lines.append("# see also " + " ".join(fuzzy))
     lines += [f"@{a}" for a in _planted_annotations(i)]
     lines += [f"fn body_{i}_{k}() {{ return {(i + k) % 1000}; }}"
               for k in range(body_lines + i % 5)]
@@ -132,7 +168,9 @@ def generate_corpus(
     ``body_lines`` sizes file content (real source files are KBs, not a
     few hundred bytes; bench scaling runs use larger bodies so per-file
     compute dominates over exchange constants)."""
-    done_marker = os.path.join(out_dir, "_DONE_%d_%d" % (n_files, body_lines))
+    done_marker = os.path.join(
+        out_dir, "_DONE_v%d_%d_%d" % (CORPUS_VERSION, n_files, body_lines)
+    )
     if os.path.exists(done_marker) and not overwrite:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -207,26 +245,35 @@ def expected_triples(
             out = route_cache[c]
             if out is not None:
                 triples.add((subj, "mentions", out))
-        for t in _planted_terms(i, terms):
-            rid = snapshot.lexicon[t]
+        def term_out(lex_key: str) -> Optional[str]:
+            rid = snapshot.lexicon[lex_key]
             if rid in route_cache:
-                out = route_cache[rid]
-            else:
-                # lexicon target absent from the raw-id universe: same
-                # miss rule — readmit default-prefix, drop others (UNIQUE)
-                prefix = rid.split(":", 1)[0]
-                if rid in snapshot.db_ids:
-                    entry = snapshot.db_ids[rid]
-                    defaults = entry.get(spec.default) or []
-                    out = rid if prefix == spec.default else (
-                        defaults[0] if len(defaults) == 1 else rid
-                    )
-                elif unique and prefix != spec.default:
-                    out = None
-                else:
-                    out = rid
+                return route_cache[rid]
+            # lexicon target absent from the raw-id universe: same miss
+            # rule — readmit default-prefix, drop others (UNIQUE)
+            prefix = rid.split(":", 1)[0]
+            if rid in snapshot.db_ids:
+                entry = snapshot.db_ids[rid]
+                defaults = entry.get(spec.default) or []
+                return rid if prefix == spec.default else (
+                    defaults[0] if len(defaults) == 1 else rid
+                )
+            if unique and prefix != spec.default:
+                return None
+            return rid
+
+        for t in _planted_terms(i, terms):
+            out = term_out(t)
             if out is not None:
                 triples.add((subj, "mentions", out))
+        for v in _planted_fuzzy(i, terms):
+            # exact-then-fuzzy: an exact lexicon key wins; otherwise the
+            # normalized form (lowercase fold + plural strip) must resolve
+            key = v if v in snapshot.lexicon else normalize_term(v, snapshot.lexicon)
+            if key is not None and " " not in key:
+                out = term_out(key)
+                if out is not None:
+                    triples.add((subj, "mentions", out))
         for m in _planted_imports(i):
             triples.add((subj, "imports", m))
         for a in _planted_annotations(i):

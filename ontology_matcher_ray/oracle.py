@@ -326,7 +326,10 @@ def corpus_expected_parquet(n_files: int = 2000, dict_size: int = 2000,
     from ontology_matcher_ray.state.snapshot import build_snapshot
 
     out_dir = "/tmp/onto_ray_oracle"
-    path = os.path.join(out_dir, f"expected_corpus_{n_files}_{dict_size}_v1.parquet")
+    path = os.path.join(
+        out_dir,
+        f"expected_corpus_{n_files}_{dict_size}_v{corpus_mod.CORPUS_VERSION}.parquet",
+    )
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

@@ -242,9 +242,20 @@ class ExtractLinkEmit(ExtractEmit):
         counts = np.empty(len(subj), dtype=np.int64)
         vals: List[str] = []
         for k, text in enumerate(batch["content"].to_numpy()):
-            hits = sorted(
-                {term_out[t] for t in TOKEN_RX.findall(text) if t in term_out}
-            )
+            # exact-then-fuzzy (north-star): exact token hit wins; misses
+            # fall back to lowercase fold + single plural strip
+            # (corpus.normalize_term contract)
+            hits = set()
+            for t in set(TOKEN_RX.findall(text)):
+                out = term_out.get(t)
+                if out is None:
+                    tl = t.lower()
+                    out = term_out.get(tl)
+                    if out is None and len(tl) > 3 and tl.endswith("s"):
+                        out = term_out.get(tl[:-1])
+                if out is not None:
+                    hits.add(out)
+            hits = sorted(hits)
             counts[k] = len(hits)
             vals.extend(hits)
         if not vals:

@@ -36,12 +36,14 @@ class MentionExtractor:
     occurrences carry no extra signal for entity linking).
     """
 
-    def __init__(self, lexicon_ref, id_col: str = "doc_id", text_col: str = "text"):
+    def __init__(self, lexicon_ref, id_col: str = "doc_id", text_col: str = "text",
+                 fuzzy: bool = False):
         lexicon: Dict[str, str] = (
             ray.get(lexicon_ref) if isinstance(lexicon_ref, ray.ObjectRef) else lexicon_ref
         )
         self.id_col = id_col
         self.text_col = text_col
+        self.fuzzy = fuzzy
         # split lexicon into single-token terms and n-gram phrase terms
         self.word_terms: Dict[str, str] = {}
         self.phrase_terms: Dict[int, Dict[str, str]] = {}   # n -> {phrase: raw_id}
@@ -71,6 +73,28 @@ class MentionExtractor:
         if len(hits):
             outs.append(hits.drop_duplicates(["_id", "term"]))
 
+        if self.fuzzy:
+            # exact-then-fuzzy tier (north-star): tokens that are not
+            # exact keys fall back to lowercase fold + single plural
+            # strip; the match is reported under the CANONICAL lexicon
+            # surface form, vectorized as two extra merges
+            tok = exploded["term"].astype(str)
+            low = tok.str.lower()
+            stripped = np.where(
+                (low.str.len() > 3) & low.str.endswith("s"),
+                low.str[:-1], low,
+            )
+            exact = tok.isin(self.word_terms)
+            cand = exploded.loc[~exact, ["_id"]].copy()
+            cand["term"] = low[~exact].to_numpy()
+            miss_low = ~cand["term"].isin(self.word_terms)
+            cand.loc[miss_low, "term"] = stripped[(~exact).to_numpy()][
+                miss_low.to_numpy()
+            ]
+            fhits = cand.merge(self.word_frame, on="term", how="inner")
+            if len(fhits):
+                outs.append(fhits.drop_duplicates(["_id", "term"]))
+
         # phrase terms: consecutive n-grams within each doc, then merge
         for n, frame in self.phrase_frames.items():
             grams_col = toks.map(
@@ -89,7 +113,11 @@ class MentionExtractor:
             )
         out = pd.concat(outs, ignore_index=True)
         out = out.rename(columns={"_id": self.id_col})
-        return out[[self.id_col, "term", "raw_id"]]
+        out = out[[self.id_col, "term", "raw_id"]]
+        if self.fuzzy:
+            # a doc with both "Spark" and "spark" reports (doc, spark) once
+            out = out.drop_duplicates([self.id_col, "term"])
+        return out
 
 
 class CurieExtractor:
