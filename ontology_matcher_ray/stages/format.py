@@ -150,16 +150,107 @@ class Formatter:
         return new_row
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = batch.to_dict("records")
-        out = []
-        for row in rows:
-            status = row["status"]
-            if status in (STATUS_OK, STATUS_OK_RAW):
-                out.append(self._format_converted(row))
-            else:
-                out.append(self._format_failed(row, force_failed=(status == STATUS_INVALID)))
+        """Vectorized formatting pass.
+
+        Scalar fields (id/label/resource/raw_id/reason/sink and the
+        has-meta name/description/taxid overrides) are mask-based numpy
+        column ops; only the LIST-valued merges (synonyms/xrefs/pmids,
+        inherently per-cell set unions) run in a tight loop restricted to
+        converted rows.  Same row semantics as ``_format_converted`` /
+        ``_format_failed`` (kept above as the per-row reference
+        implementation — exercised directly by unit tests).
+        """
+        import numpy as np
+
         cols = FORMATTED_COLUMNS + ["reason", "sink"]
-        if not out:
+        n = len(batch)
+        if n == 0:
             return pd.DataFrame({c: pd.Series([], dtype=str) for c in cols})
-        frame = pd.DataFrame(out)
+
+        def scol(key: str) -> np.ndarray:
+            if key in batch.columns:
+                s = batch[key]
+                return s.where(s.notna(), "").astype(str).to_numpy(dtype=object)
+            return np.full(n, "", dtype=object)
+
+        def lcol(key: str):
+            if key in batch.columns:
+                return batch[key].to_numpy(dtype=object)
+            return np.full(n, None, dtype=object)
+
+        out = {key: scol(key) for key in FORMATTED_COLUMNS[:-1]}
+        status = batch["status"].to_numpy(dtype=object)
+        raw_ids = out["id"].copy()
+        is_ok = status == STATUS_OK
+        is_okraw = status == STATUS_OK_RAW
+        conv = is_ok | is_okraw
+        is_invalid = status == STATUS_INVALID
+
+        reason = np.full(n, "", dtype=object)
+        sink = np.full(n, "formatted", dtype=object)
+
+        # ---- converted rows: metadata overrides + list merges ----
+        idxs = np.flatnonzero(conv)
+        if len(idxs):
+            meta_name = scol("meta_name")
+            meta_desc = scol("meta_description")
+            meta_taxid = scol("meta_taxid")
+            msyn, mxr, mpm = lcol("meta_synonyms"), lcol("meta_xrefs"), lcol("meta_pmids")
+            alias = lcol("alias_ids")
+            syn_in, xr_in, pm_in = out["synonyms"], out["xrefs"], out["pmids"]
+            gene_style = self.spec.gene_style_metadata
+            for i in idxs:
+                ms, mx, mp = _cell_list(msyn[i]), _cell_list(mxr[i]), _cell_list(mpm[i])
+                has_meta = bool(meta_name[i] or meta_desc[i] or ms or mx or meta_taxid[i])
+                if has_meta:
+                    # default_format_by_metadata (ontology_formatter.py:656-673)
+                    if meta_name[i]:
+                        out["name"][i] = meta_name[i]
+                    if meta_desc[i]:
+                        out["description"][i] = meta_desc[i]
+                    synonyms = concat(ms, syn_in[i])
+                    xrefs0 = concat(mx, xr_in[i])
+                    pmids = concat(mp, pm_in[i])
+                    if gene_style:
+                        # gene/__init__.py:332-354: REPLACE unconditionally
+                        out["taxid"][i] = meta_taxid[i]
+                        out["description"][i] = meta_desc[i]
+                else:
+                    synonyms, xrefs0, pmids = syn_in[i], xr_in[i], pm_in[i]
+                xrefs = concat(_cell_list(alias[i]), xrefs0)
+                out["synonyms"][i] = join_lst(synonyms)
+                out["pmids"][i] = join_lst(pmids)
+                out["xrefs"][i] = join_lst(xrefs)
+
+        # ---- scalar routing fields, mask-based (§2.8 rules 6-9) ----
+        out_id = scol("out_id")
+        raw_col = np.full(n, "", dtype=object)
+        # rule 6+9 (ok): canonical id, raw_id kept, typed label
+        out["id"] = np.where(is_ok, out_id, out["id"])
+        raw_col = np.where(is_ok, raw_ids, raw_col)
+        out["label"] = np.where(is_ok, self.spec.type, out["label"])
+        # rule 7 (ok_raw): keep raw id; label/resource as the record
+        out["id"] = np.where(is_okraw, raw_ids, out["id"])
+        # rule 8 + invalid: failed sink routing with readmission
+        failed_like = ~conv
+        if failed_like.any():
+            out["id"] = np.where(failed_like, raw_ids, out["id"])
+            out["label"] = np.where(failed_like, self.spec.type, out["label"])
+            prefixes = np.array(
+                [r.split(":", 1)[0] for r in raw_ids[failed_like]], dtype=object
+            )
+            readmit = np.zeros(n, dtype=bool)
+            readmit[failed_like] = (
+                (self.strategy == Strategy.MIXTURE) | (prefixes == self.spec.default)
+            )
+            readmit &= ~is_invalid          # invalid ids are never readmitted
+            to_failed = failed_like & ~readmit
+            reason = np.where(to_failed, scol("reason"), reason)
+            sink = np.where(to_failed, "failed", sink)
+        out["raw_id"] = raw_col
+
+        frame = pd.DataFrame({k: out[k] for k in FORMATTED_COLUMNS[:-1]})
+        frame["raw_id"] = out["raw_id"]
+        frame["reason"] = reason
+        frame["sink"] = sink
         return frame[cols].astype(str)

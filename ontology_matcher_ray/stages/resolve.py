@@ -160,40 +160,77 @@ class Resolver:
         "meta_xrefs", "meta_pmids", "meta_taxid",
     ]
 
+    FIELDS = [
+        "status", "reason", "out_id", "alias_ids",
+        "meta_name", "meta_description", "meta_synonyms",
+        "meta_xrefs", "meta_pmids", "meta_taxid",
+    ]
+
     def __init__(self, snapshot_ref, spec: OntologySpec, strategy: Strategy = Strategy.MIXTURE,
                  id_column: str = "id"):
         snapshot = ray.get(snapshot_ref) if isinstance(snapshot_ref, ray.ObjectRef) else snapshot_ref
         self.spec = spec
         self.strategy = strategy
         self.id_column = id_column
-        # Precompute every known raw_id's route once per actor.
-        self.table: Dict[str, RouteResult] = {
-            raw_id: route_id(raw_id, db_ids, spec, strategy, snapshot.metadata.get(raw_id))
-            for raw_id, db_ids in snapshot.db_ids.items()
-        }
-        self._miss_cache: Dict[str, RouteResult] = {}
+        # Precompute every known raw_id's route once per actor, laid out
+        # as SORTED parallel column arrays: batch resolution is then one
+        # vectorized searchsorted + per-field fancy-index (no per-row
+        # Python in __call__; the dict/dataclass layout only exists here).
+        keys = sorted(snapshot.db_ids)
+        routes = [
+            route_id(rid, snapshot.db_ids[rid], spec, strategy,
+                     snapshot.metadata.get(rid))
+            for rid in keys
+        ]
+        self.keys = np.array(keys, dtype=np.str_)
 
-    def _route(self, raw_id: str) -> RouteResult:
-        hit = self.table.get(raw_id)
-        if hit is not None:
-            return hit
-        miss = self._miss_cache.get(raw_id)
-        if miss is None:
-            miss = route_id(raw_id, None, self.spec, self.strategy, None)
-            self._miss_cache[raw_id] = miss
-        return miss
+        def obj_col(values) -> np.ndarray:
+            # 1-D object array of list/str cells; np.array() would collapse
+            # equal-length list cells into a 2-D array
+            col = np.empty(len(values), dtype=object)
+            for i, v in enumerate(values):
+                col[i] = v
+            return col
+
+        self.cols: Dict[str, np.ndarray] = {
+            f: obj_col([getattr(r, f) for r in routes]) for f in self.FIELDS
+        }
+        self._invalid_reason = reason_invalid_prefix(spec)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        routes = [self._route(rid) for rid in batch[self.id_column].astype(str)]
+        ids = batch[self.id_column].astype(str)
+        arr = ids.to_numpy(dtype=np.str_)
+        n = len(arr)
         batch = batch.copy()
-        batch["status"] = [r.status for r in routes]
-        batch["reason"] = [r.reason for r in routes]
-        batch["out_id"] = [r.out_id for r in routes]
-        batch["alias_ids"] = [r.alias_ids for r in routes]
-        batch["meta_name"] = [r.meta_name for r in routes]
-        batch["meta_description"] = [r.meta_description for r in routes]
-        batch["meta_synonyms"] = [r.meta_synonyms for r in routes]
-        batch["meta_xrefs"] = [r.meta_xrefs for r in routes]
-        batch["meta_pmids"] = [r.meta_pmids for r in routes]
-        batch["meta_taxid"] = [r.meta_taxid for r in routes]
+        if len(self.keys):
+            idx = np.clip(np.searchsorted(self.keys, arr), 0, len(self.keys) - 1)
+            hit = self.keys[idx] == arr
+        else:
+            idx = np.zeros(n, dtype=np.int64)
+            hit = np.zeros(n, dtype=bool)
+        miss = ~hit
+        vals = {f: self.cols[f][idx] if len(self.keys) else
+                np.full(n, None, dtype=object) for f in self.FIELDS}
+        if miss.any():
+            # miss routing tree (rules 1-2): invalid prefix vs no-results,
+            # vectorized via the compiled CURIE regex
+            raw = ids.to_numpy(dtype=object)
+            valid = ids.str.match(self.spec.curie_regex).to_numpy()
+            for f in self.FIELDS:
+                vals[f] = vals[f].copy()
+            vals["status"][miss] = np.where(valid[miss], STATUS_FAILED, STATUS_INVALID)
+            vals["reason"][miss] = np.where(
+                valid[miss], REASON_NO_RESULTS, self._invalid_reason
+            )
+            vals["out_id"][miss] = raw[miss]
+            n_miss = int(miss.sum())
+            empty_list_cells = np.empty(n_miss, dtype=object)
+            for i in range(n_miss):
+                empty_list_cells[i] = []
+            for f in ("alias_ids", "meta_synonyms", "meta_xrefs", "meta_pmids"):
+                vals[f][miss] = empty_list_cells
+            for f in ("meta_name", "meta_description", "meta_taxid"):
+                vals[f][miss] = ""
+        for f in self.FIELDS:
+            batch[f] = vals[f]
         return batch
