@@ -20,6 +20,17 @@ from ontology_matcher_ray.state.snapshot import DictionarySnapshot
 
 REFERENCE_EXAMPLES = "/root/reference/examples"
 
+# The reference commits NO symptom example (symptom/__init__.py:1: the
+# OxO/OLS4 APIs can't provide symptom metadata yet), so C9 parity runs
+# against a synthetic OLS4-shaped fixture whose expected TSV is derived
+# BY HAND from the reference's default_format rules — see the fixture's
+# embedded comment.
+SYMPTOM_FIXTURE = os.path.join(os.path.dirname(__file__), "symptom_fixture")
+
+
+def _examples_root(kind: str) -> str:
+    return SYMPTOM_FIXTURE if kind == "symptom" else REFERENCE_EXAMPLES
+
 
 def _aslist(v) -> List[str]:
     if v is None:
@@ -76,7 +87,7 @@ def _entity_metadata(meta: Dict) -> Dict[str, object]:
 
 
 def load_golden(kind: str) -> Dict:
-    path = os.path.join(REFERENCE_EXAMPLES, "results", f"{kind}_formatted.json")
+    path = os.path.join(_examples_root(kind), "results", f"{kind}_formatted.json")
     with open(path) as f:
         return json.load(f)
 
@@ -112,8 +123,8 @@ def snapshot_from_golden(kind: str) -> Tuple[DictionarySnapshot, OntologySpec]:
 
 
 def golden_input_path(kind: str) -> str:
-    return os.path.join(REFERENCE_EXAMPLES, f"{kind}.tsv")
+    return os.path.join(_examples_root(kind), f"{kind}.tsv")
 
 
 def golden_formatted_path(kind: str) -> str:
-    return os.path.join(REFERENCE_EXAMPLES, "results", f"{kind}_formatted.tsv")
+    return os.path.join(_examples_root(kind), "results", f"{kind}_formatted.tsv")

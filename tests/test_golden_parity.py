@@ -33,7 +33,7 @@ from ontology_matcher_ray.state.golden import (
 )
 
 PIPE_COLS = {"synonyms", "pmids", "xrefs"}
-KINDS = ["disease", "gene", "compound", "metabolite"]
+KINDS = ["disease", "gene", "compound", "metabolite", "symptom"]
 
 
 def pipe_set(cell: str) -> frozenset:
