@@ -64,6 +64,7 @@ def cmd_ontology(args) -> int:
     formatted, failed = run_ontology_match(
         args.input_file, args.output_file, get_snapshot(spec), spec,
         strategy=strategy, checkpoint_dir=ckpt, reformat=args.reformat,
+        batch_size=getattr(args, "batch_size", 4096),
     )
     print(f"formatted={len(formatted)} failed={len(failed)} -> {args.output_file}")
     return 0
@@ -138,6 +139,15 @@ def main(argv=None) -> int:
     po.add_argument("--strategy", choices=["mixture", "unique"], default="mixture")
     po.add_argument("--checkpoint-dir", default=None)
     po.add_argument("--reformat", "-r", action="store_true")
+    # reference CLI option parity (cli.py:77-78,103): --batch-size maps to
+    # the resolve-stage Ray batch size; the network-era knobs are accepted
+    # as no-ops so existing invocations keep working offline
+    po.add_argument("--batch-size", "-b", type=int, default=4096,
+                    help="rows per resolve batch (reference cli.py:77)")
+    po.add_argument("--sleep-time", "-s", type=int, default=0,
+                    help="ignored offline (reference rate-limit knob)")
+    po.add_argument("--disable-cache", action="store_true",
+                    help="ignored offline (reference sqlite-cache knob)")
     po.set_defaults(fn=cmd_ontology)
 
     pd_ = sub.add_parser("dedup", help="Merge duplicated ids into one.")

@@ -31,6 +31,7 @@ def resolve_dataset(
     spec: OntologySpec,
     strategy: Strategy = Strategy.MIXTURE,
     concurrency=(1, 4),
+    batch_size: int = 4096,
 ) -> rd.Dataset:
     ref = ray.put(snapshot)
     return ds.map_batches(
@@ -38,7 +39,7 @@ def resolve_dataset(
         fn_constructor_kwargs=dict(snapshot_ref=ref, spec=spec, strategy=strategy),
         batch_format="pandas",
         concurrency=concurrency,
-        batch_size=4096,
+        batch_size=batch_size,
     )
 
 
@@ -57,6 +58,7 @@ def run_ontology_match(
     strategy: Strategy = Strategy.MIXTURE,
     checkpoint_dir: Optional[str] = None,
     reformat: bool = False,
+    batch_size: int = 4096,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """Full reference pipeline with checkpoint/resume.
 
@@ -64,13 +66,32 @@ def run_ontology_match(
     of the reference's conversion-result JSON, ``cli.py:127-148``); with
     ``reformat=True`` and an existing checkpoint, resolution is skipped and
     only formatting re-runs.
+
+    MIGRATION (S4/S5): with ``reformat=True`` and no Parquet checkpoint,
+    a reference ``<output>.json`` checkpoint sitting next to the output
+    (the reference CLI's naming convention) is accepted instead — its
+    recorded conversions are loaded as the dictionary so resolution
+    reproduces the recorded decisions without the original network state.
     """
     resolved: Optional[rd.Dataset] = None
     if reformat and checkpoint_dir and os.path.isdir(checkpoint_dir):
         resolved = rd.read_parquet(checkpoint_dir)
+    if resolved is None and reformat:
+        from ontology_matcher_ray.state.reference_json import (
+            load_reference_checkpoint,
+            reference_json_path,
+        )
+
+        ref_json = reference_json_path(output_path)
+        if os.path.isfile(ref_json):
+            snapshot = load_reference_checkpoint(ref_json, spec)
+            ds = read_entity_file(input_path)
+            resolved = resolve_dataset(ds, snapshot, spec, strategy,
+                                       batch_size=batch_size)
     if resolved is None:
         ds = read_entity_file(input_path)
-        resolved = resolve_dataset(ds, snapshot, spec, strategy)
+        resolved = resolve_dataset(ds, snapshot, spec, strategy,
+                                   batch_size=batch_size)
         if checkpoint_dir:
             # atomic checkpoint: write to tmp, rename (skip if present,
             # mirroring "skip if file exists", ontology_formatter.py:788-790)

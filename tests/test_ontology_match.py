@@ -99,3 +99,46 @@ def test_reader_drops_null_ids_and_validates_columns(tmp_path):
         f.write("MESH:D1\tx\n")
     with pytest.raises(FormatError, match="missed columns"):
         read_entity_file(str(bad))
+
+
+def test_reformat_resumes_from_reference_json_checkpoint(tmp_path):
+    """S4/S5 migration: --reformat with a reference <out>.json checkpoint
+    (CustomJSONDecoder shapes, ontology_formatter.py:105-171) next to the
+    output must reproduce the committed conversion WITHOUT any dictionary
+    snapshot of its own — proof the recorded decisions drive resolution."""
+    import shutil
+
+    import pandas as pd
+
+    from ontology_matcher_ray.pipelines.ontology_match import run_ontology_match
+    from ontology_matcher_ray.schemas import DISEASE_SPEC
+    from ontology_matcher_ray.state.golden import (
+        golden_formatted_path,
+        golden_input_path,
+    )
+    from ontology_matcher_ray.state.snapshot import DictionarySnapshot
+
+    out = str(tmp_path / "disease_out.tsv")
+    shutil.copy(
+        "/root/reference/examples/results/disease_formatted.json",
+        str(tmp_path / "disease_out.json"),
+    )
+    empty = DictionarySnapshot()        # deliberately no dictionary at all
+    formatted, failed = run_ontology_match(
+        golden_input_path("disease"), out, empty, DISEASE_SPEC,
+        reformat=True, checkpoint_dir=str(tmp_path / "nonexistent_ckpt"),
+    )
+    assert len(failed) == 0
+    want = pd.read_csv(golden_formatted_path("disease"), sep="\t", dtype=str).fillna("")
+    assert sorted(formatted["id"]) == sorted(want["id"])
+    got = formatted.fillna("").astype(str).set_index("id").sort_index()
+    w = want.set_index("id").sort_index()
+    # spot-check full cells on pipe columns as sets (reference set-order)
+    for rid in got.index:
+        for col in ("name", "raw_id"):
+            assert got.loc[rid, col] == w.loc[rid, col], (rid, col)
+        for col in ("synonyms", "xrefs", "pmids"):
+            assert (
+                frozenset(p for p in got.loc[rid, col].split("|") if p)
+                == frozenset(p for p in w.loc[rid, col].split("|") if p)
+            ), (rid, col)
