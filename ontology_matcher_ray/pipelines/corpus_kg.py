@@ -304,7 +304,9 @@ def _shard_pipeline(
     # ~4x decompression factor; target ~96MB in-memory read blocks
     nblocks = max(2 * pool, int(disk_bytes * 4 / (96 << 20)) + 1)
     num_partitions = 96
-    ds = rd.read_parquet(
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(
         input_files,
         columns=["repo", "path", "lang", "content"],
         override_num_blocks=nblocks,
@@ -419,11 +421,12 @@ def build_kg(
 
 
 def read_triples(out_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")))
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    # columns-projected clean read also drops the shard partition column:
+    # the logical result is the triple set (shard placement is physical)
+    ds = read_parquet_clean(
+        sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))),
+        columns=["subj", "pred", "obj"],
     )
-    # project away the shard partition column: the logical result is the
-    # triple set (the shard an output row landed in is physical layout)
-    return ds.filter(expr=f"pred != '{SHA_PRED}'").select_columns(
-        ["subj", "pred", "obj"]
-    )
+    return ds.filter(expr=f"pred != '{SHA_PRED}'")

@@ -77,7 +77,9 @@ def _lexicon_ref(snapshot: Optional[DictionarySnapshot] = None) -> "ray.ObjectRe
 
 
 def read_documents(sf_dir: str, columns: Optional[List[str]] = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 # ---------------------------------------------------------------------------

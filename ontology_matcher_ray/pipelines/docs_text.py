@@ -27,11 +27,15 @@ from ontology_matcher_ray.stages import ann as ann_stages
 
 
 def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def read_embeddings(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
 
 
 def doc_stats(sf_dir: str) -> rd.Dataset:

@@ -19,7 +19,9 @@ import ray.data as rd
 
 
 def read_events(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
 def hourly_windows(sf_dir: str) -> rd.Dataset:

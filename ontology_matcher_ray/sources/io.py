@@ -26,6 +26,32 @@ class FormatError(Exception):
     pass
 
 
+def read_parquet_clean(paths, columns: Optional[List[str]] = None, **kwargs) -> rd.Dataset:
+    """``read_parquet`` with a metadata-free schema.
+
+    Pandas-written parquet carries a ``pandas`` schema-metadata dict that
+    makes ``hash(schema)`` raise, defeating Ray's block-schema dedup and
+    spamming "Failed to hash the schemas" warnings on every task.  Passing
+    an explicit metadata-stripped schema (projected to ``columns`` when
+    given) removes the metadata at the source.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if os.path.isdir(first):
+        inside = sorted(_glob.glob(os.path.join(first, "*.parquet")))
+        if inside:
+            first = inside[0]
+    full = pq.read_schema(first)
+    if columns is not None:
+        schema = pa.schema([full.field(c) for c in columns])
+    else:
+        schema = full.remove_metadata()
+    return rd.read_parquet(paths, schema=schema, columns=columns, **kwargs)
+
+
 def check_entity_columns(columns: List[str]) -> None:
     """Eager schema validation (``_check_format``,
     ontology_formatter.py:570-587): raise listing the missing required

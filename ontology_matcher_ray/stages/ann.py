@@ -120,10 +120,17 @@ def ivf_topk(
 ) -> pd.DataFrame:
     """IVF-bucketed ANN: score only vectors whose bucket is probed.
 
-    Centroids are trained on a deterministic sample (first block) so every
-    worker agrees on the index without a shuffle.
+    Centroids are trained on a deterministic SPREAD sample — every K-th id
+    across the whole table (K sized so ~2048 rows survive), not the first
+    block, which on sorted/clustered data would bias the index toward one
+    region.  The sample itself is tiny and driver-side by design; every
+    worker then derives the identical index without a shuffle.
     """
-    sample = ds.limit(2048).to_pandas()
+    n_total = ds.count()                       # metadata-only
+    stride = max(1, n_total // 2048)
+    sample = ds.filter(
+        expr=f"{id_col} % {stride} == 0"
+    ).limit(2048).to_pandas() if stride > 1 else ds.limit(2048).to_pandas()
     smat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     cents = _normalize(kmeanspp_centroids(smat, nlist, seed))
     qmat = _normalize(np.asarray(queries, dtype=np.float64))

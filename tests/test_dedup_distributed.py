@@ -99,3 +99,30 @@ def test_near_dup_clusters_chain_components():
     keep = set(df[df["keep"]]["doc_id"])
     assert keep == {0, 15, 20, 30}
     assert len(df) == len(ids)
+
+
+def test_ivf_recall_on_clustered_vectors():
+    """IVF with a spread centroid sample must recover most true neighbors
+    on clustered data SORTED BY CLUSTER (the case a first-block-only
+    training sample gets wrong: it would only ever see cluster 0)."""
+    from ontology_matcher_ray.stages import ann as ann_stages
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((8, 32)) * 4
+    vecs, ids = [], []
+    for c in range(8):                      # sorted by cluster on purpose
+        pts = centers[c] + 0.3 * rng.standard_normal((50, 32))
+        vecs.append(pts)
+        ids.extend(range(c * 50, c * 50 + 50))
+    mat = np.concatenate(vecs)
+    df = pd.DataFrame({"vec_id": np.array(ids, dtype=np.int64),
+                       "embedding": [v.tolist() for v in mat]})
+    ds = rd.from_pandas(df, override_num_blocks=8)
+    qids = np.array([0, 120, 260, 390], dtype=np.int64)
+    qmat = mat[[0, 120, 260, 390]]
+    brute = ann_stages.brute_force_topk(ds, qmat, qids, top_k=5)
+    approx = ann_stages.ivf_topk(ds, qmat, qids, top_k=5, nlist=8, nprobe=2)
+    b = {(r.query_id, r.vec_id) for r in brute.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.8, recall
