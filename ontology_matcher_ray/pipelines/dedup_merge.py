@@ -64,6 +64,17 @@ class OfficialIndex:
             nm = str(row.get("name", "")).strip().lower()
             if nm:
                 self.by_name.setdefault(nm, []).append(i)
+        # vectorized probe tables: key -> (n_hits, first_idx); batch
+        # probing is then three hash-join .map calls, no per-row cascade
+        self.xref_map = self._as_series(self.by_xref)
+        self.syn_map = self._as_series(self.by_synonym)
+        self.name_map = self._as_series(self.by_name)
+
+    @staticmethod
+    def _as_series(d: Dict[str, List[int]]) -> pd.Series:
+        return pd.Series(
+            {k: (len(v), v[0]) for k, v in d.items()}, dtype=object
+        )
 
     def cascade(self, row_id: str, row_name: str) -> Tuple[str, Optional[int]]:
         """-> ("merge", idx) | ("drop", None) | ("keep", None)."""
@@ -94,21 +105,38 @@ class CascadeMatcher:
         )
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        out_rows = []
-        for _, row in b.iterrows():
-            verdict, idx = self.index.cascade(str(row["id"]), str(row["name"]))
-            if verdict == "keep":
-                out_rows.append(row)
-            elif verdict == "merge":
-                official = self.index.rows.iloc[idx].copy()
-                official["xrefs"] = merge_unique(
-                    [str(row["id"]), str(row.get("xrefs", "")), str(official.get("xrefs", ""))]
+        cols = list(b.columns)
+        b = b.reset_index(drop=True)
+        ids_l = b["id"].astype(str).str.lower()
+        names_l = b["name"].astype(str).str.lower()
+        # cascade priority as three vectorized hash joins; first tier with
+        # a (n_hits, first_idx) entry decides (combine_first = priority)
+        decided = (
+            ids_l.map(self.index.xref_map)
+            .combine_first(names_l.map(self.index.syn_map))
+            .combine_first(names_l.map(self.index.name_map))
+        )
+        keep_mask = decided.isna()
+        hit = decided[~keep_mask]
+        n_hits = hit.map(lambda t: t[0])
+        merge_rows = hit[n_hits == 1]         # >1 hits: ambiguous -> drop
+        pieces = [b[keep_mask]]
+        if len(merge_rows):
+            off_idx = merge_rows.map(lambda t: t[1]).to_numpy(dtype=np.int64)
+            official = self.index.rows.iloc[off_idx].copy().reset_index(drop=True)
+            src = b.loc[merge_rows.index].reset_index(drop=True)
+            official["xrefs"] = [
+                merge_unique([i_, x_, ox_])
+                for i_, x_, ox_ in zip(
+                    src["id"].astype(str), src.get("xrefs", "").astype(str),
+                    official.get("xrefs", "").astype(str),
                 )
-                out_rows.append(official)
-            # "drop": ambiguous -> row vanishes (cli.py:242)
-        if not out_rows:
-            return pd.DataFrame({c: pd.Series([], dtype=object) for c in b.columns})
-        return pd.DataFrame(out_rows)[list(b.columns)].reset_index(drop=True)
+            ]
+            pieces.append(official)
+        out = pd.concat(pieces, ignore_index=True)
+        if out.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return out[cols].reset_index(drop=True)
 
 
 _FIRST = ["name", "description", "resource", "taxid"]
