@@ -116,11 +116,18 @@ def cmd_corpus_kg(args) -> int:
     from ontology_matcher_ray.schemas import DISEASE_SPEC
     from ontology_matcher_ray.state.snapshot import build_snapshot
 
+    from ontology_matcher_ray.schemas import Strategy
+
+    strategy = (
+        Strategy.UNIQUE if getattr(args, "strategy", "mixture") == "unique"
+        else Strategy.MIXTURE
+    )
     snap = build_snapshot(DISEASE_SPEC, n_synthetic=args.dict_size, seed=42)
     if args.generate:
         corpus_mod.generate_corpus(args.corpus_dir, args.n_files, snap)
     records = corpus_kg.build_kg(
-        args.corpus_dir, args.output_dir, snap, n_shards=args.shards
+        args.corpus_dir, args.output_dir, snap, n_shards=args.shards,
+        strategy=strategy,
     )
     triples = sum(r.triple_count for r in records)
     print(f"kg build: {len(records)} shards, {triples} triples -> {args.output_dir}")
@@ -173,6 +180,7 @@ def main(argv=None) -> int:
     pc.add_argument("--n-files", type=int, default=100000)
     pc.add_argument("--dict-size", type=int, default=100000)
     pc.add_argument("--shards", type=int, default=4)
+    pc.add_argument("--strategy", choices=["mixture", "unique"], default="mixture")
     pc.set_defaults(fn=cmd_corpus_kg)
 
     args = p.parse_args(argv)

@@ -39,16 +39,67 @@ def read_embeddings(sf_dir: str, columns=None) -> rd.Dataset:
 
 
 def doc_stats(sf_dir: str) -> rd.Dataset:
-    """Per-document token/quality stats (vectorized, no shuffle)."""
+    """Per-document token/quality stats — Arrow-native, no shuffle.
+
+    Zero-copy pyarrow batches end-to-end: tokenization via
+    ``pc.split_pattern``, per-doc distinct/stopword counts via Arrow hash
+    aggregation over (list_parent_indices, token), and the micro-unit
+    ratio algebra in integer Arrow kernels — no Arrow->pandas string copy
+    anywhere (the pandas kernel ``functions/text.doc_stats_frame`` remains
+    as the per-cell reference implementation for unit tests).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontology_matcher_ray.functions.text import EN_STOPWORDS
+
     ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+    stop_arr = pa.array(sorted(EN_STOPWORDS), pa.string())
 
-    def stage(b: pd.DataFrame) -> pd.DataFrame:
-        stats = doc_stats_frame(b["text"].astype(str))
-        stats.insert(0, "doc_id", b["doc_id"].to_numpy())
-        stats.insert(1, "lang", b["lang"].to_numpy())
-        return stats
+    def stage(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        toks = pc.split_pattern(text, " ")
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        per_tok = pa.table(
+            {
+                "p": parent,
+                "tok": flat,
+                "is_stop": pc.cast(pc.is_in(flat, value_set=stop_arr), pa.int64()),
+            }
+        )
+        agg = per_tok.group_by("p").aggregate(
+            [("tok", "count_distinct"), ("is_stop", "sum")]
+        ).sort_by("p")                       # every row has >= 1 token
+        n_distinct = pc.cast(agg["tok_count_distinct"], pa.int64())
+        n_stop = pc.cast(agg["is_stop_sum"], pa.int64())
+        denom = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+        mil = pa.scalar(1_000_000, pa.int64())
+        stop_ratio = pc.divide(pc.multiply(n_stop, mil), denom)
+        avg_tok_len = pc.divide(
+            pc.multiply(pc.subtract(n_chars, pc.subtract(n_tokens, pa.scalar(1, pa.int64()))), mil),
+            denom,
+        )
+        quality = pc.add(
+            pc.divide(pc.multiply(n_distinct, pa.scalar(500_000, pa.int64())), denom),
+            pc.divide(pc.subtract(mil, stop_ratio), pa.scalar(2, pa.int64())),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": n_tokens,
+                "n_distinct_tokens": n_distinct,
+                "n_chars": n_chars,
+                "stopword_ratio_micro": stop_ratio,
+                "avg_token_len_micro": avg_tok_len,
+                "quality_micro": quality,
+            }
+        )
 
-    return ds.map_batches(stage, batch_format="pandas")
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lang_stats(sf_dir: str) -> rd.Dataset:
@@ -86,14 +137,27 @@ def lang_stats(sf_dir: str) -> rd.Dataset:
 
 
 def token_freq(sf_dir: str) -> rd.Dataset:
-    """Global token frequencies (combiner inside map_batches, tiny groupby)."""
+    """Global token frequencies (combiner inside map_batches, tiny groupby).
+
+    The per-batch combiner is Arrow-native (split -> list_flatten ->
+    value_counts on zero-copy batches); only the small combined partials
+    go through the pandas exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = read_documents(sf_dir, columns=["text"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        counts = b["text"].astype(str).str.split(" ").explode().value_counts()
-        return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        )
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"token": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
     from ontology_matcher_ray.stages import exchange
 
