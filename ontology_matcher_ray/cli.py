@@ -36,20 +36,35 @@ def _ensure_ray():
     DataContext.get_current().enable_progress_bars = False
 
 
-TEMPLATES = {
-    # header + sample row per type, after */custom_types.py generate_template
-    "disease": ("id\tname\tlabel\tresource\n"
-                 "DOID:4001\tovarian carcinoma\tDisease\tDOID\n"
-                 "MESH:D015673\tFatigue Syndrome, Chronic\tDisease\tMESH\n"),
-    "gene": ("id\tname\tlabel\tresource\n"
-              "ENTREZ:7157\ttumor protein p53\tGene\tENTREZ\n"),
-    "compound": ("id\tname\tlabel\tresource\n"
-                  "DrugBank:DB01628\tETORICOXIB\tCompound\tDrugBank\n"),
-    "metabolite": ("id\tname\tlabel\tresource\n"
-                    "HMDB:HMDB0003345\talpha-D-Glucose\tMetabolite\tHMDB\n"),
-    "symptom": ("id\tname\tlabel\tresource\n"
-                 "UMLS:C0015672\tFatigue\tSymptom\tUMLS\n"),
+# Sample rows per type (id, name) — the template itself is GENERATED from
+# the spec (required columns + the type label + the id's own prefix as
+# resource), the engine analogue of each */custom_types.py
+# ``generate_template`` classmethod.
+TEMPLATE_SAMPLES = {
+    "disease": [("DOID:4001", "ovarian carcinoma"),
+                 ("MESH:D015673", "Fatigue Syndrome, Chronic")],
+    "gene": [("ENTREZ:7157", "tumor protein p53")],
+    "compound": [("DrugBank:DB01628", "ETORICOXIB")],
+    "metabolite": [("HMDB:HMDB0003345", "alpha-D-Glucose")],
+    "symptom": [("UMLS:C0015672", "Fatigue")],
 }
+
+
+def render_template(ontology_type: str) -> str:
+    """Header + sample rows derived from the OntologySpec (S7)."""
+    from ontology_matcher_ray.schemas import REQUIRED_COLUMNS, SPECS
+
+    spec = SPECS[ontology_type]
+    lines = ["\t".join(REQUIRED_COLUMNS)]
+    for rid, name in TEMPLATE_SAMPLES[ontology_type]:
+        row = {
+            "id": rid,
+            "name": name,
+            "label": spec.type,
+            "resource": rid.split(":", 1)[0],
+        }
+        lines.append("\t".join(row[c] for c in REQUIRED_COLUMNS))
+    return "\n".join(lines) + "\n"
 
 
 def cmd_ontology(args) -> int:
@@ -104,7 +119,7 @@ def cmd_idtypes(args) -> int:
 
 def cmd_template(args) -> int:
     with open(args.output_file, "w") as f:
-        f.write(TEMPLATES[args.ontology_type])
+        f.write(render_template(args.ontology_type))
     print(f"template -> {args.output_file}")
     return 0
 
