@@ -241,18 +241,24 @@ class ExtractLinkEmit(ExtractEmit):
         term_out = self.term_out
         counts = np.empty(len(subj), dtype=np.int64)
         vals: List[str] = []
+        get = term_out.get
         for k, text in enumerate(batch["content"].to_numpy()):
             # exact-then-fuzzy (north-star): exact token hit wins; misses
             # fall back to lowercase fold + single plural strip
-            # (corpus.normalize_term contract)
+            # (corpus.normalize_term contract).  The fallback is gated on
+            # cheap non-allocating checks (islower / last-char) so the
+            # overwhelmingly common lowercase-miss token costs ONE dict
+            # probe plus two C predicates — this loop touches every token
+            # of the corpus.
             hits = set()
             for t in set(TOKEN_RX.findall(text)):
-                out = term_out.get(t)
+                out = get(t)
                 if out is None:
-                    tl = t.lower()
-                    out = term_out.get(tl)
-                    if out is None and len(tl) > 3 and tl.endswith("s"):
-                        out = term_out.get(tl[:-1])
+                    if not t.islower():
+                        t = t.lower()
+                        out = get(t)
+                    if out is None and t[-1] == "s" and len(t) > 3:
+                        out = get(t[:-1])
                 if out is not None:
                     hits.add(out)
             hits = sorted(hits)
