@@ -83,3 +83,37 @@ def test_unique_stricter_than_mixture(entry):
     # UNIQUE can only fail where MIXTURE succeeded, never the reverse
     if m.status == "failed":
         assert u.status == "failed"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+               max_size=40))
+def test_md5half_matches_duckdb_md5_number_lower(s):
+    """Foundation of every dedup-family SQL oracle: the engine's content
+    hash must equal DuckDB's md5_number_lower for arbitrary strings."""
+    import duckdb
+
+    from ontology_matcher_ray.functions.hashing import md5half
+
+    got = duckdb.execute("SELECT md5_number_lower(?)", [s]).fetchone()[0]
+    assert md5half(s) == got
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(["spark", "hash", "joins", "SPARK", "Hash",
+                                 "sparks", "hashs", "other", "Sparkle"]),
+                min_size=0, max_size=6))
+def test_fuzzy_normalization_exact_preference(tokens):
+    """The fuzzy tier never shadows an exact hit, and normalization is
+    the documented lowercase-fold + single-plural-strip, nothing more."""
+    from ontology_matcher_ray.corpus import normalize_term
+
+    index = {"spark", "hash", "joins"}
+    for t in tokens:
+        key = t if t in index else normalize_term(t, index)
+        if t in index:
+            assert key == t
+        elif key is not None:
+            low = t.lower()
+            assert key == low or (low.endswith("s") and key == low[:-1])
+            assert key in index
