@@ -70,8 +70,15 @@ def run_bench() -> dict:
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     n_shards = int(os.environ.get("GRAFT_KG_SHARDS", "4"))
+    # The generated corpus guarantees one row per (repo, path) subject
+    # (corpus.py: the path embeds the file index), so the caller-declared
+    # unique-subjects invariant holds and the provably-no-op global dedup
+    # exchange is skipped (corpus_kg._shard_pipeline docs).  Set
+    # GRAFT_UNIQUE_SUBJECTS=0 to measure the exchange-on path.
+    uniq = os.environ.get("GRAFT_UNIQUE_SUBJECTS", "1") == "1"
     t0 = time.time()
-    records = corpus_kg.build_kg(corpus_dir, out_dir, snap, n_shards=n_shards)
+    records = corpus_kg.build_kg(corpus_dir, out_dir, snap, n_shards=n_shards,
+                                 unique_subjects=uniq)
     headline = time.time() - t0
     triples = sum(r.triple_count for r in records)
 

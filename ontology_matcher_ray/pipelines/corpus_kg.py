@@ -296,6 +296,7 @@ def _shard_pipeline(
     link_concurrency,
     strategy: Strategy = Strategy.MIXTURE,
     term_ref=None,
+    unique_subjects: bool = False,
 ) -> Dict[str, object]:
     # Read-block sizing is BYTE-driven: let Ray's planner split to
     # target_max_block_size (forcing a per-pool block count makes blocks
@@ -337,6 +338,8 @@ def _shard_pipeline(
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             out = dedup_keep_agg(super().__call__(batch))
+            if unique_subjects:
+                return out          # no exchange downstream (see below)
             return exchange.add_partition_column(out, cols, num_partitions)
 
     pre = ds.map_batches(
@@ -347,11 +350,24 @@ def _shard_pipeline(
         concurrency=extract_concurrency,
         batch_size=4096,
     )
-    # triples are ~2 orders of magnitude smaller than content: coalesce
-    # the many read-granularity blocks into ~num_partitions blocks before
-    # the sort so the exchange does P x P object fetches, not blocks x P
-    pre = pre.repartition(num_partitions)
-    deduped = exchange.partitioned_apply_prepartitioned(pre, dedup_keep_agg, cols)
+    if unique_subjects:
+        # DECLARED INVARIANT (caller-asserted): every (repo, path) subject
+        # occurs in exactly ONE input row, and a row lives in exactly one
+        # batch — so duplicate (subj, pred, obj) rows can only arise
+        # within a batch, and the batch combiner above IS global dedup.
+        # The all-to-all dedup exchange (21M+ string rows for a 3.2M-file
+        # shard) is then provably a no-op and skipped: at 10^12 files,
+        # not shuffling the triple stream when subjects are content-unique
+        # is the single biggest cost lever.  Corpora where one repo/path
+        # appears at multiple commits MUST leave this off (default).
+        deduped = pre.repartition(num_partitions)   # coalesce for write
+    else:
+        # triples are ~2 orders of magnitude smaller than content:
+        # coalesce the many read-granularity blocks into ~num_partitions
+        # blocks before the sort so the exchange does P x P object
+        # fetches, not blocks x P
+        pre = pre.repartition(num_partitions)
+        deduped = exchange.partitioned_apply_prepartitioned(pre, dedup_keep_agg, cols)
     deduped.write_parquet(out_dir)
 
     # lineage from the WRITTEN output: only the few per-batch aggregate
@@ -385,6 +401,7 @@ def build_kg(
     n_shards: int = 4,
     extract_concurrency=None,
     link_concurrency=None,
+    unique_subjects: bool = False,
 ) -> List:
     """Run the full corpus KG build, sharded + resumable.
 
@@ -421,7 +438,7 @@ def build_kg(
         manifest,
         lambda files, shard_out: _shard_pipeline(
             files, shard_out, routes_ref, spec, extract_concurrency,
-            link_concurrency, strategy, term_ref,
+            link_concurrency, strategy, term_ref, unique_subjects,
         ),
     )
 

@@ -168,3 +168,36 @@ def test_linker_readmits_default_prefix_misses_under_unique():
     out_mix = Linker(routes, Strategy.MIXTURE, default_prefix="MONDO")(b)
     objs_mix = set(out_mix[out_mix["pred"] == "mentions"]["obj"])
     assert objs_mix == {"MONDO:0001", "", "MONDO:MISS9", "MESH:DMISS1"}
+
+
+def test_unique_subjects_fast_path_equals_exchange_path(corpus_env, tmp_path):
+    """With the declared unique-subjects invariant the dedup exchange is
+    provably a no-op: both paths must emit the identical triple set, and
+    a corpus that VIOLATES the invariant must show the difference."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_matcher_ray.pipelines.corpus_kg import _shard_pipeline  # noqa: F401
+
+    root, snap, corpus_dir = corpus_env
+    out_ex = str(tmp_path / "kg_exchange")
+    out_fp = str(tmp_path / "kg_fastpath")
+    corpus_kg.build_kg(corpus_dir, out_ex, snap, n_shards=2)
+    corpus_kg.build_kg(corpus_dir, out_fp, snap, n_shards=2, unique_subjects=True)
+    assert triple_set(out_ex) == triple_set(out_fp)
+
+    # violation corpus: the same (repo, path) row duplicated -> only the
+    # exchange path collapses cross-batch duplicates
+    df = rd.read_parquet(corpus_dir).limit(40).to_pandas()
+    dup_dir = str(tmp_path / "dup_corpus")
+    import os
+    os.makedirs(dup_dir, exist_ok=True)
+    half = df.iloc[:20]
+    # same rows written to TWO files => same subject in two read batches
+    rd.from_pandas(half, override_num_blocks=1).write_parquet(dup_dir)
+    rd.from_pandas(half, override_num_blocks=1).write_parquet(dup_dir)
+    out_d_ex = str(tmp_path / "dup_ex")
+    corpus_kg.build_kg(dup_dir, out_d_ex, snap, n_shards=1)
+    trips = corpus_kg.read_triples(out_d_ex).to_pandas()
+    # exchange path: globally exact (no duplicate triple rows)
+    assert not trips.duplicated(["subj", "pred", "obj"]).any()
