@@ -101,7 +101,7 @@ class ExtractEmit:
         content = batch["content"].to_numpy()
         lang = batch["lang"].astype(str).to_numpy()
 
-        cur_rx, imp_rx, ann_rx = self.curie.rx, self.imports.RX, self.ANNOT_RX
+        cur_scan, imp_rx, ann_rx = self.curie.scan, self.imports.RX, self.ANNOT_RX
         c_counts = np.empty(len(subj), dtype=np.int64)
         i_counts = np.empty(len(subj), dtype=np.int64)
         a_counts = np.empty(len(subj), dtype=np.int64)
@@ -112,7 +112,7 @@ class ExtractEmit:
 
         acc = 0
         for k, text in enumerate(content):
-            cs = sorted(set(m.group(0) for m in cur_rx.finditer(text)))
+            cs = sorted(cur_scan(text))
             c_counts[k] = len(cs)
             c_vals.extend(cs)
             ms = sorted(set(imp_rx.findall(text)))
@@ -350,6 +350,11 @@ def _shard_pipeline(
         concurrency=extract_concurrency,
         batch_size=4096,
     )
+    import sys
+    import time as _time
+
+    phase_log = os.environ.get("GRAFT_PHASE_LOG") == "1"
+    t_start = _time.time()
     if unique_subjects:
         # DECLARED INVARIANT (caller-asserted): every (repo, path) subject
         # occurs in exactly ONE input row, and a row lives in exactly one
@@ -369,6 +374,7 @@ def _shard_pipeline(
         pre = pre.repartition(num_partitions)
         deduped = exchange.partitioned_apply_prepartitioned(pre, dedup_keep_agg, cols)
     deduped.write_parquet(out_dir)
+    t_written = _time.time()
 
     # lineage from the WRITTEN output: only the few per-batch aggregate
     # rows are read back (columnar filtered read; nothing re-executes)
@@ -385,6 +391,9 @@ def _shard_pipeline(
             n_rows += int(cnt)
             acc ^= int(hexagg, 16)
             n_agg += 1
+    if phase_log:
+        print("[phase] extract+write=%.1fs lineage=%.1fs"
+              % (t_written - t_start, _time.time() - t_written), file=sys.stderr)
     return {
         "row_count": n_rows,
         "content_sha256_agg": "%032x" % acc,

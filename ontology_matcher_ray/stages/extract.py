@@ -127,18 +127,70 @@ class CurieExtractor:
     choices, mirroring the CURIE pattern of ``ontology_formatter.py:292``
     but applied as a *search* over free text instead of a full-string match.
     Emits DISTINCT (file, curie) pairs.
+
+    ``scan`` is the hot-path equivalent: CURIEs are COLON-anchored and
+    colons are rare in source text, so scanning ``str.find(':')`` (C
+    memchr) and validating the prefix/id around each colon is ~10x faster
+    than running the alternation regex over every byte.  Equivalence with
+    the regex is property-tested (tests/test_properties.py).
     """
+
+    ID_CHARS = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.+*"
+    )
+    PREFIX_CHARS = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-"
+    )
 
     def __init__(self, spec: OntologySpec, id_col: str = "file_id", text_col: str = "content"):
         self.id_col = id_col
         self.text_col = text_col
         choices = "|".join(re.escape(c) for c in spec.choices)
         self.rx = re.compile(r"\b(%s):[a-z0-9A-Z\.\+\*]+" % choices)
+        self.choice_set = frozenset(spec.choices)
+        # longest-first so an overlapping shorter choice cannot shadow a
+        # longer one in the boundary-suffix fallback
+        self.choices_by_len = sorted(spec.choices, key=len, reverse=True)
+
+    def scan(self, text: str) -> set:
+        """Set of CURIE mentions in ``text`` — same result as
+        ``{m.group(0) for m in self.rx.finditer(text)}``."""
+        res = set()
+        id_chars = self.ID_CHARS
+        pref_chars = self.PREFIX_CHARS
+        n = len(text)
+        idx = text.find(":")
+        while idx != -1:
+            j = idx - 1
+            while j >= 0 and text[j] in pref_chars:
+                j -= 1
+            span = text[j + 1 : idx]
+            pref = None
+            if span in self.choice_set:
+                # char before span is not in PREFIX_CHARS ⊇ \w, so the
+                # regex's \b boundary holds automatically
+                pref = span
+            else:
+                for c in self.choices_by_len:
+                    if span.endswith(c) and len(span) > len(c):
+                        before = span[-len(c) - 1]
+                        # \w chars deny the boundary; '-' etc. allow it
+                        if not (before.isalnum() or before == "_"):
+                            pref = c
+                            break
+            if pref is not None:
+                k = idx + 1
+                while k < n and text[k] in id_chars:
+                    k += 1
+                if k > idx + 1:
+                    res.add(pref + text[idx:k])
+            idx = text.find(":", idx + 1)
+        return res
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[self.id_col].reset_index(drop=True)
         found = batch[self.text_col].astype(str).reset_index(drop=True).map(
-            lambda s: sorted(set(m.group(0) for m in self.rx.finditer(s)))
+            lambda s: sorted(self.scan(s))
         )
         out = pd.DataFrame({self.id_col: ids, "raw_id": found}).explode("raw_id")
         out = out[out["raw_id"].notna()]

@@ -117,3 +117,16 @@ def test_fuzzy_normalization_exact_preference(tokens):
             low = t.lower()
             assert key == low or (low.endswith("s") and key == low[:-1])
             assert key in index
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("ME SH:DOID9-_.x1\n#aZ+*")), max_size=60))
+def test_curie_scan_equals_regex(s):
+    """The colon-anchored fast CURIE scan must equal the alternation-regex
+    semantics on arbitrary text (word boundaries, prefix charsets, id
+    charsets, multi-colon runs)."""
+    from ontology_matcher_ray.stages.extract import CurieExtractor
+
+    ex = CurieExtractor(DISEASE_SPEC)
+    want = {m.group(0) for m in ex.rx.finditer(s)}
+    assert ex.scan(s) == want, s
