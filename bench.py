@@ -119,12 +119,20 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same headline job at two parallelism levels in fresh processes."""
+    """Same headline job at two parallelism levels in fresh processes.
+
+    Each level runs ``GRAFT_SCALING_REPEATS`` times (default 2) and the
+    MINIMUM is reported: single-shot wall times on a shared sandbox host
+    vary up to ~30% run-to-run (page-cache / host interference), and the
+    minimum is the standard least-interference estimator for a
+    deterministic workload.
+    """
     results = {}
     # scaling config: KB-sized files (like real source corpora) so
     # per-file compute dominates over single-node exchange constants
     scaling_files = os.environ.get("GRAFT_SCALING_FILES", "3200000")
     scaling_lines = os.environ.get("GRAFT_SCALING_BODY_LINES", "400")
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     for ncpu in (8, 32):
         env = dict(
             os.environ,
@@ -135,12 +143,17 @@ def run_scaling() -> dict:
             GRAFT_CORPUS_FILES=scaling_files,
             GRAFT_BODY_LINES=scaling_lines,
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _rep in range(repeats):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            run = json.loads(out.strip().splitlines()[-1])
+            if best is None or run["value"] < best["value"]:
+                best = run
+        results[ncpu] = best
     t8, t32 = results[8]["value"], results[32]["value"]
     eff = (t8 / t32) / (32 / 8)
     return {
