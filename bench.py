@@ -60,10 +60,16 @@ def run_bench() -> dict:
         f"_{n_files}_{body_lines}"
     )
     corpus_mod.generate_corpus(corpus_dir, n_files, snap, body_lines=body_lines)
-    # warm the page cache so we measure compute+shuffle, not first disk read
+    # warm the page cache so we measure compute+shuffle, not first disk
+    # read.  NOTE: count() on parquet is metadata-only (reads no data);
+    # an actual consuming scan is required to fault the bytes in.
+    import pandas as _pd
+
     import ray.data as rd
 
-    rd.read_parquet(corpus_dir).count()
+    rd.read_parquet(corpus_dir).map_batches(
+        lambda b: _pd.DataFrame({"n": [len(b)]}), batch_format="pandas"
+    ).sum("n")
 
     # ---- headline: corpus KG build (timed) ----
     out_dir = f"/tmp/onto_ray_bench/kg_out_{num_cpus}"
