@@ -33,10 +33,13 @@ LANGS = ["py", "rs", "java", "md"]
 N_REPOS = 23
 N_MODULES = 17
 
-# Bump whenever generated file CONTENT changes: cached corpus dirs under
-# /tmp key their done-markers (and callers their paths) on this, so a
-# generator change can never silently serve a stale corpus.
-CORPUS_VERSION = 2
+# Bump whenever generated file CONTENT or LAYOUT changes: cached corpus
+# dirs under /tmp key their done-markers (and callers their paths) on
+# this, so a generator change can never silently serve a stale corpus.
+# v3 = v2 content in ~10k-row parquet files (the previous 50k-row files
+# capped read parallelism at 64 tasks of ~800 MB decompressed each,
+# which was the dominant non-scaling component of the whole build).
+CORPUS_VERSION = 3
 
 
 def normalize_term(tok: str, index) -> Optional[str]:
@@ -181,7 +184,7 @@ def generate_corpus(
         rows = [file_row(int(i), raw_ids, terms, body_lines) for i in batch["id"]]
         return pd.DataFrame(rows)
 
-    ds = rd.range(n_files, override_num_blocks=max(8, n_files // 50_000))
+    ds = rd.range(n_files, override_num_blocks=max(8, n_files // 10_000))
     ds = ds.map_batches(gen, batch_format="pandas")
     ds.write_parquet(out_dir)
     with open(done_marker, "w") as f:

@@ -394,6 +394,10 @@ def _shard_pipeline(
     if phase_log:
         print("[phase] extract+write=%.1fs lineage=%.1fs"
               % (t_written - t_start, _time.time() - t_written), file=sys.stderr)
+        try:
+            print("[stats]\n%s" % deduped.stats(), file=sys.stderr)
+        except Exception as e:          # stats are best-effort diagnostics
+            print("[stats] unavailable: %s" % e, file=sys.stderr)
     return {
         "row_count": n_rows,
         "content_sha256_agg": "%032x" % acc,
