@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_featurize": _media_featurize,                # rows-only
         # --- stream-shaped ---
         "events_hourly": events.hourly_windows,
+        "events_sliding": events.sliding_windows,
         "events_sessionize": events.sessionize,
         # --- flagship corpus pipeline (sharded + resumable; rows-only) ---
         "corpus_kg_triples": _corpus_kg_triples,

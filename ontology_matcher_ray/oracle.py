@@ -573,6 +573,19 @@ SELECT event_type,
 FROM events GROUP BY 1, 2
 """
 
+    sql["events_sliding"] = """
+WITH shifted AS (
+  SELECT event_type,
+         date_trunc('hour', ts) - (k.k * INTERVAL 1 HOUR) AS window_start,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events CROSS JOIN (SELECT unnest(range(3)) AS k) k
+)
+SELECT event_type, window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM shifted GROUP BY 1, 2
+"""
+
     sql["events_sessionize"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

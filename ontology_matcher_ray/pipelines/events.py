@@ -58,6 +58,48 @@ def hourly_windows(sf_dir: str) -> rd.Dataset:
     )
 
 
+def sliding_windows(sf_dir: str, size_hours: int = 3, hop_hours: int = 1) -> rd.Dataset:
+    """Sliding (hopping) event-time windows: each event contributes to
+    ``size/hop`` overlapping windows.
+
+    Window enumeration is a per-batch map (one frame per hop offset, no
+    Python per row), then the same combiner + hash-partition exchange as
+    the tumbling windows — the fan-out factor (size/hop) multiplies only
+    the COMBINED partial rows, not the shuffled volume per key.
+    Emits (event_type, window_start, n_events, value_cents).
+    """
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+    k_max = size_hours // hop_hours
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        base = b["ts"].dt.floor(f"{hop_hours}h")
+        v = b["value"].to_numpy() * 100
+        cents = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype("int64")
+        frames = []
+        for k in range(k_max):
+            frames.append(pd.DataFrame({
+                "event_type": b["event_type"].to_numpy(),
+                "window_start": base - pd.Timedelta(hours=k * hop_hours),
+                "value_cents": cents,
+            }))
+        all_rows = pd.concat(frames, ignore_index=True)
+        g = all_rows.groupby(["event_type", "window_start"], sort=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    from ontology_matcher_ray.stages import exchange
+
+    return exchange.grouped_agg(
+        partials,
+        ["event_type", "window_start"],
+        lambda gb: gb.agg(n_events=("n_events", "sum"), value_cents=("value_cents", "sum")),
+        num_partitions=16,
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user: events within ``gap_minutes`` of the
     previous event share a session.
