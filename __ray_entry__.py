@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": docs_text.lang_stats,
         "token_freq": docs_text.token_freq,
         "lang_id": docs_text.lang_id,
+        "sample_docs": docs_text.sample_docs,               # hash-threshold sample
+        "doc_embedding_join": docs_text.doc_embedding_join, # broadcast hash join
         "fingerprints": docs_text.fingerprints,             # rows-only
         # --- dedup family ---
         "dedup_exact": docs_text.dedup_exact,
@@ -63,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream-shaped ---
         "events_hourly": events.hourly_windows,
         "events_sliding": events.sliding_windows,
+        "events_asof": events.asof_join,                    # as-of join via exchange
         "events_sessionize": events.sessionize,
         # --- flagship corpus pipeline (sharded + resumable; rows-only) ---
         "corpus_kg_triples": _corpus_kg_triples,

@@ -586,6 +586,37 @@ SELECT event_type, window_start,
 FROM shifted GROUP BY 1, 2
 """
 
+    sql["events_asof"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+ranked AS (
+  SELECT p.event_id, p.user_id,
+         c.event_id AS match_event_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT p.event_id, p.user_id,
+       COALESCE(r.match_event_id, -1) AS match_event_id,
+       COALESCE(r.gap_us, -1) AS gap_us
+FROM p LEFT JOIN ranked r ON r.event_id = p.event_id AND r.rn = 1
+"""
+
+    sql["doc_embedding_join"] = """
+SELECT d.doc_id, d.lang, d.n_chars, CAST(e.label AS BIGINT) AS label
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+"""
+
+    sql["sample_docs"] = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(text) % 10 = 0
+"""
+
     sql["events_sessionize"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

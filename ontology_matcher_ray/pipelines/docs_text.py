@@ -281,6 +281,70 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
     )
 
 
+def doc_embedding_join(sf_dir: str) -> rd.Dataset:
+    """Broadcast hash join: documents ⋈ embeddings on doc_id = vec_id.
+
+    The SMALL side (embeddings' vec_id -> label) ships once via
+    ``ray.put`` and every batch of the big side probes it with a
+    vectorized searchsorted — the standard scale pattern for joining a
+    corpus against a bounded dimension table (no shuffle of either side).
+    Emits (doc_id, lang, n_chars, label); inner-join semantics.
+    """
+    import ray
+
+    # the dimension side is SMALL by contract — driver collect + broadcast
+    # is the point of this join shape (vs shuffling the corpus side)
+    sm = read_embeddings(sf_dir, columns=["vec_id", "label"]).to_pandas()
+    sm = sm.sort_values("vec_id")
+    keys = sm["vec_id"].to_numpy(dtype=np.int64)
+    vals = sm["label"].to_numpy(dtype=np.int64)
+    ref = ray.put((keys, vals))
+
+    docs = read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    class Probe:
+        def __init__(self):
+            self.keys, self.vals = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids = b["doc_id"].to_numpy(dtype=np.int64)
+            idx = np.clip(np.searchsorted(self.keys, ids), 0, len(self.keys) - 1)
+            hit = self.keys[idx] == ids
+            out = pd.DataFrame({
+                "doc_id": ids[hit],
+                "lang": b["lang"].to_numpy()[hit],
+                "n_chars": b["n_chars"].to_numpy(dtype=np.int64)[hit],
+                "label": self.vals[idx][hit],
+            })
+            return out
+
+    return docs.map_batches(Probe, batch_format="pandas", concurrency=(1, 4))
+
+
+def sample_docs(sf_dir: str, mod: int = 10) -> rd.Dataset:
+    """Deterministic content-hash sampling: keep docs whose md5-low-half
+    of ``text`` is 0 mod ``mod`` (~1/mod of the corpus).
+
+    Hash-threshold sampling is the scale-correct way to sample a
+    distributed corpus: no coordination, stable under any partitioning /
+    re-run, and recomputable by the SQL oracle (md5_number_lower).
+    Emits (doc_id, lang).
+    """
+    from ontology_matcher_ray.functions.hashing import md5half
+
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.fromiter(
+            (md5half(t) % mod == 0 for t in b["text"].astype(str)),
+            dtype=bool, count=len(b),
+        )
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy()[keep],
+                             "lang": b["lang"].to_numpy()[keep]})
+
+    return ds.map_batches(stage, batch_format="pandas")
+
+
 def _query_vectors(sf_dir: str, n_queries: int = 4):
     head = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).limit(
         max(n_queries, 8)

@@ -100,6 +100,56 @@ def sliding_windows(sf_dir: str, size_hours: int = 3, hop_hours: int = 1) -> rd.
     )
 
 
+def asof_join(sf_dir: str, left_type: str = "purchase",
+              right_type: str = "click") -> rd.Dataset:
+    """AS-OF join (an operator Ray Data lacks natively): each ``left_type``
+    event is joined to the MOST RECENT prior-or-equal ``right_type`` event
+    of the same user.
+
+    Composition: one hash-partition exchange on ``user_id`` co-locates
+    each user's events, then a vectorized ``pd.merge_asof`` per partition
+    (sorted backward search, C-speed).  Ties on ts resolve to the larger
+    event_id (right side sorted by (ts, event_id); merge_asof takes the
+    last match), mirrored exactly by the oracle's window ordering.
+    Partitioning assumption: one user's history fits in a partition.
+    Emits (event_id, user_id, match_event_id, gap_us) with -1 sentinels
+    for left rows with no match.
+    """
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values(
+            ["ts", "event_id"], ignore_index=True)
+        right = g[g["event_type"] == right_type].sort_values(
+            ["ts", "event_id"], ignore_index=True)
+        cols = ["event_id", "user_id", "match_event_id", "gap_us"]
+        if left.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        joined = pd.merge_asof(
+            left, right.rename(columns={"event_id": "match_event_id", "ts": "match_ts"}),
+            left_on="ts", right_on="match_ts", by="user_id", direction="backward",
+        )
+        out = pd.DataFrame({
+            "event_id": joined["event_id"].astype("int64"),
+            "user_id": joined["user_id"].astype("int64"),
+            "match_event_id": joined["match_event_id"].fillna(-1).astype("int64"),
+            # integer us via timedelta64 (total_seconds() is a float and
+            # double-rounds microseconds on multi-day gaps)
+            "gap_us": np.where(
+                joined["match_event_id"].notna(),
+                (joined["ts"] - joined["match_ts"]).to_numpy()
+                .astype("timedelta64[us]").astype("int64"),
+                -1,
+            ).astype("int64"),
+        })
+        return out
+
+    from ontology_matcher_ray.stages import exchange
+
+    return exchange.partitioned_apply(ds, ["user_id"], per_partition, 32)
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user: events within ``gap_minutes`` of the
     previous event share a session.
