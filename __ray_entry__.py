@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": docs_text.doc_stats,
         "lang_stats": docs_text.lang_stats,
         "token_freq": docs_text.token_freq,
+        "top_tokens_per_lang": docs_text.top_tokens_per_lang,  # grouped top-k
         "lang_id": docs_text.lang_id,
         "sample_docs": docs_text.sample_docs,               # hash-threshold sample
         "doc_embedding_join": docs_text.doc_embedding_join, # broadcast hash join
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": docs_text.dedup_embedding,       # LSH + SQL oracle
         # --- similarity search ---
         "knn_brute": docs_text.knn_brute,
+        "knn_lsh": docs_text.knn_lsh,                       # LSH-probed, SQL oracle
         "knn_ivf": docs_text.knn_ivf,                       # rows-only (approx)
         # --- multimodal plumbing (decode stubbed; see stages/multimodal) ---
         "media_featurize": _media_featurize,                # rows-only

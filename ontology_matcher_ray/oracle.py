@@ -505,6 +505,22 @@ FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
 GROUP BY token
 """
 
+    sql["top_tokens_per_lang"] = """
+WITH tc AS (
+  SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM tc GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+  FROM cnt
+)
+SELECT lang, token, n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
     sql["lang_id"] = """
 SELECT doc_id, lang AS declared_lang,
   CASE WHEN list_contains(str_split(text,' '), 'the')
@@ -553,6 +569,40 @@ scored AS (
          list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
   FROM q CROSS JOIN embeddings e
   WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       CAST(floor(sim * 1000000) AS BIGINT) AS cos_sim_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+    sql["knn_lsh"] = f"""
+WITH {_planes_cte()},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (
+  SELECT e.vec_id, p.tbl AS tbl,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.vec) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 4),
+cand AS (
+  SELECT DISTINCT q.query_id, x.vec_id
+  FROM q
+  JOIN bk qb ON qb.vec_id = q.query_id
+  JOIN bk x  ON x.tbl = qb.tbl AND x.bucket = qb.bucket
+  WHERE x.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(q.qv, e.v) AS sim
+  FROM cand c JOIN q ON q.query_id = c.query_id
+              JOIN e ON e.vec_id = c.vec_id
 ),
 ranked AS (
   SELECT query_id, vec_id, sim,

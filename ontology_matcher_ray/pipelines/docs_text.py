@@ -166,6 +166,48 @@ def token_freq(sf_dir: str) -> rd.Dataset:
     )
 
 
+def top_tokens_per_lang(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Grouped top-k: the k most frequent tokens per language.
+
+    Classic wide-op composition: Arrow-native per-batch (lang, token)
+    combiner -> hash-partition exchange summing counts per key -> second
+    (cheap) exchange on lang alone for the per-group top-k (sort + head
+    per partition; ties broken by token asc for determinism).
+    Emits (lang, token, n, rank).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read_documents(sf_dir, columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
+        per = pa.table({
+            "lang": pc.take(t["lang"].combine_chunks(), pc.list_parent_indices(toks)),
+            "token": pc.list_flatten(toks),
+        })
+        agg = per.group_by(["lang", "token"]).aggregate([("token", "count")])
+        return pa.table({"lang": agg["lang"], "token": agg["token"],
+                         "n": pc.cast(agg["token_count"], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ontology_matcher_ray.stages import exchange
+
+    counts = exchange.grouped_agg(
+        partials, ["lang", "token"], lambda gb: gb.agg(n=("n", "sum")), 16
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n", "token"],
+                          ascending=[True, False, True], ignore_index=True)
+        out = g.groupby("lang", sort=False).head(k).copy()
+        out["rank"] = out.groupby("lang", sort=False).cumcount() + 1
+        return out
+
+    return exchange.partitioned_apply(counts, ["lang"], topk, 8)
+
+
 def lang_id(sf_dir: str) -> rd.Dataset:
     """Heuristic language id per document (stopword-overlap scorer)."""
     ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
@@ -359,6 +401,13 @@ def knn_brute(sf_dir: str, top_k: int = 5, n_queries: int = 4) -> pd.DataFrame:
     qids, qmat = _query_vectors(sf_dir, n_queries)
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     return ann_stages.brute_force_topk(ds, qmat, qids, top_k=top_k)
+
+
+def knn_lsh(sf_dir: str, top_k: int = 5, n_queries: int = 4) -> pd.DataFrame:
+    """Approximate top-k via hyperplane-LSH probing (oracle-checkable)."""
+    qids, qmat = _query_vectors(sf_dir, n_queries)
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    return ann_stages.lsh_topk(ds, qmat, qids, top_k=top_k)
 
 
 def knn_ivf(sf_dir: str, top_k: int = 5, n_queries: int = 4) -> pd.DataFrame:

@@ -91,6 +91,75 @@ def _finalize_topk(allp: pd.DataFrame, top_k: int) -> pd.DataFrame:
     return top[["query_id", "vec_id", "cos_sim_micro", "rank"]]
 
 
+def lsh_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    top_k: int = 5,
+    tables: int = 8,
+    bits: int = 6,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Hyperplane-LSH-probed ANN: score only vectors sharing a (table,
+    bucket) cell with the query.
+
+    Unlike the IVF variant (sample-trained centroids), the hyperplane
+    family is a seeded literal, so the ENTIRE algorithm — bucketing,
+    candidate set, exact cosine rank — is recomputable in SQL and this
+    approximate operator is hash-checked by the driver's oracle gate.
+    """
+    from ontology_matcher_ray.stages.dedup import lsh_hyperplanes
+
+    qraw = np.asarray(queries, dtype=np.float64)
+    planes = lsh_hyperplanes(qraw.shape[1], tables, bits, seed)
+    pows = (1 << np.arange(bits)).astype(np.int64)
+    qbuckets = np.stack([
+        ((qraw @ planes[t].T) >= 0.0).astype(np.int64) @ pows
+        for t in range(tables)
+    ], axis=1)                                   # (nq, tables)
+    qmat = _normalize(qraw)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, qbuckets, planes, pows))
+
+    class Stage:
+        def __init__(self):
+            (self.qids, self.qmat, self.qbuckets,
+             self.planes, self.pows) = ray.get(ref)
+            self.top_k = top_k
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            raw = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            buckets = np.stack([
+                ((raw @ self.planes[t].T) >= 0.0).astype(np.int64) @ self.pows
+                for t in range(self.planes.shape[0])
+            ], axis=1)                           # (n, tables)
+            mat = _normalize(raw)
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            outs = []
+            for qi in range(len(self.qids)):
+                cand = (buckets == self.qbuckets[qi][None, :]).any(axis=1)
+                cand &= ids != self.qids[qi]     # no self-match
+                if not cand.any():
+                    continue
+                sims = mat[cand] @ self.qmat[qi]
+                k = min(self.top_k, len(sims))
+                idx = np.argpartition(-sims, k - 1)[:k]
+                outs.append(pd.DataFrame({
+                    "query_id": self.qids[qi],
+                    "vec_id": ids[cand][idx],
+                    "cos_sim": sims[idx],
+                }))
+            if not outs:
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "vec_id": pd.Series([], dtype=np.int64),
+                                     "cos_sim": pd.Series([], dtype=float)})
+            return pd.concat(outs, ignore_index=True)
+
+    partial = ds.map_batches(Stage, batch_format="pandas", concurrency=(1, 8), batch_size=4096)
+    return _finalize_topk(partial.to_pandas(), top_k)
+
+
 def kmeanspp_centroids(mat: np.ndarray, nlist: int, seed: int = 11) -> np.ndarray:
     """Deterministic k-means++-style centroid pick (no Lloyd iterations —
     enough for bucketing; exactness is not required for an ANN index)."""
