@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events.hourly_windows,
         "events_sliding": events.sliding_windows,
         "events_asof": events.asof_join,                    # as-of join via exchange
+        "events_range_join": events.range_join,             # range join aggregate
         "events_sessionize": events.sessionize,
         # --- flagship corpus pipeline (sharded + resumable; rows-only) ---
         "corpus_kg_triples": _corpus_kg_triples,

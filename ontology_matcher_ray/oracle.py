@@ -667,6 +667,22 @@ SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(text) % 10 = 0
 """
 
+    sql["events_range_join"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       CAST(count(c.ts) AS BIGINT) AS n_recent
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY p.event_id, p.user_id
+"""
+
     sql["events_sessionize"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

@@ -150,6 +150,52 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
     return exchange.partitioned_apply(ds, ["user_id"], per_partition, 32)
 
 
+def range_join(sf_dir: str, left_type: str = "purchase",
+               right_type: str = "click", window_minutes: int = 30) -> rd.Dataset:
+    """RANGE join aggregate: for each ``left_type`` event, how many
+    ``right_type`` events the same user produced in the preceding
+    ``window_minutes`` (inclusive of equal timestamps).
+
+    Same partitioning shape as the as-of join (one user_id exchange), but
+    the per-partition kernel is two vectorized ``searchsorted`` probes per
+    user block (window start / event time) — no pair explosion, so a hot
+    user with a million clicks costs O(log n) per probe, not O(n).
+    Emits (event_id, user_id, n_recent).
+    """
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    ds = ds.filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
+    win = pd.Timedelta(minutes=window_minutes)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "n_recent"]
+        out_frames = []
+        left_all = g[g["event_type"] == left_type]
+        right_all = g[g["event_type"] == right_type]
+        if left_all.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        rgroups = {u: grp for u, grp in right_all.groupby("user_id", sort=False)}
+        for u, lgrp in left_all.groupby("user_id", sort=False):
+            rts = rgroups.get(u)
+            if rts is None:
+                n = np.zeros(len(lgrp), dtype=np.int64)
+            else:
+                rsorted = np.sort(rts["ts"].to_numpy())
+                lts = lgrp["ts"].to_numpy()
+                hi = np.searchsorted(rsorted, lts, side="right")
+                lo = np.searchsorted(rsorted, lts - win, side="left")
+                n = (hi - lo).astype(np.int64)
+            out_frames.append(pd.DataFrame({
+                "event_id": lgrp["event_id"].to_numpy(dtype=np.int64),
+                "user_id": np.full(len(lgrp), u, dtype=np.int64),
+                "n_recent": n,
+            }))
+        return pd.concat(out_frames, ignore_index=True)
+
+    from ontology_matcher_ray.stages import exchange
+
+    return exchange.partitioned_apply(ds, ["user_id"], per_partition, 32)
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user: events within ``gap_minutes`` of the
     previous event share a session.
