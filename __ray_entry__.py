@@ -50,7 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": docs_text.lang_id,
         "sample_docs": docs_text.sample_docs,               # hash-threshold sample
         "doc_embedding_join": docs_text.doc_embedding_join, # broadcast hash join
-        "fingerprints": docs_text.fingerprints,             # rows-only
+        "fingerprints": docs_text.fingerprints,             # SQL-recomputed oracle
         # --- dedup family ---
         "dedup_exact": docs_text.dedup_exact,
         "dedup_jaccard_adjacent": docs_text.dedup_jaccard_adjacent,
@@ -70,7 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": events.asof_join,                    # as-of join via exchange
         "events_range_join": events.range_join,             # range join aggregate
         "events_sessionize": events.sessionize,
-        # --- flagship corpus pipeline (sharded + resumable; rows-only) ---
+        # --- flagship corpus pipeline (sharded + resumable; hash-checked
+        #     against the closed-form expected parquet, scale-coupled) ---
         "corpus_kg_triples": _corpus_kg_triples,
     }
 

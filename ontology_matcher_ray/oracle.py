@@ -305,16 +305,37 @@ WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
 """
 
 
-def corpus_expected_parquet(n_files: int = 2000, dict_size: int = 2000,
-                            seed: int = 42) -> str:
-    """Write the CLOSED-FORM expected corpus-KG triple set as parquet and
-    return its path (idempotent, atomic).
+def _testdata_scales() -> list:
+    """Distinct corpus scales (n_files) the driver can run the
+    ``corpus_kg_triples`` query at: one per /root/testdata/sf* dir, via
+    the SAME formula as ``__ray_entry__._corpus_kg_triples``
+    (n_files = max(2000, n_docs * 4)).  Metadata-only parquet row counts."""
+    import glob
+    import os
 
-    ``expected_triples`` computes the set without running the engine
+    import pyarrow.parquet as pq
+
+    scales = {2000}                       # formula floor (always reachable)
+    for p in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        try:
+            n_docs = pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            continue
+        scales.add(max(2000, n_docs * 4))
+    return sorted(scales)
+
+
+def corpus_expected_parquet(dict_size: int = 2000, seed: int = 42) -> str:
+    """Write the CLOSED-FORM expected corpus-KG triple sets as ONE parquet
+    (idempotent, atomic) covering EVERY scale the query can run at, keyed
+    by a ``scale_files`` column; the SQL selects the slice whose scale
+    matches the live ``documents`` view, so oracle and query stay coupled
+    at any sf dir (sf0.01's 500 docs -> 2000 files, sf0.1's 5000 docs ->
+    20000 files, ...).
+
+    ``expected_triples`` computes each set without running the engine
     (corpus.py: pure per-file derivation + an independent mini-router), so
     this is a genuine second implementation the driver can diff against.
-    The size parameters mirror ``__ray_entry__._corpus_kg_triples`` at the
-    driver's correctness scale (500 docs -> n_files = 2000).
     """
     import os
     import tempfile
@@ -325,21 +346,30 @@ def corpus_expected_parquet(n_files: int = 2000, dict_size: int = 2000,
     from ontology_matcher_ray import corpus as corpus_mod
     from ontology_matcher_ray.state.snapshot import build_snapshot
 
+    scales = _testdata_scales()
     out_dir = "/tmp/onto_ray_oracle"
+    tag = "-".join(str(s) for s in scales)
     path = os.path.join(
         out_dir,
-        f"expected_corpus_{n_files}_{dict_size}_v{corpus_mod.CORPUS_VERSION}.parquet",
+        f"expected_corpus_{tag}_{dict_size}_v{corpus_mod.CORPUS_VERSION}.parquet",
     )
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
     snap = build_snapshot(DISEASE_SPEC, n_synthetic=dict_size, seed=seed)
-    triples = sorted(corpus_mod.expected_triples(n_files, snap, DISEASE_SPEC))
+    subj, pred, obj, scale = [], [], [], []
+    for n_files in scales:
+        triples = sorted(corpus_mod.expected_triples(n_files, snap, DISEASE_SPEC))
+        subj.extend(t[0] for t in triples)
+        pred.extend(t[1] for t in triples)
+        obj.extend(t[2] for t in triples)
+        scale.extend([n_files] * len(triples))
     table = pa.table(
         {
-            "subj": pa.array([t[0] for t in triples], pa.string()),
-            "pred": pa.array([t[1] for t in triples], pa.string()),
-            "obj": pa.array([t[2] for t in triples], pa.string()),
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "scale_files": pa.array(scale, pa.int64()),
         }
     )
     fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
@@ -356,10 +386,15 @@ def build_oracle_sql() -> dict:
     sql = {}
 
     # flagship corpus pipeline vs the closed-form expected set (written as
-    # parquet: ~17k rows is too big for a VALUES literal)
-    sql["corpus_kg_triples"] = (
-        f"SELECT subj, pred, obj FROM read_parquet('{corpus_expected_parquet()}')"
-    )
+    # parquet: ~17k rows is too big for a VALUES literal).  The slice is
+    # selected by recomputing the query's own scale formula
+    # (__ray_entry__: n_files = max(2000, n_docs * 4)) against the LIVE
+    # documents view — an unknown scale selects zero rows and fails the
+    # gate loudly instead of silently comparing the wrong expected set.
+    sql["corpus_kg_triples"] = f"""
+SELECT subj, pred, obj FROM read_parquet('{corpus_expected_parquet()}')
+WHERE scale_files = (SELECT greatest(2000, count(*) * 4) FROM documents)
+"""
 
     sql["mentions"] = f"""
 WITH {terms}

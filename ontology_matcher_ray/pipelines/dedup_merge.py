@@ -125,12 +125,16 @@ class CascadeMatcher:
             off_idx = merge_rows.map(lambda t: t[1]).to_numpy(dtype=np.int64)
             official = self.index.rows.iloc[off_idx].copy().reset_index(drop=True)
             src = b.loc[merge_rows.index].reset_index(drop=True)
+            # DataFrame.get returns the SCALAR default when the column is
+            # absent (no .astype on it) — default to a Series so the class
+            # works standalone, not only after dedup_cascade's backfill
+            src_x = src.get("xrefs", pd.Series("", index=src.index)).astype(str)
+            off_x = official.get(
+                "xrefs", pd.Series("", index=official.index)
+            ).astype(str)
             official["xrefs"] = [
                 merge_unique([i_, x_, ox_])
-                for i_, x_, ox_ in zip(
-                    src["id"].astype(str), src.get("xrefs", "").astype(str),
-                    official.get("xrefs", "").astype(str),
-                )
+                for i_, x_, ox_ in zip(src["id"].astype(str), src_x, off_x)
             ]
             pieces.append(official)
         out = pd.concat(pieces, ignore_index=True)

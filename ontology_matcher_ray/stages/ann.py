@@ -3,11 +3,16 @@
 Baseline: brute-force cosine top-k — every batch of database vectors is
 scored against a BROADCAST query matrix with one numpy matmul (queries are
 shipped via ``ray.put`` once, fetched per actor in ``__init__``), partial
-top-k per batch, final top-k in a tiny driver-side reduce.  Scale path:
-IVF — vectors are assigned to deterministic centroid buckets in one pass,
-queries probe only ``nprobe`` buckets, so the scored fraction drops by
-~nlist/nprobe; bucket assignment is groupby-free (assignment is a map, the
-search is a filtered brute-force).
+top-k per batch, distributed combine level, tiny final driver reduce.
+Scale path: IVF — vectors are assigned to deterministic centroid buckets
+in one pass, queries probe only ``nprobe`` buckets, so the scored fraction
+drops by ~nlist/nprobe; bucket assignment is groupby-free (assignment is a
+map, the search is a filtered brute-force).
+
+Determinism: every per-batch truncation sorts candidates by
+(cos_sim desc, vec_id asc) — the same order the final reduce and the SQL
+oracle use — so a tie at a batch's k-th boundary cannot drop a candidate
+the global top-k would have kept.
 """
 
 from __future__ import annotations
@@ -25,6 +30,42 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def _batch_matrix(b: pd.DataFrame, vec_col: str, order: np.ndarray) -> np.ndarray:
+    return _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col].iloc[order]])
+    )
+
+
+def _topk_rows(sims: np.ndarray, ids: np.ndarray, qids: np.ndarray,
+               top_k: int) -> pd.DataFrame:
+    """Per-batch deterministic top-k from a (nq, n) similarity matrix whose
+    COLUMNS are pre-sorted by vec_id ascending: a stable argsort on -sims
+    then breaks exact-similarity ties by vec_id asc, matching
+    ``_finalize_topk`` and the oracle's ORDER BY (sim desc, vec_id asc).
+    Non-candidates are -inf and filtered after selection."""
+    k = min(top_k, sims.shape[1])
+    if k == 0:
+        return _empty_topk()
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    rows = np.repeat(np.arange(sims.shape[0]), k)
+    cols = idx.reshape(-1)
+    picked = sims[rows, cols]
+    keep = np.isfinite(picked)
+    return pd.DataFrame(
+        {
+            "query_id": qids[rows][keep],
+            "vec_id": ids[cols][keep],
+            "cos_sim": picked[keep],
+        }
+    )
+
+
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                         "vec_id": pd.Series([], dtype=np.int64),
+                         "cos_sim": pd.Series([], dtype=float)})
+
+
 class BruteForceScorer:
     """map_batches stage: emit per-batch top-k (query_id, vec_id, cos_sim)."""
 
@@ -34,22 +75,37 @@ class BruteForceScorer:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in b[self.vec_col]]))
+        ids = b[self.id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = _batch_matrix(b, self.vec_col, order)
         sims = self.qmat @ mat.T                     # (n_queries, n_batch)
         # exclude self-matches (their sim sits exactly on the 1.0 grid
         # point, where float paths across engines can disagree)
-        sims[b[self.id_col].to_numpy()[None, :] == self.qids[:, None]] = -np.inf
-        k = min(self.top_k, sims.shape[1])
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows = np.repeat(np.arange(sims.shape[0]), k)
-        cols = idx.reshape(-1)
-        return pd.DataFrame(
-            {
-                "query_id": self.qids[rows],
-                "vec_id": b[self.id_col].to_numpy()[cols],
-                "cos_sim": sims[rows, cols],
-            }
-        )
+        sims[ids[None, :] == self.qids[:, None]] = -np.inf
+        return _topk_rows(sims, ids, self.qids, self.top_k)
+
+
+def _reduce_topk(partial: rd.Dataset, top_k: int) -> pd.DataFrame:
+    """Distributed combine + small driver reduce.
+
+    One combine level caps the driver-side frame at
+    O(n_combine_batches * nq * top_k) regardless of input block count
+    (each 64k-row combine batch folds ~thousands of per-block partials
+    into nq*top_k rows); the combine is idempotent, so at extreme block
+    counts deeper tree levels are the same stage repeated.
+    """
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[np.isfinite(b["cos_sim"])]
+        if b.empty:
+            return _empty_topk()
+        b = b.sort_values(["query_id", "cos_sim", "vec_id"],
+                          ascending=[True, False, True])
+        return b.groupby("query_id", sort=False).head(top_k)
+
+    combined = partial.map_batches(combine, batch_format="pandas",
+                                   batch_size=65536)
+    return _finalize_topk(combined.to_pandas(), top_k)
 
 
 def brute_force_topk(
@@ -60,7 +116,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
-    """Exact cosine top-k: distributed partial top-k + small final reduce.
+    """Exact cosine top-k: distributed partial top-k + combine + reduce.
 
     Returns a pandas frame (n_queries * top_k rows) with ``rank`` starting
     at 1 per query — small by construction, so driver-side materialize is
@@ -75,8 +131,7 @@ def brute_force_topk(
         concurrency=(1, 8),
         batch_size=4096,
     )
-    allp = partial.to_pandas()
-    return _finalize_topk(allp, top_k)
+    return _reduce_topk(partial, top_k)
 
 
 def _finalize_topk(allp: pd.DataFrame, top_k: int) -> pd.DataFrame:
@@ -109,6 +164,8 @@ def lsh_topk(
     family is a seeded literal, so the ENTIRE algorithm — bucketing,
     candidate set, exact cosine rank — is recomputable in SQL and this
     approximate operator is hash-checked by the driver's oracle gate.
+    Scoring is ONE (nq, n) matmul per batch with non-candidates masked to
+    -inf — no per-query Python loop.
     """
     from ontology_matcher_ray.stages.dedup import lsh_hyperplanes
 
@@ -129,35 +186,25 @@ def lsh_topk(
             self.top_k = top_k
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            raw = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            raw = np.stack([
+                np.asarray(v, dtype=np.float64) for v in b[vec_col].iloc[order]
+            ])
             buckets = np.stack([
                 ((raw @ self.planes[t].T) >= 0.0).astype(np.int64) @ self.pows
                 for t in range(self.planes.shape[0])
             ], axis=1)                           # (n, tables)
-            mat = _normalize(raw)
-            ids = b[id_col].to_numpy(dtype=np.int64)
-            outs = []
-            for qi in range(len(self.qids)):
-                cand = (buckets == self.qbuckets[qi][None, :]).any(axis=1)
-                cand &= ids != self.qids[qi]     # no self-match
-                if not cand.any():
-                    continue
-                sims = mat[cand] @ self.qmat[qi]
-                k = min(self.top_k, len(sims))
-                idx = np.argpartition(-sims, k - 1)[:k]
-                outs.append(pd.DataFrame({
-                    "query_id": self.qids[qi],
-                    "vec_id": ids[cand][idx],
-                    "cos_sim": sims[idx],
-                }))
-            if not outs:
-                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                     "vec_id": pd.Series([], dtype=np.int64),
-                                     "cos_sim": pd.Series([], dtype=float)})
-            return pd.concat(outs, ignore_index=True)
+            # candidate mask: any table where the bucket matches the query's
+            cand = (buckets[None, :, :] == self.qbuckets[:, None, :]).any(axis=2)
+            cand &= ids[None, :] != self.qids[:, None]     # no self-match
+            sims = self.qmat @ _normalize(raw).T           # (nq, n)
+            sims[~cand] = -np.inf
+            return _topk_rows(sims, ids, self.qids, self.top_k)
 
     partial = ds.map_batches(Stage, batch_format="pandas", concurrency=(1, 8), batch_size=4096)
-    return _finalize_topk(partial.to_pandas(), top_k)
+    return _reduce_topk(partial, top_k)
 
 
 def kmeanspp_centroids(mat: np.ndarray, nlist: int, seed: int = 11) -> np.ndarray:
@@ -193,7 +240,8 @@ def ivf_topk(
     across the whole table (K sized so ~2048 rows survive), not the first
     block, which on sorted/clustered data would bias the index toward one
     region.  The sample itself is tiny and driver-side by design; every
-    worker then derives the identical index without a shuffle.
+    worker then derives the identical index without a shuffle.  Scoring is
+    one masked (nq, n) matmul per batch, like the LSH variant.
     """
     n_total = ds.count()                       # metadata-only
     stride = max(1, n_total // 2048)
@@ -204,40 +252,25 @@ def ivf_topk(
     cents = _normalize(kmeanspp_centroids(smat, nlist, seed))
     qmat = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]    # (nq, nprobe)
-    probed_buckets = [set(row) for row in probe]
-    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, cents, probed_buckets))
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, cents, probe))
 
     class Stage:
         def __init__(self):
-            self.qids, self.qmat, self.cents, self.probed = ray.get(ref)
+            self.qids, self.qmat, self.cents, self.probe = ray.get(ref)
             self.top_k = top_k
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
-            assign = np.argmax(mat @ self.cents.T, axis=1)
-            outs = []
-            for qi in range(len(self.qids)):
-                mask = np.isin(assign, list(self.probed[qi]))
-                mask &= b[id_col].to_numpy() != self.qids[qi]      # no self-match
-                if not mask.any():
-                    continue
-                sims = mat[mask] @ self.qmat[qi]
-                k = min(self.top_k, len(sims))
-                idx = np.argpartition(-sims, k - 1)[:k]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": self.qids[qi],
-                            "vec_id": b[id_col].to_numpy()[mask][idx],
-                            "cos_sim": sims[idx],
-                        }
-                    )
-                )
-            if not outs:
-                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                     "vec_id": pd.Series([], dtype=np.int64),
-                                     "cos_sim": pd.Series([], dtype=float)})
-            return pd.concat(outs, ignore_index=True)
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = _batch_matrix(b, vec_col, order)
+            assign = np.argmax(mat @ self.cents.T, axis=1)        # (n,)
+            # (nq, n): vector's bucket is among the query's probed buckets
+            cand = (assign[None, None, :] == self.probe[:, :, None]).any(axis=1)
+            cand &= ids[None, :] != self.qids[:, None]            # no self-match
+            sims = self.qmat @ mat.T
+            sims[~cand] = -np.inf
+            return _topk_rows(sims, ids, self.qids, self.top_k)
 
     partial = ds.map_batches(Stage, batch_format="pandas", concurrency=(1, 8), batch_size=4096)
-    return _finalize_topk(partial.to_pandas(), top_k)
+    return _reduce_topk(partial, top_k)
