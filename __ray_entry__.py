@@ -61,9 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_brute": docs_text.knn_brute,
         "knn_lsh": docs_text.knn_lsh,                       # LSH-probed, SQL oracle
-        "knn_ivf": docs_text.knn_ivf,                       # rows-only (approx)
+        "knn_ivf": docs_text.knn_ivf,                       # expected-parquet oracle
         # --- multimodal plumbing (decode stubbed; see stages/multimodal) ---
-        "media_featurize": _media_featurize,                # rows-only
+        "media_featurize": _media_featurize,                # expected-parquet oracle
         # --- stream-shaped ---
         "events_hourly": events.hourly_windows,
         "events_sliding": events.sliding_windows,
@@ -103,7 +103,16 @@ def _corpus_kg_triples(sf_dir: str):
 
 def _media_featurize(sf_dir: str):
     """Binary-column plumbing demo: deterministic fake media table sized
-    from the documents row count -> actor-pool featurizer."""
+    from the documents row count -> actor-pool featurizer.
+
+    The feature vector is finalized to a sha256 over its float32 bytes so
+    EVERY output column is value-hash comparable against the oracle's
+    independent recomputation (oracle.media_expected_parquet); the raw
+    list<float> surface is exercised by tests/test_multimodal.py."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
     import ray.data as rd
 
     from ontology_matcher_ray.pipelines.docs_text import read_documents
@@ -114,7 +123,22 @@ def _media_featurize(sf_dir: str):
 
     n = read_documents(sf_dir, columns=["doc_id"]).count()
     ds = rd.from_pandas(synthesize_media_table(min(n, 256)))
-    return featurize_media(ds)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": b["media_id"].astype("int64").to_numpy(),
+            "kind": b["kind"].to_numpy(),
+            "width": b["width"].astype("int64").to_numpy(),
+            "height": b["height"].astype("int64").to_numpy(),
+            "duration_ms": b["duration_ms"].astype("int64").to_numpy(),
+            "payload_sha256": b["payload_sha256"].to_numpy(),
+            "feat_sha256": [
+                hashlib.sha256(np.asarray(f, dtype=np.float32).tobytes()).hexdigest()
+                for f in b["feat"]
+            ],
+        })
+
+    return featurize_media(ds).map_batches(finalize, batch_format="pandas")
 
 
 def oracle_sql() -> dict[str, str]:

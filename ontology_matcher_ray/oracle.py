@@ -379,6 +379,132 @@ def corpus_expected_parquet(dict_size: int = 2000, seed: int = 42) -> str:
     return path
 
 
+def ivf_expected_parquet(top_k: int = 5, n_queries: int = 4, nlist: int = 16,
+                         nprobe: int = 4, seed: int = 11) -> str:
+    """Expected ``knn_ivf`` result per testdata scale, as one parquet.
+
+    The IVF index is deterministic (seeded k-means++ over a stride
+    sample), so the full approximate result is precomputable.  This
+    recomputation runs OUTSIDE the engine: plain pyarrow reads + numpy
+    (no Ray, no stages/ann search path); only the seeded centroid recipe
+    is shared, because bit-identical centroids ARE the determinism
+    contract being checked.  Slices are keyed by an order-independent
+    integer fingerprint of the embeddings table —
+    sum(floor(first_component * 1e6)) — which the SQL recomputes against
+    the live view (a row-count key would collide across sf dirs with
+    equal row counts but different vectors).
+    """
+    import glob
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_matcher_ray.stages.ann import kmeanspp_centroids
+
+    def norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    frames = []
+    fps = set()
+    for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        t = pq.read_table(p, columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        fp = int(np.floor(raw[:, 0] * 1_000_000).astype(np.int64).sum())
+        if fp in fps:
+            continue
+        fps.add(fp)
+        # queries: first 8 rows in FILE order, sorted by vec_id, head n
+        # (mirrors docs_text._query_vectors' limit-then-sort semantics)
+        head = pd.DataFrame({"vec_id": ids[:8]}).assign(i=np.arange(min(8, len(ids))))
+        head = head.sort_values("vec_id").head(n_queries)
+        qidx = head["i"].to_numpy()
+        qids, qmat = ids[qidx], norm(raw[qidx])
+        # index: stride sample (file order), seeded centroids
+        stride = max(1, len(ids) // 2048)
+        smask = (ids % stride == 0) if stride > 1 else np.ones(len(ids), bool)
+        smat = norm(raw[smask][:2048])
+        cents = norm(kmeanspp_centroids(smat, nlist, seed))
+        mat = norm(raw)
+        assign = np.argmax(mat @ cents.T, axis=1)
+        probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+        rows = []
+        for qi in range(len(qids)):
+            cand = np.isin(assign, probe[qi]) & (ids != qids[qi])
+            sims = mat[cand] @ qmat[qi]
+            cids = ids[cand]
+            order = np.lexsort((cids, -sims))[:top_k]
+            for r, j in enumerate(order):
+                rows.append((int(qids[qi]), int(cids[j]),
+                             int(np.floor(sims[j] * 1_000_000)), r + 1, fp))
+        frames.append(pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "cos_sim_micro", "rank", "emb_fp"]))
+    out_dir = "/tmp/onto_ray_oracle"
+    os.makedirs(out_dir, exist_ok=True)
+    tag = "%x" % (sum(abs(f) for f in fps) & 0xFFFFFFFF)
+    path = os.path.join(out_dir, f"expected_ivf_{tag}_{top_k}_{nlist}_{nprobe}.parquet")
+    if os.path.exists(path):
+        return path
+    table = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                 preserve_index=False)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> str:
+    """Expected ``media_featurize`` output, independently recomputed.
+
+    Restates the deterministic generator + fake-decode recipes with plain
+    hashlib/numpy (no stages/multimodal import), so the actor-pool
+    pipeline's whole row — metadata passthrough, payload sha, feature
+    bytes — is hash-checked.  ``n_rows`` mirrors the query's
+    least(n_docs, 256) sizing, which is 256 at every testdata scale; the
+    SQL asserts that with a discriminator on the live documents view.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/onto_ray_oracle"
+    path = os.path.join(out_dir, f"expected_media_{n_rows}_{dim}_{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n_rows):
+        h = hashlib.blake2b(b"media%d:%d" % (seed, i), digest_size=32).digest()
+        payload = (h * (4096 // 32 + 1))[:4096]
+        dh = hashlib.blake2b(payload, digest_size=8).digest()
+        feat = (np.random.RandomState(int.from_bytes(dh[:4], "big"))
+                .rand(dim).astype(np.float32))
+        rows.append((i, kinds[i % 3], 64 + (i % 8) * 32, 64 + (i % 5) * 32,
+                     (i % 30) * 1000,
+                     hashlib.sha256(payload).hexdigest(),
+                     hashlib.sha256(feat.tobytes()).hexdigest(),
+                     n_rows))
+    df = pd.DataFrame(rows, columns=["media_id", "kind", "width", "height",
+                                     "duration_ms", "payload_sha256",
+                                     "feat_sha256", "n_rows"])
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
+    os.close(fd)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def build_oracle_sql() -> dict:
     terms = terms_cte()
     troute = troute_cte()
@@ -579,6 +705,22 @@ SELECT a.doc_id AS a, b.doc_id AS b,
          // len(list_distinct(a.s || b.s)) AS jaccard_micro
 FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 WHERE len(a.s) > 0 AND len(b.s) > 0
+"""
+
+    # precomputed expected sets (the approximate/stub-fed queries whose
+    # algebra SQL cannot express): slice picked by a value fingerprint of
+    # the LIVE view, so oracle and query scale together
+    sql["knn_ivf"] = f"""
+SELECT query_id, vec_id, cos_sim_micro, rank
+FROM read_parquet('{ivf_expected_parquet()}')
+WHERE emb_fp = (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                                     AS BIGINT)) AS BIGINT) FROM embeddings)
+"""
+
+    sql["media_featurize"] = f"""
+SELECT media_id, kind, width, height, duration_ms, payload_sha256, feat_sha256
+FROM read_parquet('{media_expected_parquet()}')
+WHERE n_rows = (SELECT least(count(*), 256) FROM documents)
 """
 
     sql["dedup_minhash"] = minhash_sql()

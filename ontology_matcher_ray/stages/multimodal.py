@@ -73,18 +73,25 @@ class MediaFeaturizer:
         rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
         return rng.rand(self.dim).astype(np.float32)
 
+    #: typed metadata columns that ride alongside the payload and pass
+    #: through the featurizer unchanged (real pipelines keep them for
+    #: downstream filtering/bucketing without re-decoding)
+    PASSTHROUGH = ("width", "height", "duration_ms")
+
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         feats = [self._decode(p) for p in b["payload"]]
-        return pd.DataFrame(
-            {
-                "media_id": b["media_id"].to_numpy(),
-                "kind": b["kind"].to_numpy(),
-                "feat": [f.tolist() for f in feats],
-                "payload_sha256": [
-                    hashlib.sha256(p).hexdigest() for p in b["payload"]
-                ],
-            }
-        )
+        out = {
+            "media_id": b["media_id"].to_numpy(),
+            "kind": b["kind"].to_numpy(),
+            "feat": [f.tolist() for f in feats],
+            "payload_sha256": [
+                hashlib.sha256(p).hexdigest() for p in b["payload"]
+            ],
+        }
+        for c in self.PASSTHROUGH:
+            if c in b.columns:
+                out[c] = b[c].to_numpy()
+        return pd.DataFrame(out)
 
 
 def featurize_media(

@@ -17,7 +17,8 @@ def test_binary_columns_roundtrip_through_actor_pool():
     ds = rd.from_pandas(df)
     out = featurize_media(ds, dim=8, concurrency=(1, 2), batch_size=16).to_pandas()
     assert len(out) == 64
-    assert set(out.columns) == {"media_id", "kind", "feat", "payload_sha256"}
+    assert set(out.columns) == {"media_id", "kind", "feat", "payload_sha256",
+                                "width", "height", "duration_ms"}
     assert all(len(f) == 8 for f in out["feat"])
     # deterministic: same payload -> same features on any worker
     out2 = featurize_media(rd.from_pandas(df), dim=8, concurrency=(1, 2),
