@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": docs_text.dedup_minhash,           # SQL-recomputed oracle
         "dedup_clusters": docs_text.dedup_clusters,         # CC cluster resolution
         "dedup_simhash": docs_text.dedup_simhash,           # SQL-recomputed oracle
+        "dedup_simhash_pairs": docs_text.dedup_simhash_pairs,  # hamming verify
         "dedup_embedding": docs_text.dedup_embedding,       # LSH + SQL oracle
         # --- similarity search ---
         "knn_brute": docs_text.knn_brute,

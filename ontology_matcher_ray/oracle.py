@@ -221,8 +221,8 @@ FROM cc GROUP BY doc_id
 """
 
 
-SIMHASH_SQL = """
-WITH tc AS (
+_SIMHASH_CTES = """
+tc AS (
   SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
   GROUP BY doc_id, w
@@ -236,13 +236,40 @@ bits AS (
 ),
 sh AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-              AS BIGINT) AS simhash
+         COALESCE(CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << bit)
+                               ELSE 0 END) AS BIGINT), 0) AS simhash
   FROM bits GROUP BY doc_id
-)
-SELECT doc_id, COALESCE(simhash, 0) AS simhash,
-       COALESCE(simhash, 0) >> 48 AS bucket
+)"""
+
+
+SIMHASH_SQL = f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash, simhash >> 48 AS bucket
 FROM sh
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Band-pigeonhole candidates + exact hamming verify, recomputed in
+    SQL bit ops (xor + bit_count) over the same simhash CTEs."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH {_SIMHASH_CTES},
+bnd AS (
+  SELECT doc_id, simhash, b.k AS band,
+         (simhash >> (b.k * {width})) & {mask} AS band_val
+  FROM sh CROSS JOIN (SELECT unnest(range({bands})) AS k) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM bnd x JOIN bnd y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
 
 
@@ -726,6 +753,7 @@ WHERE n_rows = (SELECT least(count(*), 256) FROM documents)
     sql["dedup_minhash"] = minhash_sql()
     sql["dedup_clusters"] = clusters_sql()
     sql["dedup_simhash"] = SIMHASH_SQL
+    sql["dedup_simhash_pairs"] = simhash_pairs_sql()
     sql["fingerprints"] = FINGERPRINTS_SQL
     sql["dedup_embedding"] = embedding_sql()
 

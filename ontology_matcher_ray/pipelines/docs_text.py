@@ -313,6 +313,13 @@ def dedup_simhash(sf_dir: str) -> rd.Dataset:
     return dedup_stages.simhash_buckets(read_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """Verified simhash near-dup pairs (band pigeonhole + exact hamming)."""
+    return dedup_stages.simhash_pairs(
+        read_documents(sf_dir, columns=["doc_id", "text"]), max_hamming=max_hamming
+    )
+
+
 def dedup_embedding(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
     # threshold tuned to the synthetic embeddings (random 64-dim vectors:
     # no true near-dups; 0.4 surfaces the closest-pair tail).  dim passed

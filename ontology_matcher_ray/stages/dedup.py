@@ -340,6 +340,89 @@ def simhash_buckets(ds: rd.Dataset, prefix_bits: int = 16,
     return ds.map_batches(stage, batch_format="pandas", batch_size=1024)
 
 
+# 16-bit popcount lookup (64 KiB, built once per process) — numpy < 2 has
+# no bitwise_count kernel
+_POPCOUNT16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via four 16-bit LUT probes."""
+    x = x.astype(np.uint64)
+    m = np.uint64(0xFFFF)
+    acc = _POPCOUNT16[(x & m).astype(np.int64)].astype(np.int64)
+    for s in (16, 32, 48):
+        acc += _POPCOUNT16[((x >> np.uint64(s)) & m).astype(np.int64)]
+    return acc
+
+
+def simhash_pairs(
+    ds: rd.Dataset, max_hamming: int = 3,
+    id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 32,
+) -> rd.Dataset:
+    """SimHash near-dup pairs with EXACT hamming verification — the stage
+    that completes the simhash family (``simhash_buckets`` stops at the
+    blocking surface): verified (a, b, hamming) pairs feed
+    ``near_dup_clusters`` exactly like the MinHash and embedding verifiers.
+
+    Candidate generation is the classic band pigeonhole (Manku et al.,
+    WWW'07, public): the 64-bit simhash splits into ``max_hamming + 1``
+    contiguous bands, and two hashes within ``max_hamming`` bit flips MUST
+    agree on at least one whole band — so banding loses NO true pair
+    (exact recall at the verify threshold, unlike probabilistic LSH).
+    One exchange co-locates (band, band_val) buckets — the 8-byte hash
+    rides along as the payload, so no second payload join is needed —
+    verification is a vectorized XOR + 16-bit-LUT popcount over each
+    bucket's pair triangle, and a distinct exchange dedups pairs found by
+    several bands.  Scale note: band width is 64/(max_hamming+1) bits;
+    at corpora where 2^width buckets saturate (≳10^8 docs for the default
+    16-bit bands), widen the fingerprint or pre-block by a content prefix
+    before banding.  Emits (a, b, hamming), a < b, hamming <= max_hamming.
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    bands = max_hamming + 1
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        sh = simhash64(b[text_col].astype(str)).astype(np.uint64)
+        ids = b[id_col].astype("int64").to_numpy()
+        frames = []
+        for k in range(bands):
+            val = ((sh >> np.uint64(k * width)) & mask).astype(np.int64)
+            frames.append(pd.DataFrame(
+                {"band": np.int64(k), "band_val": val,
+                 id_col: ids, "simhash": sh.astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    rows = ds.map_batches(band_rows, batch_format="pandas", batch_size=1024)
+
+    def pairs_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band", "band_val"], sort=False)[id_col].transform("size")
+        multi = g[sizes > 1]
+        out = []
+        for _key, grp in multi.groupby(["band", "band_val"], sort=False):
+            grp = grp.drop_duplicates(id_col).sort_values(id_col)
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            hs = grp["simhash"].to_numpy().astype(np.uint64)
+            ai, bi = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(hs[ai] ^ hs[bi])
+            keep = ham <= max_hamming
+            out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
+                                     "hamming": ham[keep].astype(np.int64)}))
+        cols = ["a", "b", "hamming"]
+        if not out:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        return pd.concat(out, ignore_index=True)[cols]
+
+    cand = exchange.partitioned_apply(
+        rows, ["band", "band_val"], pairs_per_partition, num_partitions
+    )
+    return exchange.distinct(cand, ["a", "b"], num_partitions)
+
+
 def lsh_hyperplanes(dim: int, tables: int = 8, bits: int = 6, seed: int = 23) -> np.ndarray:
     """(tables, bits, dim) seeded Gaussian hyperplanes — every worker (and
     the DuckDB oracle, via float literals) derives the identical family."""

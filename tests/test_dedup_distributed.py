@@ -126,3 +126,48 @@ def test_ivf_recall_on_clustered_vectors():
     a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
     recall = len(a & b) / len(b)
     assert recall >= 0.8, recall
+
+
+def test_simhash_pairs_exact_vs_brute_force(forbid_driver_materialization):
+    """Band pigeonhole guarantees EXACT recall at the hamming threshold:
+    the distributed pairs must equal a brute-force all-pairs popcount."""
+    import pyarrow.parquet as pq
+
+    from ontology_matcher_ray.functions.hashing import simhash64
+    from ontology_matcher_ray.stages.dedup import _popcount64
+
+    docs = rd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    out = _collect(dedup_stages.simhash_pairs(docs, max_hamming=3))
+    assert list(out.columns) == ["a", "b", "hamming"]
+    assert (out["a"] < out["b"]).all()
+    assert (out["hamming"] <= 3).all()
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    sh = simhash64(t["text"].astype(str)).astype(np.uint64)
+    ids = t["doc_id"].to_numpy()
+    ai, bi = np.triu_indices(len(ids), k=1)
+    ham = _popcount64(sh[ai] ^ sh[bi])
+    keep = ham <= 3
+    want = set(zip(ids[ai][keep].tolist(), ids[bi][keep].tolist(),
+                   ham[keep].tolist()))
+    got = set(zip(out["a"].tolist(), out["b"].tolist(), out["hamming"].tolist()))
+    assert got == want and len(want) > 0
+
+
+def test_simhash_pairs_feed_cluster_resolution():
+    """The verified simhash pairs drive near_dup_clusters exactly like the
+    minhash/embedding verifiers: every doc labeled, min-id survivor kept,
+    and both endpoints of every pair share a cluster.  (No materialization
+    ban here: near_dup_clusters' scalar convergence aggregate is a
+    documented, contractually-small driver read.)"""
+    docs = rd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    pairs = dedup_stages.simhash_pairs(docs, max_hamming=3)
+    ids = rd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    labels = _collect(dedup_stages.near_dup_clusters(ids, pairs))
+    assert len(labels) == 500
+    assert (labels[labels["keep"]]["cluster_id"]
+            == labels[labels["keep"]]["doc_id"]).all()
+    pdf = _collect(dedup_stages.simhash_pairs(docs, max_hamming=3))
+    lab = labels.set_index("doc_id")["cluster_id"]
+    assert (lab.loc[pdf["a"]].to_numpy() == lab.loc[pdf["b"]].to_numpy()).all()
