@@ -6,6 +6,18 @@ combiner before the shuffle (the standard map-side pre-aggregation
 pattern from the Ray Data docs on groupby/shuffle).  Values are
 aggregated in integer cents so partial-sum order cannot perturb the
 result hash.
+
+HOT-KEY SALTING (SURVEY §4.1): the per-user operators (sessionize,
+as-of join, range join) never exchange on ``user_id`` alone — the event
+volume always moves through a ``(user_id, bucket)`` key, where ``bucket``
+is a coarse time bucket (default 24 h), so a bot user with millions of
+events spreads across partitions instead of landing in one.  Cross-bucket
+state (sessions spanning midnight, as-of carry-over) is reconciled in a
+second pass that exchanges only per-(user, bucket) SUMMARY rows — O(#
+buckets) per user regardless of event count — and a third salted pass
+joins the reconciliation back.  Every operator's output is bit-identical
+to the unsalted single-exchange formulation (the SQL oracles are
+unchanged and stay green).
 """
 
 from __future__ import annotations
@@ -16,6 +28,9 @@ import numpy as np
 import pandas as pd
 
 import ray.data as rd
+
+_US = 1_000_000
+_EPOCH0 = pd.Timestamp("1970-01-01")
 
 
 def read_events(sf_dir: str, columns=None) -> rd.Dataset:
@@ -100,136 +115,440 @@ def sliding_windows(sf_dir: str, size_hours: int = 3, hop_hours: int = 1) -> rd.
     )
 
 
+def _with_bucket(b: pd.DataFrame, bucket_us: int) -> pd.DataFrame:
+    b = b.copy()
+    b["bucket"] = (b["ts"].astype("datetime64[us]").astype("int64")
+                   // bucket_us).astype("int64")
+    return b
+
+
 def asof_join(sf_dir: str, left_type: str = "purchase",
-              right_type: str = "click") -> rd.Dataset:
+              right_type: str = "click", bucket_hours: int = 24) -> rd.Dataset:
     """AS-OF join (an operator Ray Data lacks natively): each ``left_type``
     event is joined to the MOST RECENT prior-or-equal ``right_type`` event
     of the same user.
 
-    Composition: one hash-partition exchange on ``user_id`` co-locates
-    each user's events, then a vectorized ``pd.merge_asof`` per partition
-    (sorted backward search, C-speed).  Ties on ts resolve to the larger
-    event_id (right side sorted by (ts, event_id); merge_asof takes the
-    last match), mirrored exactly by the oracle's window ordering.
-    Partitioning assumption: one user's history fits in a partition.
-    Emits (event_id, user_id, match_event_id, gap_us) with -1 sentinels
-    for left rows with no match.
+    Hot-key-safe three-pass composition (no per-user partition-fit
+    assumption anywhere):
+
+    1. salted exchange on (user_id, bucket): vectorized ``pd.merge_asof``
+       against the SAME bucket's rights resolves almost every left;
+       per-bucket summaries (last right, unmatched-left markers) ride out
+       as O(1)-per-bucket rows;
+    2. user-keyed exchange over SUMMARIES ONLY: a running forward-fill
+       computes each marker bucket's carry-in (last right of any earlier
+       bucket) — a bot user costs O(#buckets) rows here, not O(#events);
+    3. salted exchange joins carry-ins back to the unmatched lefts.
+
+    Ties on ts resolve to the larger event_id (right side sorted by
+    (ts, event_id); merge_asof takes the last match), mirrored exactly by
+    the oracle's window ordering.  Emits (event_id, user_id,
+    match_event_id, gap_us) with -1 sentinels for no-match lefts.
     """
+    bucket_us = bucket_hours * 3600 * _US
     ds = read_events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
     ds = ds.filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
+    ds = ds.map_batches(lambda b: _with_bucket(b, bucket_us), batch_format="pandas")
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+    from ontology_matcher_ray.stages import exchange
+
+    P1_COLS = {"kind": "int64", "event_id": "int64", "user_id": "int64",
+               "bucket": "int64", "ts": "datetime64[us]",
+               "match_event_id": "int64", "gap_us": "int64",
+               "r_id": "int64", "r_ts": "datetime64[us]"}
+
+    def _empty(cols) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+
+    def _p1_frame(**named) -> pd.DataFrame:
+        n = len(next(iter(named.values())))
+        out = {}
+        for c, t in P1_COLS.items():
+            if c in named:
+                out[c] = pd.Series(named[c]).astype(t).to_numpy()
+            elif t == "datetime64[us]":
+                out[c] = np.full(n, _EPOCH0, dtype="datetime64[us]")
+            else:
+                out[c] = np.full(n, -1, dtype=np.int64)
+        return pd.DataFrame(out)
+
+    def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["event_type"] == left_type].sort_values(
             ["ts", "event_id"], ignore_index=True)
         right = g[g["event_type"] == right_type].sort_values(
             ["ts", "event_id"], ignore_index=True)
-        cols = ["event_id", "user_id", "match_event_id", "gap_us"]
-        if left.empty:
-            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
-        joined = pd.merge_asof(
-            left, right.rename(columns={"event_id": "match_event_id", "ts": "match_ts"}),
-            left_on="ts", right_on="match_ts", by="user_id", direction="backward",
-        )
-        out = pd.DataFrame({
-            "event_id": joined["event_id"].astype("int64"),
-            "user_id": joined["user_id"].astype("int64"),
-            "match_event_id": joined["match_event_id"].fillna(-1).astype("int64"),
-            # integer us via timedelta64 (total_seconds() is a float and
-            # double-rounds microseconds on multi-day gaps)
-            "gap_us": np.where(
-                joined["match_event_id"].notna(),
-                (joined["ts"] - joined["match_ts"]).to_numpy()
-                .astype("timedelta64[us]").astype("int64"),
-                -1,
-            ).astype("int64"),
-        })
+        pieces = []
+        if len(right):
+            # per-(user, bucket) last right, by (ts, event_id) order
+            lastr = right.groupby(["user_id", "bucket"], sort=False).tail(1)
+            pieces.append(_p1_frame(
+                kind=np.ones(len(lastr)), user_id=lastr["user_id"],
+                bucket=lastr["bucket"], r_id=lastr["event_id"],
+                r_ts=lastr["ts"]))
+        if len(left):
+            joined = pd.merge_asof(
+                left,
+                right.rename(columns={"event_id": "match_event_id",
+                                      "ts": "match_ts"}),
+                left_on="ts", right_on="match_ts",
+                by=["user_id", "bucket"], direction="backward",
+            )
+            hit = joined["match_event_id"].notna()
+            m = joined[hit]
+            if len(m):
+                pieces.append(_p1_frame(
+                    kind=np.full(len(m), -1), event_id=m["event_id"],
+                    user_id=m["user_id"],
+                    match_event_id=m["match_event_id"],
+                    gap_us=(m["ts"] - m["match_ts"]).to_numpy()
+                           .astype("timedelta64[us]").astype("int64")))
+            u = joined[~hit]
+            if len(u):
+                pieces.append(_p1_frame(
+                    kind=np.zeros(len(u)), event_id=u["event_id"],
+                    user_id=u["user_id"], bucket=u["bucket"], ts=u["ts"]))
+                mk = u[["user_id", "bucket"]].drop_duplicates()
+                pieces.append(_p1_frame(
+                    kind=np.full(len(mk), 2), user_id=mk["user_id"],
+                    bucket=mk["bucket"]))
+        if not pieces:
+            return _empty(P1_COLS)
+        return pd.concat(pieces, ignore_index=True)
+
+    p1 = exchange.partitioned_apply(
+        ds, ["user_id", "bucket"], within_bucket, 32
+    ).materialize()
+
+    def carries(g: pd.DataFrame) -> pd.DataFrame:
+        # summaries only: kind 1 = per-bucket last right, kind 2 = marker.
+        # Within one bucket, markers sort BEFORE rights so the forward
+        # fill exposes strictly-earlier buckets' rights to a marker.
+        g = g.sort_values(["user_id", "bucket", "kind"],
+                          ascending=[True, True, False], ignore_index=True)
+        is_r = g["kind"].to_numpy() == 1
+        cr = g["r_id"].where(is_r).groupby(g["user_id"]).ffill()
+        ct = g["r_ts"].where(is_r).groupby(g["user_id"]).ffill()
+        mk = g["kind"].to_numpy() == 2
+        out = _p1_frame(
+            kind=np.full(mk.sum(), 3), user_id=g.loc[mk, "user_id"],
+            bucket=g.loc[mk, "bucket"],
+            r_id=cr[mk].fillna(-1), r_ts=ct[mk].fillna(_EPOCH0))
         return out
 
-    from ontology_matcher_ray.stages import exchange
+    p2 = exchange.partitioned_apply(
+        p1.map_batches(lambda b: b[b["kind"].isin([1, 2])], batch_format="pandas"),
+        ["user_id"], carries, 32,
+    )
 
-    return exchange.partitioned_apply(ds, ["user_id"], per_partition, 32)
+    OUT_COLS = {"event_id": "int64", "user_id": "int64",
+                "match_event_id": "int64", "gap_us": "int64"}
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        un = g[g["kind"] == 0]
+        cr = g.loc[g["kind"] == 3, ["user_id", "bucket", "r_id", "r_ts"]]
+        if un.empty:
+            return _empty(OUT_COLS)
+        m = un.merge(cr, on=["user_id", "bucket"], how="left",
+                     suffixes=("", "_c"))
+        has = m["r_id_c"].fillna(-1).to_numpy() >= 0
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "match_event_id": m["r_id_c"].fillna(-1).astype("int64"),
+            "gap_us": np.where(
+                has,
+                (m["ts"] - m["r_ts_c"]).to_numpy()
+                .astype("timedelta64[us]").astype("int64"),
+                -1).astype("int64"),
+        })
+
+    p3 = exchange.partitioned_apply(
+        p1.map_batches(lambda b: b[b["kind"] == 0], batch_format="pandas")
+          .union(p2),
+        ["user_id", "bucket"], resolve, 32,
+    )
+
+    matched = p1.map_batches(
+        lambda b: b.loc[b["kind"] == -1,
+                        ["event_id", "user_id", "match_event_id", "gap_us"]],
+        batch_format="pandas",
+    )
+    return matched.union(p3)
 
 
 def range_join(sf_dir: str, left_type: str = "purchase",
-               right_type: str = "click", window_minutes: int = 30) -> rd.Dataset:
+               right_type: str = "click", window_minutes: int = 30,
+               bucket_hours: int = 24) -> rd.Dataset:
     """RANGE join aggregate: for each ``left_type`` event, how many
     ``right_type`` events the same user produced in the preceding
     ``window_minutes`` (inclusive of equal timestamps).
 
-    Same partitioning shape as the as-of join (one user_id exchange), but
-    the per-partition kernel is two vectorized ``searchsorted`` probes per
-    user block (window start / event time) — no pair explosion, so a hot
-    user with a million clicks costs O(log n) per probe, not O(n).
-    Emits (event_id, user_id, n_recent).
+    Hot-key-safe in ONE salted exchange: rows co-locate by
+    (user_id, bucket); a right event within ``window`` of its bucket's
+    end is REPLICATED into the next bucket (≤2x the right rows, exact
+    because bucket width >= window means a left's window spans at most
+    its own and the previous bucket).  The per-partition kernel is fully
+    vectorized: one composite-key sort over (group, t) and two
+    ``searchsorted`` probes per left block — no per-user Python loop, no
+    pair explosion.  Emits (event_id, user_id, n_recent).
     """
+    bucket_us = bucket_hours * 3600 * _US
+    win_us = window_minutes * 60 * _US
+    if bucket_us < win_us:
+        raise ValueError("bucket width must be >= the range window")
     ds = read_events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
     ds = ds.filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
-    win = pd.Timedelta(minutes=window_minutes)
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        ts_us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        bucket = ts_us // bucket_us
+        home = b.copy()
+        home["bucket"] = bucket
+        is_r = (b["event_type"] == right_type).to_numpy()
+        spill_mask = is_r & (ts_us % bucket_us >= bucket_us - win_us)
+        spill = b[spill_mask].copy()
+        spill["bucket"] = bucket[spill_mask] + 1
+        return pd.concat([home, spill], ignore_index=True)
+
+    routed = ds.map_batches(route, batch_format="pandas")
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ["event_id", "user_id", "n_recent"]
-        out_frames = []
-        left_all = g[g["event_type"] == left_type]
-        right_all = g[g["event_type"] == right_type]
-        if left_all.empty:
-            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
-        rgroups = {u: grp for u, grp in right_all.groupby("user_id", sort=False)}
-        for u, lgrp in left_all.groupby("user_id", sort=False):
-            rts = rgroups.get(u)
-            if rts is None:
-                n = np.zeros(len(lgrp), dtype=np.int64)
-            else:
-                rsorted = np.sort(rts["ts"].to_numpy())
-                lts = lgrp["ts"].to_numpy()
-                hi = np.searchsorted(rsorted, lts, side="right")
-                lo = np.searchsorted(rsorted, lts - win, side="left")
-                n = (hi - lo).astype(np.int64)
-            out_frames.append(pd.DataFrame({
-                "event_id": lgrp["event_id"].to_numpy(dtype=np.int64),
-                "user_id": np.full(len(lgrp), u, dtype=np.int64),
-                "n_recent": n,
-            }))
-        return pd.concat(out_frames, ignore_index=True)
+        cols = {"event_id": "int64", "user_id": "int64", "n_recent": "int64"}
+        left_mask = (g["event_type"] == left_type).to_numpy()
+        if not left_mask.any():
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        # joint group ids over (user_id, bucket) for lefts and rights
+        ub = np.stack([g["user_id"].to_numpy(dtype=np.int64),
+                       g["bucket"].to_numpy(dtype=np.int64)], axis=1)
+        _, gid = np.unique(ub, axis=0, return_inverse=True)
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # group-relative time keeps the composite key inside int64:
+        # span <= bucket + window, groups < 2^50/span in any real partition
+        gmin = np.full(gid.max() + 1, np.iinfo(np.int64).max)
+        np.minimum.at(gmin, gid, ts_us)
+        t_rel = ts_us - gmin[gid]
+        span = np.int64(bucket_us + win_us + 2)
+        comp = gid.astype(np.int64) * span + t_rel
+        r_comp = np.sort(comp[~left_mask])
+        l_comp = comp[left_mask]
+        hi = np.searchsorted(r_comp, l_comp, side="right")
+        lo = np.searchsorted(
+            r_comp,
+            gid[left_mask].astype(np.int64) * span
+            + np.maximum(t_rel[left_mask] - win_us, 0),
+            side="left")
+        # lefts only count in their HOME bucket partition (spills are
+        # right-only), so each left is emitted exactly once
+        return pd.DataFrame({
+            "event_id": g.loc[left_mask, "event_id"].to_numpy(dtype=np.int64),
+            "user_id": g.loc[left_mask, "user_id"].to_numpy(dtype=np.int64),
+            "n_recent": (hi - lo).astype(np.int64),
+        })
 
     from ontology_matcher_ray.stages import exchange
 
-    return exchange.partitioned_apply(ds, ["user_id"], per_partition, 32)
+    return exchange.partitioned_apply(
+        routed, ["user_id", "bucket"], per_partition, 32
+    )
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+def sessionize(sf_dir: str, gap_minutes: int = 30,
+               bucket_hours: int = 24) -> rd.Dataset:
     """Session windows per user: events within ``gap_minutes`` of the
-    previous event share a session.
+    previous event share a session; ``session_id`` is the user's 0-based
+    session ordinal in time order.
 
-    Runs as ONE hash-partition exchange on ``user_id`` (stages/exchange)
-    with a fully vectorized per-partition kernel: sort by (user, ts)
-    once, session breaks via diff + cumsum over the whole partition (no
-    per-user Python call), then a C-speed pandas aggregate.  The
-    partitioning assumption is that one user's history fits in one
-    partition (true for per-user event logs; hot users would be handled
-    upstream by splitting on a coarser time key).
-    Emits (user_id, session_id, n_events, session_start, session_end).
+    Hot-key-safe three-pass shape (same pattern as ``asof_join``):
+
+    1. salted exchange on (user_id, bucket): vectorized diff/cumsum
+       sessionization WITHIN each bucket -> per-bucket session summaries;
+    2. user-keyed exchange over BOUNDARY summaries only (first + last
+       session per bucket, <= 2 rows per user-bucket): detects sessions
+       spanning bucket edges, merges chains (a chain crosses a middle
+       bucket only when that bucket holds a single session), and computes
+       each bucket's session-ordinal offset — all vectorized;
+    3. salted exchange joins offsets + drop-markers back onto the
+       summaries; merged chains are emitted by pass 2 with combined
+       start/end/count.
+
+    Exactness: with bucket width >= gap, an empty bucket between two
+    events forces a time gap > gap_minutes, so only ADJACENT buckets can
+    merge — the chain algebra in pass 2 is therefore complete, and the
+    output is bit-identical to the single-exchange formulation (the SQL
+    oracle is unchanged).  Emits (user_id, session_id, n_events,
+    session_start, session_end).
     """
-    ds = read_events(sf_dir, columns=["user_id", "ts", "event_id"])
     gap = pd.Timedelta(minutes=gap_minutes)
+    bucket_us = bucket_hours * 3600 * _US
+    if bucket_us < gap_minutes * 60 * _US:
+        raise ValueError("bucket width must be >= the session gap")
+    ds = read_events(sf_dir, columns=["user_id", "ts", "event_id"])
+    ds = ds.map_batches(lambda b: _with_bucket(b, bucket_us), batch_format="pandas")
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    from ontology_matcher_ray.stages import exchange
+
+    S_COLS = {"user_id": "int64", "bucket": "int64", "local_seq": "int64",
+              "n_b": "int64", "n_events": "int64",
+              "start": "datetime64[us]", "end": "datetime64[us]",
+              "kind": "int64", "offset": "int64", "sid": "int64"}
+
+    def _empty_s() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in S_COLS.items()})
+
+    def _s_frame(**named) -> pd.DataFrame:
+        n = len(next(iter(named.values())))
+        out = {}
+        for c, t in S_COLS.items():
+            if c in named:
+                out[c] = pd.Series(named[c]).astype(t).to_numpy()
+            elif t == "datetime64[us]":
+                out[c] = np.full(n, _EPOCH0, dtype="datetime64[us]")
+            else:
+                out[c] = np.full(n, -1, dtype=np.int64)
+        return pd.DataFrame(out)
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _empty_s()
+        g = g.sort_values(["user_id", "bucket", "ts", "event_id"],
+                          ignore_index=True)
         uid = g["user_id"].to_numpy()
-        new_user = np.empty(len(g), dtype=bool)
-        new_user[0:1] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        brk = new_user | (g["ts"].diff() > gap).to_numpy()
-        run = np.cumsum(brk)                       # global session counter
-        # per-user session_id starts at 0: subtract the user's first run id
-        first_run = pd.Series(run).groupby(uid).transform("min").to_numpy()
-        g["session_id"] = (run - first_run).astype("int64")
-        out = g.groupby(["user_id", "session_id"], sort=False).agg(
+        bkt = g["bucket"].to_numpy()
+        new_grp = np.empty(len(g), dtype=bool)
+        new_grp[0:1] = True
+        new_grp[1:] = (uid[1:] != uid[:-1]) | (bkt[1:] != bkt[:-1])
+        brk = new_grp | (g["ts"].diff() > gap).to_numpy()
+        run = np.cumsum(brk)
+        first_run = pd.Series(run).groupby([uid, bkt]).transform("min").to_numpy()
+        g["local_seq"] = (run - first_run).astype("int64")
+        out = g.groupby(["user_id", "bucket", "local_seq"], sort=False).agg(
             n_events=("event_id", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
+            start=("ts", "min"), end=("ts", "max"),
         ).reset_index()
+        out["n_b"] = out.groupby(["user_id", "bucket"], sort=False)[
+            "local_seq"].transform("max") + 1
+        return _s_frame(user_id=out["user_id"], bucket=out["bucket"],
+                        local_seq=out["local_seq"], n_b=out["n_b"],
+                        n_events=out["n_events"], start=out["start"],
+                        end=out["end"], kind=np.full(len(out), -1))
+
+    p1 = exchange.partitioned_apply(
+        ds, ["user_id", "bucket"], bucket_sessions, 32
+    ).materialize()
+
+    def reconcile(g: pd.DataFrame) -> pd.DataFrame:
+        """Boundary rows (first/last session per bucket) -> offsets per
+        bucket (kind 0), chain drop-markers (kind 1), merged chain
+        sessions (kind 2).  Vectorized across all users in the partition."""
+        if g.empty:
+            return _empty_s()
+        firsts = g[g["local_seq"] == 0]
+        lasts = g[g["local_seq"] == g["n_b"] - 1]
+        bs = firsts.merge(
+            lasts, on=["user_id", "bucket", "n_b"], suffixes=("_f", "_l")
+        ).sort_values(["user_id", "bucket"], ignore_index=True)
+        u = bs["user_id"].to_numpy()
+        same_prev = np.zeros(len(bs), dtype=bool)
+        same_prev[1:] = u[1:] == u[:-1]
+        prev_end_l = bs["end_l"].shift(1)
+        merge_in = (same_prev
+                    & ((bs["start_f"] - prev_end_l) <= gap).to_numpy())
+        x = bs["n_b"].to_numpy() - merge_in.astype(np.int64)
+        base = pd.Series(x).groupby(u).cumsum().to_numpy() - x
+        offset = base - merge_in.astype(np.int64)
+        pieces = [_s_frame(user_id=bs["user_id"], bucket=bs["bucket"],
+                           offset=offset, kind=np.zeros(len(bs)))]
+        if merge_in.any():
+            e = bs.assign(
+                _off=offset,
+                _prev_bucket=bs["bucket"].shift(1),
+                _prev_off=pd.Series(offset).shift(1),
+                _prev_n_b=bs["n_b"].shift(1),
+                _prev_n_l=bs["n_events_l"].shift(1),
+                _prev_start_l=bs["start_l"].shift(1),
+            )[merge_in].reset_index(drop=True)
+            # chain continuation: this edge extends the previous edge's
+            # chain iff same user, buckets adjacent in the edge list, and
+            # the shared bucket holds a single session
+            eu = e["user_id"].to_numpy()
+            ebk = e["bucket"].to_numpy()
+            epb = e["_prev_bucket"].to_numpy()
+            enb = e["n_b"].to_numpy()
+            cont = np.zeros(len(e), dtype=bool)
+            cont[1:] = ((eu[1:] == eu[:-1]) & (epb[1:] == ebk[:-1])
+                        & (enb[:-1] == 1))
+            e["chain"] = np.cumsum(~cont)
+            agg = e.groupby("chain", sort=True).agg(
+                user_id=("user_id", "first"),
+                sid_off=("_prev_off", "first"),
+                sid_nb=("_prev_n_b", "first"),
+                base_n=("_prev_n_l", "first"),
+                start=("_prev_start_l", "first"),
+                end=("end_f", "last"),
+                add_n=("n_events_f", "sum"),
+            ).reset_index(drop=True)
+            pieces.append(_s_frame(
+                user_id=agg["user_id"],
+                sid=agg["sid_off"] + agg["sid_nb"] - 1,
+                n_events=agg["base_n"] + agg["add_n"],
+                start=agg["start"], end=agg["end"],
+                kind=np.full(len(agg), 2)))
+            drops = pd.concat([
+                pd.DataFrame({"user_id": e["user_id"],
+                              "bucket": e["_prev_bucket"].astype("int64"),
+                              "local_seq": (e["_prev_n_b"] - 1).astype("int64")}),
+                pd.DataFrame({"user_id": e["user_id"],
+                              "bucket": e["bucket"],
+                              "local_seq": np.zeros(len(e), dtype=np.int64)}),
+            ], ignore_index=True).drop_duplicates()
+            pieces.append(_s_frame(user_id=drops["user_id"],
+                                   bucket=drops["bucket"],
+                                   local_seq=drops["local_seq"],
+                                   kind=np.ones(len(drops))))
+        return pd.concat(pieces, ignore_index=True)
+
+    boundary = p1.map_batches(
+        lambda b: b[(b["local_seq"] == 0) | (b["local_seq"] == b["n_b"] - 1)],
+        batch_format="pandas",
+    )
+    p2 = exchange.partitioned_apply(boundary, ["user_id"], reconcile, 32)
+
+    OUT_COLS = {"user_id": "int64", "session_id": "int64",
+                "n_events": "int64", "session_start": "datetime64[us]",
+                "session_end": "datetime64[us]"}
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in OUT_COLS.items()})
+        sess = g[g["kind"] == -1]
+        offs = g.loc[g["kind"] == 0, ["user_id", "bucket", "offset"]].rename(
+            columns={"offset": "_off"})
+        drops = g.loc[g["kind"] == 1, ["user_id", "bucket", "local_seq"]]
+        comb = g[g["kind"] == 2]
+        m = sess.merge(offs, on=["user_id", "bucket"], how="left")
+        m = m.merge(drops.assign(_drop=1),
+                    on=["user_id", "bucket", "local_seq"], how="left")
+        m = m[m["_drop"].isna()]
+        out = pd.DataFrame({
+            "user_id": m["user_id"].astype("int64"),
+            "session_id": (m["_off"] + m["local_seq"]).astype("int64"),
+            "n_events": m["n_events"].astype("int64"),
+            "session_start": m["start"].astype("datetime64[us]"),
+            "session_end": m["end"].astype("datetime64[us]"),
+        })
+        if len(comb):
+            out = pd.concat([out, pd.DataFrame({
+                "user_id": comb["user_id"].astype("int64"),
+                "session_id": comb["sid"].astype("int64"),
+                "n_events": comb["n_events"].astype("int64"),
+                "session_start": comb["start"].astype("datetime64[us]"),
+                "session_end": comb["end"].astype("datetime64[us]"),
+            })], ignore_index=True)
         return out
 
-    from ontology_matcher_ray.stages import exchange
-
-    return exchange.partitioned_apply(ds, ["user_id"], per_partition, 32)
+    # kind-2 rows carry bucket = -1; they hash to some partition and pass
+    # straight through `assemble` — their fields are already final
+    return exchange.partitioned_apply(
+        p1.union(p2), ["user_id", "bucket"], assemble, 32
+    )
