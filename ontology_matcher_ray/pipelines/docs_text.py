@@ -271,24 +271,36 @@ def dedup_jaccard_adjacent(sf_dir: str, k: int = 3) -> rd.Dataset:
     pairsrc = ds.map_batches(shingle_rows, batch_format="pandas")
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        recs = []
-        for pid, grp in g.groupby("pair_id", sort=False):
-            if len(grp) != 2:
-                continue                    # boundary pair (last doc)
-            grp = grp.sort_values("doc_id")
-            a = set(grp.iloc[0]["sh"])
-            b_ = set(grp.iloc[1]["sh"])
-            if not a or not b_:
-                continue
-            union = len(a | b_)
-            recs.append(
-                {"a": int(grp.iloc[0]["doc_id"]), "b": int(grp.iloc[1]["doc_id"]),
-                 "jaccard_micro": (len(a & b_) * 1_000_000) // union}
-            )
         cols = ["a", "b", "jaccard_micro"]
-        if not recs:
-            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
-        return pd.DataFrame(recs)[cols]
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        if g.empty:
+            return empty
+        # positional alignment: 2-member pairs occupy rows 2i, 2i+1 after
+        # the (pair_id, doc_id) sort; boundary pairs (last doc) drop out
+        g = g.sort_values(["pair_id", "doc_id"], ignore_index=True)
+        cnt = g.groupby("pair_id", sort=False)["doc_id"].transform("size")
+        g = g[cnt == 2].reset_index(drop=True)
+        if g.empty:
+            return empty
+        import itertools
+
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sizes = np.fromiter((len(s) for s in g["sh"]),
+                            dtype=np.int64, count=len(g))
+        flat = np.fromiter(itertools.chain.from_iterable(g["sh"]),
+                           dtype=object, count=int(sizes.sum()))
+        ex = pd.DataFrame({"p": np.repeat(np.arange(len(g)) // 2, sizes),
+                           "s": flat})
+        dup = ex.groupby(["p", "s"], sort=False).size()
+        inter = np.zeros(len(g) // 2, dtype=np.int64)
+        hits = (dup == 2).groupby(level=0).sum()
+        inter[hits.index.to_numpy()] = hits.to_numpy()
+        union = sizes[0::2] + sizes[1::2] - inter
+        ok = (sizes[0::2] > 0) & (sizes[1::2] > 0)
+        jm = np.zeros_like(inter)
+        jm[ok] = (inter[ok] * 1_000_000) // union[ok]
+        return pd.DataFrame({"a": ids[0::2][ok], "b": ids[1::2][ok],
+                             "jaccard_micro": jm[ok]})
 
     return exchange.partitioned_apply(pairsrc, ["pair_id"], per_partition, 16)
 

@@ -86,10 +86,31 @@ def minhash_candidate_pairs(
     ds: rd.Dataset, num_perm: int = 64, bands: int = 16, k: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> rd.Dataset:
+    """MinHash LSH candidates, distinct (a, b) with a < b — the public
+    surface.  ``minhash_near_dups`` uses the RAW (possibly-duplicated)
+    variant instead and dedups on arrival inside the payload join,
+    saving one all-to-all over the pair set."""
+    return exchange_distinct_pairs(
+        _minhash_candidate_pairs_raw(ds, num_perm, bands, k, id_col, text_col)
+    )
+
+
+def exchange_distinct_pairs(cand: rd.Dataset, num_partitions: int = 16) -> rd.Dataset:
+    from ontology_matcher_ray.stages import exchange
+
+    return exchange.distinct(cand, ["a", "b"], num_partitions)
+
+
+def _minhash_candidate_pairs_raw(
+    ds: rd.Dataset, num_perm: int = 64, bands: int = 16, k: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> rd.Dataset:
     """MinHash LSH: band rows -> groupby(band, band_key) -> candidate pairs.
 
-    Emits distinct (a, b) with a < b.  The groupby is the only shuffle and
-    moves (id, band, key) rows — never the documents themselves.
+    Emits (a, b) with a < b; a pair caught by several bands appears once
+    PER band (callers dedup — see minhash_candidate_pairs).  The groupby
+    is the only shuffle and moves (id, band, key) rows — never the
+    documents themselves.
     """
     bandrows = ds.map_batches(
         MinHasher,
@@ -119,10 +140,9 @@ def minhash_candidate_pairs(
                                  "b": pd.Series([], dtype=np.int64)})
         return pd.concat(out, ignore_index=True)
 
-    cand = exchange.partitioned_apply(
+    return exchange.partitioned_apply(
         bandrows, ["band", "band_key"], pairs_per_partition, num_partitions=32
     )
-    return exchange.distinct(cand, ["a", "b"], num_partitions=16)
 
 
 def minhash_near_dups(
@@ -152,7 +172,9 @@ def minhash_near_dups(
     from ontology_matcher_ray.stages import exchange
 
     t_micro = int(round(threshold * 1_000_000))
-    cand = minhash_candidate_pairs(ds, num_perm, bands, k, id_col, text_col)
+    # RAW candidates: multi-band duplicates are dropped on arrival inside
+    # the payload join's first exchange (one fewer all-to-all)
+    cand = _minhash_candidate_pairs_raw(ds, num_perm, bands, k, id_col, text_col)
 
     def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -164,24 +186,50 @@ def minhash_near_dups(
     pair_sh = exchange.pair_payload_join(ds, cand, id_col, shingle_rows, num_partitions)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        recs = []
-        for (pa, pb), grp in g.groupby(["a", "b"], sort=False):
-            if len(grp) != 2:
-                continue
-            s1 = set(grp.iloc[0]["payload"])
-            s2 = set(grp.iloc[1]["payload"])
-            union = len(s1 | s2)
-            if not union:
-                continue
-            jm = (len(s1 & s2) * 1_000_000) // union
-            if jm >= t_micro:
-                recs.append({"a": int(pa), "b": int(pb), "jaccard_micro": jm})
+        out = _align_pairs(g)
         cols = ["a", "b", "jaccard_micro"]
-        if not recs:
+        if out is None:
             return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
-        return pd.DataFrame(recs)[cols]
+        g, a, b = out
+        # one exploded (pair, shingle) frame for the whole partition:
+        # intersections are shingles seen twice per pair (each side's
+        # list is already unique), all in C-speed hash groupbys
+        sizes = np.fromiter((len(p) for p in g["payload"]),
+                            dtype=np.int64, count=len(g))
+        import itertools
+
+        flat = np.fromiter(itertools.chain.from_iterable(g["payload"]),
+                           dtype=object, count=int(sizes.sum()))
+        pair_of_row = np.arange(len(g)) // 2
+        ex = pd.DataFrame({"p": np.repeat(pair_of_row, sizes), "s": flat})
+        dup = ex.groupby(["p", "s"], sort=False).size()
+        inter = np.zeros(len(g) // 2, dtype=np.int64)
+        hits = (dup == 2).groupby(level=0).sum()
+        inter[hits.index.to_numpy()] = hits.to_numpy()
+        union = sizes[0::2] + sizes[1::2] - inter
+        ok = union > 0
+        jm = np.zeros_like(inter)
+        jm[ok] = (inter[ok] * 1_000_000) // union[ok]
+        keep = ok & (jm >= t_micro)
+        return pd.DataFrame({"a": a[keep], "b": b[keep],
+                             "jaccard_micro": jm[keep]})
 
     return exchange.partitioned_apply(pair_sh, ["a", "b"], verify, num_partitions)
+
+
+def _align_pairs(g: pd.DataFrame):
+    """Sort pair-join rows by (a, b, doc_id) and keep exactly-2-member
+    pairs, so rows 2i and 2i+1 are the two sides of pair i — the
+    positional alignment that lets verify kernels run without a per-pair
+    Python loop.  Returns (frame, a_per_pair, b_per_pair) or None."""
+    if g.empty:
+        return None
+    g = g.sort_values(["a", "b", "doc_id"], ignore_index=True)
+    cnt = g.groupby(["a", "b"], sort=False)["doc_id"].transform("size")
+    g = g[cnt == 2].reset_index(drop=True)
+    if g.empty:
+        return None
+    return g, g["a"].to_numpy()[0::2], g["b"].to_numpy()[0::2]
 
 
 def near_dup_clusters(
@@ -433,6 +481,7 @@ def lsh_hyperplanes(dim: int, tables: int = 8, bits: int = 6, seed: int = 23) ->
 def embedding_lsh_candidates(
     ds: rd.Dataset, dim: int, tables: int = 8, bits: int = 6, seed: int = 23,
     id_col: str = "vec_id", vec_col: str = "embedding", num_partitions: int = 32,
+    distinct: bool = True,
 ) -> rd.Dataset:
     """Random-hyperplane LSH blocking: distinct (a, b) candidate pairs.
 
@@ -480,7 +529,9 @@ def embedding_lsh_candidates(
     cand = exchange.partitioned_apply(
         rows, ["table", "bucket"], pairs_per_partition, num_partitions
     )
-    return exchange.distinct(cand, ["a", "b"], num_partitions)
+    if distinct:
+        cand = exchange.distinct(cand, ["a", "b"], num_partitions)
+    return cand
 
 
 def embedding_near_dups(
@@ -503,8 +554,11 @@ def embedding_near_dups(
     if dim is None:
         first = ds.take(1)
         dim = len(np.asarray(first[0][vec_col]))
+    # distinct=False: multi-table duplicates are dropped on arrival inside
+    # the payload join (one fewer all-to-all over the pair set)
     cand = embedding_lsh_candidates(
-        ds, dim, tables, bits, seed, id_col, vec_col, num_partitions
+        ds, dim, tables, bits, seed, id_col, vec_col, num_partitions,
+        distinct=False,
     )
 
     def vec_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -518,19 +572,20 @@ def embedding_near_dups(
     pair_vec = exchange.pair_payload_join(ds, cand, id_col, vec_rows, num_partitions)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        recs = []
-        for (pa, pb), grp in g.groupby(["a", "b"], sort=False):
-            if len(grp) != 2:
-                continue
-            v1 = np.asarray(grp.iloc[0]["payload"], dtype=np.float64)
-            v2 = np.asarray(grp.iloc[1]["payload"], dtype=np.float64)
-            sim = float(np.dot(v1, v2) / (np.linalg.norm(v1) * np.linalg.norm(v2)))
-            if sim >= threshold:
-                recs.append({"a": int(pa), "b": int(pb),
-                             "cos_sim_micro": int(np.floor(sim * 1_000_000))})
+        out = _align_pairs(g)
         cols = ["a", "b", "cos_sim_micro"]
-        if not recs:
+        if out is None:
             return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
-        return pd.DataFrame(recs)[cols]
+        g, a, b = out
+        # positional two-row alignment -> one batched row-wise dot product
+        mat = np.stack([np.asarray(p, dtype=np.float64) for p in g["payload"]])
+        v1, v2 = mat[0::2], mat[1::2]
+        sims = (v1 * v2).sum(axis=1) / (
+            np.linalg.norm(v1, axis=1) * np.linalg.norm(v2, axis=1))
+        keep = sims >= threshold
+        return pd.DataFrame({
+            "a": a[keep], "b": b[keep],
+            "cos_sim_micro": np.floor(sims[keep] * 1_000_000).astype("int64"),
+        })
 
     return exchange.partitioned_apply(pair_vec, ["a", "b"], verify, num_partitions)
