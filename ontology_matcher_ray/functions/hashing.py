@@ -27,6 +27,14 @@ MERSENNE_P = (1 << 31) - 1        # 31-bit domain: a*x+b fits int64 exactly
 I64_MASK = (1 << 63) - 1
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants), wrapping uint64 —
+    the engine's generic vectorized int mixer (shuffle keys, band keys)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def md5half(s: str) -> int:
     """Low 8 bytes of md5, little-endian == DuckDB md5_number_lower()."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
@@ -78,13 +86,29 @@ def minhash_signature_matrix(
     family is seeded, so signatures are globally consistent across actors
     AND recomputable in DuckDB SQL (md5_number_lower + BIGINT modmul).
     """
+    sig, _ = minhash_sig_and_hashes(texts, num_perm, k, seed)
+    return sig
+
+
+def minhash_sig_and_hashes(
+    texts: pd.Series, num_perm: int = 64, k: int = 3, seed: int = 7
+):
+    """One shingling + md5 pass yielding BOTH the signature matrix and
+    each doc's sorted-unique shingle-hash set (``md5half % p`` int64) —
+    the verification payload.  Fusing the two avoids a second full-corpus
+    shingle/md5 pass in the near-dup pipeline; Jaccard over the hashed
+    sets equals Jaccard over the shingles up to md5 collisions, and the
+    SQL oracle hashes identically, so parity is bit-for-bit.
+    """
     a, b = _minhash_params(num_perm, seed)
     out = np.empty((len(texts), num_perm), dtype=np.int64)
+    hsets = []
     for row, text in enumerate(texts):
         toks = text.split(" ") if isinstance(text, str) else []
         sh = shingles(toks, k)
         if not sh:
             out[row, :] = -1
+            hsets.append(np.empty(0, dtype=np.int64))
             continue
         hv = np.fromiter(
             (md5half(s) % MERSENNE_P for s in sh), dtype=np.int64, count=len(sh)
@@ -93,7 +117,8 @@ def minhash_signature_matrix(
         # products < 2^62: exact in int64, no wrap-around
         prods = (hv[None, :] * a[:, None] + b[:, None]) % np.int64(MERSENNE_P)
         out[row, :] = prods.min(axis=1)
-    return out
+        hsets.append(np.unique(hv))
+    return out, hsets
 
 
 def band_keys(signatures: np.ndarray, bands: int = 16) -> np.ndarray:
@@ -116,6 +141,31 @@ def band_keys(signatures: np.ndarray, bands: int = 16) -> np.ndarray:
             acc = acc + "-" + chunk[:, col].astype(str)
         keys[:, bidx] = acc
     return keys
+
+
+def band_keys_int64(signatures: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Collapse each signature into ``bands`` int64 LSH bucket keys by
+    splitmix64-mixing the band's signature values — the PRODUCTION key
+    path (``band_keys``' join-strings remain the readable/SQL-mirroring
+    reference).
+
+    A 64-bit collision between two different band signatures (~n^2/2^64)
+    could only create a FALSE CANDIDATE, which exact verification
+    rejects — correctness is unaffected — while the int keys take the
+    exchange's pure-numpy fast path and skip per-row string formatting
+    entirely.
+    """
+    n, num_perm = signatures.shape
+    rows_per_band = num_perm // bands
+    out = np.empty((n, bands), dtype=np.int64)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    for bidx in range(bands):
+        chunk = signatures[:, bidx * rows_per_band:(bidx + 1) * rows_per_band]
+        h = np.full(n, np.uint64(bidx + 1), dtype=np.uint64)
+        for col in range(chunk.shape[1]):
+            h = splitmix64(h * gold + chunk[:, col].astype(np.uint64))
+        out[:, bidx] = h.view(np.int64)
+    return out
 
 
 def simhash64(texts: pd.Series) -> np.ndarray:

@@ -160,14 +160,19 @@ sh AS (
 def _minhash_pair_ctes(threshold_micro: int = 800_000, bands: int = 16,
                        rows_per_band: int = 4) -> str:
     """CTE chain ending in pairs(a, b, jaccard_micro): the engine's
-    MinHash-LSH candidate generation + exact-Jaccard verification, fully
-    recomputed in SQL."""
+    MinHash-LSH candidate generation + exact-Jaccard verification over
+    md5-hashed shingle sets (hs — the engine's verification payload,
+    hashed with the SAME md5half %% p recipe the signatures minimize
+    over), fully recomputed in SQL."""
     return f"""{_perms_cte()},
 {SHINGLE_CTES},
-hv AS (
-  SELECT doc_id, CAST(md5_number_lower(g) % {MINHASH_P} AS BIGINT) AS h
-  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0)
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           s, g -> CAST(md5_number_lower(g) % {MINHASH_P} AS BIGINT))) AS s
+  FROM sh WHERE len(s) > 0
 ),
+hv AS (SELECT doc_id, unnest(s) AS h FROM hs),
 sig AS (
   SELECT doc_id, p.j AS j, min((p.a * h + p.b) % {MINHASH_P}) AS sig
   FROM hv CROSS JOIN perms p GROUP BY doc_id, p.j
@@ -186,7 +191,7 @@ pairs AS (
   SELECT c.a, c.b,
          (len(list_intersect(sa.s, sb.s)) * 1000000)
            // len(list_distinct(sa.s || sb.s)) AS jaccard_micro
-  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+  FROM cand c JOIN hs sa ON sa.doc_id = c.a JOIN hs sb ON sb.doc_id = c.b
   WHERE (len(list_intersect(sa.s, sb.s)) * 1000000)
           // len(list_distinct(sa.s || sb.s)) >= {threshold_micro}
 )"""

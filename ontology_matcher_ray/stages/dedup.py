@@ -23,6 +23,7 @@ import ray.data as rd
 
 from ontology_matcher_ray.functions.hashing import (
     band_keys,
+    band_keys_int64,
     minhash_signature_matrix,
     sha256_hex,
     simhash64,
@@ -60,7 +61,14 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
 
 
 class MinHasher:
-    """map_batches stage: text -> (doc_id, band, band_key) candidate rows."""
+    """map_batches stage: text -> (doc_id, band, band_key) candidate rows.
+
+    Stateless (no model/index), so it dispatches as a TASK pool — no
+    actor startup latency, parallelism scales with block count.  Band
+    keys are splitmix64-mixed int64 (``band_keys_int64``): a collision
+    only adds a false candidate that verification rejects, and the int
+    keys ride the exchange's numpy fast path.
+    """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
@@ -71,7 +79,8 @@ class MinHasher:
         sig = minhash_signature_matrix(batch[self.text_col].astype(str), self.num_perm, self.k)
         keep = sig[:, 0] >= 0          # docs with >= k tokens (have shingles)
         sig = sig[keep]
-        keys = band_keys(sig, self.bands) if len(sig) else np.empty((0, self.bands), object)
+        keys = (band_keys_int64(sig, self.bands) if len(sig)
+                else np.empty((0, self.bands), np.int64))
         n = len(sig)
         return pd.DataFrame(
             {
@@ -113,12 +122,10 @@ def _minhash_candidate_pairs_raw(
     documents themselves.
     """
     bandrows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
-                                   id_col=id_col, text_col=text_col),
+        MinHasher(num_perm=num_perm, bands=bands, k=k,
+                  id_col=id_col, text_col=text_col),
         batch_format="pandas",
-        concurrency=(1, 8),
-        batch_size=1024,
+        batch_size=256,
     )
 
     from ontology_matcher_ray.stages import exchange
@@ -148,42 +155,91 @@ def _minhash_candidate_pairs_raw(
 def minhash_near_dups(
     ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 64, bands: int = 16, k: int = 3,
     id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 32,
+    materialize_signatures: bool = True,
 ) -> rd.Dataset:
-    """Candidates verified by true k-shingle Jaccard >= threshold — fully
-    DISTRIBUTED (no driver-side materialization anywhere).
+    """Candidates verified by exact Jaccard >= threshold over each doc's
+    k-shingle HASH set (``md5half % p`` — identical to the hash the
+    signatures minimize over, and recomputed identically by the SQL
+    oracle; equals raw-shingle Jaccard up to md5 collisions) — fully
+    DISTRIBUTED, no driver-side materialization anywhere.
+
+    ONE fused corpus pass (``minhash_sig_and_hashes``) produces band rows
+    AND the verification payloads, instead of shingling + hashing the
+    corpus twice.  With ``materialize_signatures`` (default) that pass's
+    output — band keys + int64 hash sets, comparable in bytes to the
+    corpus text and spillable — is checkpointed in the object store and
+    consumed by both downstream exchanges; set it False to stream instead
+    (the fused stage then re-executes once per consumer: trade recompute
+    for zero intermediate footprint, e.g. when the store is tight).
 
     Verification is a two-exchange bucketed join:
 
-      1. doc-id exchange: each doc ships its sorted-unique shingle set
-         ONCE; candidate pairs ship two membership rows (one per side).
-         Co-located by hash(doc_id), each membership row picks up its
-         doc's shingle set (vectorized pandas merge per partition).
-      2. pair exchange: the two shingle-carrying sides of each pair
-         co-locate by hash((a, b)); exact Jaccard in integer micro-units,
-         thresholded with pure integer arithmetic (floor(j*1e6) >= t_micro
-         <=> j >= t for integral t_micro), so the DuckDB oracle agrees
-         bit-for-bit.
+      1. doc-id exchange: payload rows meet candidate-pair membership
+         rows (multi-band duplicate pairs are dropped on arrival); each
+         membership picks up its doc's hash set.
+      2. pair exchange: both sides co-locate by hash((a, b)); Jaccard in
+         integer micro-units via a pure-numpy composite-key count (pair
+         ids shifted over the 31-bit hash domain), thresholded with
+         integer arithmetic so the DuckDB oracle agrees bit-for-bit.
 
-    Only shingle SETS move through the shuffle (never raw text), and only
-    for docs that are actually members of candidate pairs after the first
-    exchange drops non-candidates.  Emits (a, b, jaccard_micro).
+    Emits (a, b, jaccard_micro).
     """
-    from ontology_matcher_ray.functions.hashing import shingles
+    from ontology_matcher_ray.functions.hashing import minhash_sig_and_hashes
     from ontology_matcher_ray.stages import exchange
 
     t_micro = int(round(threshold * 1_000_000))
-    # RAW candidates: multi-band duplicates are dropped on arrival inside
-    # the payload join's first exchange (one fewer all-to-all)
-    cand = _minhash_candidate_pairs_raw(ds, num_perm, bands, k, id_col, text_col)
 
-    def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": b[id_col].astype("int64").to_numpy(),
-             "payload": [sorted(set(shingles(t.split(" "), k)))
-                         for t in b[text_col].astype(str)]}
-        )
+    def fused(batch: pd.DataFrame) -> pd.DataFrame:
+        sig, hsets = minhash_sig_and_hashes(batch[text_col].astype(str), num_perm, k)
+        keep = sig[:, 0] >= 0
+        sig = sig[keep]
+        keys = (band_keys_int64(sig, bands) if len(sig)
+                else np.empty((0, bands), np.int64))
+        ids = batch[id_col].to_numpy()[keep]
+        n = len(sig)
+        bandrows = pd.DataFrame({
+            "doc_id": np.repeat(ids, bands),
+            "band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_key": keys.reshape(-1),
+            "payload": [None] * (n * bands),
+        })
+        paysrc = pd.DataFrame({
+            "doc_id": ids,
+            "band": np.full(n, -1, dtype=np.int64),
+            "band_key": np.zeros(n, dtype=np.int64),
+            "payload": [h.tolist() for h, kp in zip(hsets, keep) if kp],
+        })
+        return pd.concat([bandrows, paysrc], ignore_index=True)
 
-    pair_sh = exchange.pair_payload_join(ds, cand, id_col, shingle_rows, num_partitions)
+    src = ds.map_batches(fused, batch_format="pandas", batch_size=256)
+    if materialize_signatures:
+        src = src.materialize()
+    bandrows = src.map_batches(
+        lambda b: b.loc[b["band"] >= 0, ["doc_id", "band", "band_key"]],
+        batch_format="pandas")
+    payloads = src.map_batches(
+        lambda b: b.loc[b["band"] < 0, ["doc_id", "payload"]],
+        batch_format="pandas")
+
+    def pairs_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band", "band_key"], sort=False)["doc_id"].transform("size")
+        multi = g[sizes > 1]
+        out = []
+        for _key, grp in multi.groupby(["band", "band_key"], sort=False):
+            ids = np.sort(grp["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            out.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        if not out:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    cand = exchange.partitioned_apply(
+        bandrows, ["band", "band_key"], pairs_per_partition, num_partitions
+    )
+    pair_sh = exchange.pair_payload_join_rows(payloads, cand, num_partitions)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         out = _align_pairs(g)
@@ -191,21 +247,19 @@ def minhash_near_dups(
         if out is None:
             return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
         g, a, b = out
-        # one exploded (pair, shingle) frame for the whole partition:
-        # intersections are shingles seen twice per pair (each side's
-        # list is already unique), all in C-speed hash groupbys
         sizes = np.fromiter((len(p) for p in g["payload"]),
                             dtype=np.int64, count=len(g))
-        import itertools
-
-        flat = np.fromiter(itertools.chain.from_iterable(g["payload"]),
-                           dtype=object, count=int(sizes.sum()))
-        pair_of_row = np.arange(len(g)) // 2
-        ex = pd.DataFrame({"p": np.repeat(pair_of_row, sizes), "s": flat})
-        dup = ex.groupby(["p", "s"], sort=False).size()
-        inter = np.zeros(len(g) // 2, dtype=np.int64)
-        hits = (dup == 2).groupby(level=0).sum()
-        inter[hits.index.to_numpy()] = hits.to_numpy()
+        if sizes.sum() == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in g["payload"] if len(p)])
+        # composite (pair_idx << 31) | hash: hashes live in the 31-bit
+        # Mersenne domain, so one np.unique counts per-pair intersections
+        pair_of_row = np.arange(len(g), dtype=np.int64) // 2
+        comp = (np.repeat(pair_of_row, sizes) << np.int64(31)) | flat
+        uniq, cnts = np.unique(comp, return_counts=True)
+        inter = np.bincount((uniq >> np.int64(31))[cnts == 2],
+                            minlength=len(g) // 2).astype(np.int64)
         union = sizes[0::2] + sizes[1::2] - inter
         ok = union > 0
         jm = np.zeros_like(inter)

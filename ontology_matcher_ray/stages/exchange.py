@@ -35,11 +35,7 @@ def _key_series(b: pd.DataFrame, cols: Sequence[str]) -> pd.Series:
     return s
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (public domain constants) — wrapping uint64."""
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+from ontology_matcher_ray.functions.hashing import splitmix64 as _mix64
 
 
 def add_partition_column(b: pd.DataFrame, cols: Sequence[str], p: int) -> pd.DataFrame:
@@ -155,9 +151,23 @@ def pair_payload_join(
     first (that is a whole extra all-to-all over the pair set).
     """
 
+    return pair_payload_join_rows(
+        ds.map_batches(payload_rows, batch_format="pandas"),
+        cand, num_partitions,
+    )
+
+
+def pair_payload_join_rows(
+    payloads: rd.Dataset,
+    cand: rd.Dataset,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """``pair_payload_join`` for a PRE-COMPUTED (doc_id, payload) dataset —
+    used when an upstream fused stage already produced the payloads (e.g.
+    MinHash signatures and shingle-hash sets from one corpus pass)."""
+
     def doc_rows(b: pd.DataFrame) -> pd.DataFrame:
-        out = payload_rows(b)
-        out = out[["doc_id", "payload"]].copy()
+        out = b[["doc_id", "payload"]].copy()
         out["a"] = np.int64(-1)
         out["b"] = np.int64(-1)
         return out[["doc_id", "a", "b", "payload"]]
@@ -180,7 +190,7 @@ def pair_payload_join(
         return out[["a", "b", "doc_id", "payload"]]
 
     joined = partitioned_apply(
-        ds.map_batches(doc_rows, batch_format="pandas").union(
+        payloads.map_batches(doc_rows, batch_format="pandas").union(
             cand.map_batches(member_rows, batch_format="pandas")
         ),
         ["doc_id"],
