@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
@@ -39,7 +40,9 @@ N_MODULES = 17
 # v3 = v2 content in ~10k-row parquet files (the previous 50k-row files
 # capped read parallelism at 64 tasks of ~800 MB decompressed each,
 # which was the dominant non-scaling component of the whole build).
-CORPUS_VERSION = 3
+# v4 = planted single-edit typo variants (adjacent transposition) in
+# every 8th file, exercising the DL<=1 typo tier.
+CORPUS_VERSION = 4
 
 
 def normalize_term(tok: str, index) -> Optional[str]:
@@ -111,8 +114,34 @@ def _planted_fuzzy(i: int, terms: List[str]) -> List[str]:
     return [term + "s"]
 
 
+def _typo_pool(terms: List[str]) -> List[str]:
+    """Terms whose single-edit variants pass the typo-tier token gate
+    (len >= 5, alphanumeric) — the plantable universe."""
+    return [t for t in terms if len(t) >= 5 and t.isalnum() and not t.isdigit()]
+
+
+def _planted_typos(i: int, typo_pool: List[str]) -> List[str]:
+    """A single-edit TYPO variant (adjacent transposition at a
+    deterministic position) planted in every 8th file, exercising the
+    bounded edit-distance tier.  The variant may happen to be another
+    exact lexicon key or resolve to nothing (ambiguous) — the closed-form
+    expected set applies the same resolution chain, so any outcome is
+    covered."""
+    if not typo_pool or i % 8 != 3:
+        return []
+    term = typo_pool[(i * 23 + 7) % len(typo_pool)]
+    n = len(term)
+    p0 = i % (n - 1)
+    for d in range(n - 1):
+        p = (p0 + d) % (n - 1)
+        if term[p] != term[p + 1]:
+            return [term[:p] + term[p + 1] + term[p] + term[p + 2:]]
+    return []
+
+
 def file_row(i: int, raw_ids: List[str], terms: List[str],
-             body_lines: int = 5) -> Dict[str, str]:
+             body_lines: int = 5,
+             typo_pool: Optional[List[str]] = None) -> Dict[str, str]:
     lang = LANGS[i % len(LANGS)]
     repo = _repo_for(i)
     # path unique per file index: the subject space must GROW with the
@@ -125,6 +154,9 @@ def file_row(i: int, raw_ids: List[str], terms: List[str],
     imports = _planted_imports(i)
     planted = _planted_terms(i, terms)
     fuzzy = _planted_fuzzy(i, terms)
+    typos = _planted_typos(
+        i, _typo_pool(terms) if typo_pool is None else typo_pool
+    )
     lines = [f"// synthetic file {i} in {lang}"]
     lines += [f"import {m}" for m in imports]
     lines += [f"# ontology ref {c}" for c in curies]
@@ -132,6 +164,8 @@ def file_row(i: int, raw_ids: List[str], terms: List[str],
         lines.append("# refs " + " ".join(planted))
     if fuzzy:
         lines.append("# see also " + " ".join(fuzzy))
+    if typos:
+        lines.append("# nearby " + " ".join(typos))
     lines += [f"@{a}" for a in _planted_annotations(i)]
     lines += [f"fn body_{i}_{k}() {{ return {(i + k) % 1000}; }}"
               for k in range(body_lines + i % 5)]
@@ -179,9 +213,11 @@ def generate_corpus(
     os.makedirs(out_dir, exist_ok=True)
     raw_ids = _raw_id_universe(snapshot)
     terms = token_lexicon_terms(snapshot)
+    typo_pool = _typo_pool(terms)
 
     def gen(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = [file_row(int(i), raw_ids, terms, body_lines) for i in batch["id"]]
+        rows = [file_row(int(i), raw_ids, terms, body_lines, typo_pool)
+                for i in batch["id"]]
         return pd.DataFrame(rows)
 
     ds = rd.range(n_files, override_num_blocks=max(8, n_files // 10_000))
@@ -195,6 +231,63 @@ def generate_corpus(
 # ---------------------------------------------------------------------------
 # Closed-form expected triples (F6) — computed WITHOUT the engine.
 # ---------------------------------------------------------------------------
+
+def _edit1(a: str, b: str) -> bool:
+    """INDEPENDENT Damerau-OSA distance<=1 check (full DP table, banded to
+    the bound) — deliberately a different algorithm from the engine's
+    case-analysis ``functions.fuzzy.dl_leq1`` so the oracle does not share
+    its bugs.  Property-tested equal in tests/test_fuzzy_match.py."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    prev2: List[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb] <= 1
+
+
+def _typo_candidates(terms: List[str]) -> Dict[str, List[str]]:
+    """variant -> [terms] deletion-neighborhood map (plain dicts; the
+    engine uses a hashed numpy index instead)."""
+    out: Dict[str, List[str]] = {}
+    for term in terms:
+        vs = {term} | {term[:k] + term[k + 1:] for k in range(len(term))}
+        for v in vs:
+            out.setdefault(v, []).append(term)
+    return out
+
+
+def _resolve_token(
+    t: str, single_terms: Set[str], del1map: Dict[str, List[str]]
+) -> Optional[str]:
+    """The full mention-resolution chain over ONE content token, computed
+    independently of the engine: exact -> lowercase fold -> plural strip
+    -> DL<=1 typo tier (unique candidate only; ambiguous drops).  Returns
+    the lexicon surface key the token resolves to, or None."""
+    if t in single_terms:
+        return t
+    low = t.lower()
+    if low in single_terms:
+        return low
+    if len(low) > 3 and low.endswith("s") and low[:-1] in single_terms:
+        return low[:-1]
+    if len(low) >= 5 and low.isalnum() and not low.isdigit():
+        vs = {low} | {low[:k] + low[k + 1:] for k in range(len(low))}
+        cands: Set[str] = set()
+        for v in vs:
+            cands.update(del1map.get(v, ()))
+        verified = {c for c in cands if _edit1(low, c)}
+        if len(verified) == 1:
+            return verified.pop()
+    return None
 
 def expected_triples(
     n_files: int, snapshot: DictionarySnapshot, spec, strategy=None,
@@ -240,9 +333,14 @@ def expected_triples(
         else:
             route_cache[rid] = rid
     terms = token_lexicon_terms(snapshot)
+    typo_pool = _typo_pool(terms)
+    single_terms = set(terms)
+    del1map = _typo_candidates(terms)
+    token_rx = re.compile(r"[A-Za-z_]\w*")     # the token contract (§4.2)
+    resolve_cache: Dict[str, Optional[str]] = {}
     triples: Set[Tuple[str, str, str]] = set()
     for i in range(n_files):
-        row = file_row(i, raw_ids, terms, body_lines)
+        row = file_row(i, raw_ids, terms, body_lines, typo_pool)
         subj = f"{row['repo']}/{row['path']}"
         for c in _planted_curies(i, raw_ids):
             out = route_cache[c]
@@ -265,15 +363,19 @@ def expected_triples(
                 return None
             return rid
 
-        for t in _planted_terms(i, terms):
-            out = term_out(t)
-            if out is not None:
-                triples.add((subj, "mentions", out))
-        for v in _planted_fuzzy(i, terms):
-            # exact-then-fuzzy: an exact lexicon key wins; otherwise the
-            # normalized form (lowercase fold + plural strip) must resolve
-            key = v if v in snapshot.lexicon else normalize_term(v, snapshot.lexicon)
-            if key is not None and " " not in key:
+        # term mentions from the FULL content token stream (not just the
+        # planted lists): the engine probes every token, so the expected
+        # set must too — this covers planted exact / case-and-plural
+        # variants / typo variants AND any accidental resolution of
+        # boilerplate tokens, symmetrically.  Token results are memoized
+        # across files (the token universe is tiny vs the corpus).
+        for t in set(token_rx.findall(row["content"])):
+            if t in resolve_cache:
+                key = resolve_cache[t]
+            else:
+                key = _resolve_token(t, single_terms, del1map)
+                resolve_cache[t] = key
+            if key is not None:
                 out = term_out(key)
                 if out is not None:
                     triples.add((subj, "mentions", out))

@@ -219,12 +219,13 @@ class ExtractLinkEmit(ExtractEmit):
     pool's startup/memory cost — at 100 TB the intermediate (raw-CURIE)
     stream never needs to exist.  The dictionary state (route table +
     PRE-ROUTED token-lexicon term index, the Aho-Corasick analogue for
-    single-token terms) is broadcast once and fetched per actor in
-    ``__init__``.
+    single-token terms, + the deletion-neighborhood typo index) is
+    broadcast once and fetched per actor in ``__init__``.
     """
 
     def __init__(self, spec: OntologySpec, routes_ref,
-                 strategy: Strategy = Strategy.MIXTURE, term_ref=None):
+                 strategy: Strategy = Strategy.MIXTURE, term_ref=None,
+                 del1_ref=None):
         super().__init__(spec)
         self.linker = Linker(routes_ref, strategy, default_prefix=spec.default)
         self.term_out: Dict[str, str] = {}
@@ -233,6 +234,12 @@ class ExtractLinkEmit(ExtractEmit):
                 ray.get(term_ref) if isinstance(term_ref, ray.ObjectRef) else term_ref
             )
             self.term_out = dict(zip(tk.tolist(), tv.tolist()))
+        # typo tier (DL<=1) index: numpy arrays read zero-copy from the
+        # object store — one plasma copy serves every actor on the node
+        self.del1 = (
+            ray.get(del1_ref) if isinstance(del1_ref, ray.ObjectRef) else del1_ref
+        )
+        self._del1_memo: Dict[str, Optional[str]] = {}
 
     def _term_rows(self, batch: pd.DataFrame) -> Optional[pd.DataFrame]:
         if not self.term_out:
@@ -242,14 +249,20 @@ class ExtractLinkEmit(ExtractEmit):
         counts = np.empty(len(subj), dtype=np.int64)
         vals: List[str] = []
         get = term_out.get
+        del1 = self.del1
+        memo = self._del1_memo
+        from ontology_matcher_ray.functions.fuzzy import del1_lookup, eligible_token
         for k, text in enumerate(batch["content"].to_numpy()):
             # exact-then-fuzzy (north-star): exact token hit wins; misses
             # fall back to lowercase fold + single plural strip
-            # (corpus.normalize_term contract).  The fallback is gated on
-            # cheap non-allocating checks (islower / last-char) so the
-            # overwhelmingly common lowercase-miss token costs ONE dict
-            # probe plus two C predicates — this loop touches every token
-            # of the corpus.
+            # (corpus.normalize_term contract), then the bounded
+            # edit-distance typo tier (DL<=1 over the deletion index,
+            # ambiguous-drop; tokens repeat heavily across files so
+            # results are memoized per actor).  The fallbacks are gated on
+            # cheap non-allocating checks (islower / last-char / len +
+            # isalnum) so the overwhelmingly common lowercase-miss token
+            # costs ONE dict probe plus a few C predicates — this loop
+            # touches every token of the corpus.
             hits = set()
             for t in set(TOKEN_RX.findall(text)):
                 out = get(t)
@@ -259,6 +272,16 @@ class ExtractLinkEmit(ExtractEmit):
                         out = get(t)
                     if out is None and t[-1] == "s" and len(t) > 3:
                         out = get(t[:-1])
+                    if out is None and del1 is not None and eligible_token(t):
+                        if t in memo:
+                            m = memo[t]
+                        else:
+                            m = del1_lookup(t, *del1)
+                            if len(memo) > 200_000:       # pathological-
+                                memo.clear()              # corpus bound
+                            memo[t] = m
+                        if m is not None:
+                            out = get(m)
                 if out is not None:
                     hits.add(out)
             hits = sorted(hits)
@@ -297,6 +320,7 @@ def _shard_pipeline(
     strategy: Strategy = Strategy.MIXTURE,
     term_ref=None,
     unique_subjects: bool = False,
+    del1_ref=None,
 ) -> Dict[str, object]:
     # Read-block sizing is BYTE-driven: let Ray's planner split to
     # target_max_block_size (forcing a per-pool block count makes blocks
@@ -345,7 +369,8 @@ def _shard_pipeline(
     pre = ds.map_batches(
         ShardStage,
         fn_constructor_kwargs=dict(spec=spec, routes_ref=routes_ref,
-                                   strategy=strategy, term_ref=term_ref),
+                                   strategy=strategy, term_ref=term_ref,
+                                   del1_ref=del1_ref),
         batch_format="pandas",
         concurrency=extract_concurrency,
         batch_size=4096,
@@ -442,6 +467,12 @@ def build_kg(
         miss = rid if (not unique or rid.startswith(default_pfx)) else ""
         term_map[t] = routes.get(rid, miss)
     term_ref = ray.put(routes_to_arrays(term_map)) if term_map else None
+    # typo-tier deletion index over the same single-token lexicon surface
+    # forms: built ONCE driver-side, broadcast as numpy arrays (zero-copy
+    # plasma reads per actor)
+    from ontology_matcher_ray.functions.fuzzy import build_del1_index
+
+    del1_ref = ray.put(build_del1_index(sorted(term_map))) if term_map else None
     manifest = Manifest(os.path.join(out_dir, "_manifest", "lineage.jsonl"))
     shards = plan_shards(corpus_files(corpus_dir), n_shards)
     return run_sharded(
@@ -452,6 +483,7 @@ def build_kg(
         lambda files, shard_out: _shard_pipeline(
             files, shard_out, routes_ref, spec, extract_concurrency,
             link_concurrency, strategy, term_ref, unique_subjects,
+            del1_ref,
         ),
     )
 

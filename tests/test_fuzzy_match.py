@@ -68,3 +68,82 @@ def test_corpus_fuzzy_variants_resolve(tmp_path):
         if key and key not in corpus_mod._planted_terms(i, terms):
             fuzzy_only += 1
     assert fuzzy_only > 10
+
+
+# ---------------------------------------------------------------------------
+# DL<=1 typo tier
+# ---------------------------------------------------------------------------
+
+def test_dl1_implementations_agree():
+    """Engine case-analysis (functions.fuzzy.dl_leq1) vs oracle DP
+    (corpus._edit1): property-equal over an exhaustive small alphabet."""
+    from itertools import product
+
+    from ontology_matcher_ray.functions.fuzzy import dl_leq1
+
+    strs = [""] + ["".join(p) for n in (1, 2, 3)
+                   for p in product("abc", repeat=n)]
+    for a in strs:
+        for b in strs:
+            assert dl_leq1(a, b) == corpus_mod._edit1(a, b), (a, b)
+    # targeted long-string cases: each single edit kind + distance-2
+    base = "windowing"
+    assert dl_leq1(base, "windowing"[:4] + "X" + "wing")  is not None  # smoke
+    cases = [
+        ("windowing", "windowing", True),
+        ("windowing", "windowingx", True),      # insert at end
+        ("windowing", "xwindowing", True),      # insert at start
+        ("windowing", "windwing", False) if len("windowing") - len("windwing") != 1
+        else ("windowing", "windwing", True),   # delete one char
+        ("windowing", "winodwing", True),       # adjacent transpose
+        ("windowing", "windawing", True),       # substitute
+        ("windowing", "winwodnig", False),      # distance 2+
+        ("spark", "kraps", False),
+    ]
+    for a, b, want in cases:
+        assert dl_leq1(a, b) == want == corpus_mod._edit1(a, b), (a, b)
+
+
+def test_del1_lookup_unique_and_ambiguous():
+    from ontology_matcher_ray.functions.fuzzy import (
+        build_del1_index,
+        del1_lookup,
+        eligible_token,
+    )
+
+    idx = build_del1_index(["stream", "streak", "window"])
+    # unique candidate at distance 1 (callers only pass NON-exact tokens)
+    assert del1_lookup("strxam", *idx) == "stream"          # substitute
+    assert del1_lookup("windwo", *idx) == "window"          # transpose
+    assert del1_lookup("windo", *idx) == "window"           # deletion
+    assert del1_lookup("windows", *idx) == "window"         # insertion
+    # "strea_" within 1 of BOTH stream and streak -> ambiguous drop
+    assert del1_lookup("strea", *idx) is None
+    assert del1_lookup("streax", *idx) is None
+    # far tokens don't match
+    assert del1_lookup("python", *idx) is None
+    # gate: short / digit / underscore tokens are ineligible
+    assert not eligible_token("modX")
+    assert not eligible_token("12345")
+    assert not eligible_token("body_1_2")
+    assert eligible_token("windwo") and eligible_token("synterm12")
+
+
+def test_corpus_typo_tier_non_vacuous():
+    """Planted typos resolve through the DL<=1 tier specifically (not the
+    fold/strip tiers), in enough files to matter."""
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=60, seed=42)
+    terms = corpus_mod.token_lexicon_terms(snap)
+    pool = corpus_mod._typo_pool(terms)
+    stl = set(terms)
+    d1 = corpus_mod._typo_candidates(terms)
+    tier4 = 0
+    for i in range(240):
+        for v in corpus_mod._planted_typos(i, pool):
+            low = v.lower()
+            if (v in stl or low in stl
+                    or (len(low) > 3 and low.endswith("s") and low[:-1] in stl)):
+                continue
+            if corpus_mod._resolve_token(v, stl, d1) is not None:
+                tier4 += 1
+    assert tier4 >= 20
