@@ -470,9 +470,11 @@ def build_kg(
     # typo-tier deletion index over the same single-token lexicon surface
     # forms: built ONCE driver-side, broadcast as numpy arrays (zero-copy
     # plasma reads per actor)
-    from ontology_matcher_ray.functions.fuzzy import build_del1_index
+    from ontology_matcher_ray.functions.fuzzy import build_del1_index_parallel
 
-    del1_ref = ray.put(build_del1_index(sorted(term_map))) if term_map else None
+    del1_ref = (
+        ray.put(build_del1_index_parallel(sorted(term_map))) if term_map else None
+    )
     manifest = Manifest(os.path.join(out_dir, "_manifest", "lineage.jsonl"))
     shards = plan_shards(corpus_files(corpus_dir), n_shards)
     return run_sharded(
