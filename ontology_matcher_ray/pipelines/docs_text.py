@@ -14,6 +14,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -395,13 +396,18 @@ def sample_docs(sf_dir: str, mod: int = 10) -> rd.Dataset:
 
     ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
 
-    def stage(b: pd.DataFrame) -> pd.DataFrame:
+    def stage(b: pd.DataFrame) -> pa.Table:
         keep = np.fromiter(
             (md5half(t) % mod == 0 for t in b["text"].astype(str)),
             dtype=bool, count=len(b),
         )
-        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy()[keep],
-                             "lang": b["lang"].to_numpy()[keep]})
+        # typed Arrow output: a batch where the filter keeps nothing must
+        # still carry the schema (size-0 object columns defeat Ray's
+        # block size estimator and spam the logs)
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy()[keep], pa.int64()),
+            "lang": pa.array(b["lang"].to_numpy()[keep], pa.string()),
+        })
 
     return ds.map_batches(stage, batch_format="pandas")
 
