@@ -103,13 +103,16 @@ def _corpus_kg_triples(sf_dir: str):
 
 
 def _media_featurize(sf_dir: str):
-    """Binary-column plumbing demo: deterministic fake media table sized
-    from the documents row count -> actor-pool featurizer.
+    """Binary-column pipeline: synthetic media table (REAL PPM/BMP/WAV
+    payloads for image/audio, opaque bytes for video) sized from the
+    documents row count -> actor-pool featurizer with genuine decode.
 
     The feature vector is finalized to a sha256 over its float32 bytes so
-    EVERY output column is value-hash comparable against the oracle's
-    independent recomputation (oracle.media_expected_parquet); the raw
-    list<float> surface is exercised by tests/test_multimodal.py."""
+    EVERY output column — metadata, payload sha over the encoded
+    container, decoded features — is value-hash comparable against the
+    oracle's independent loop-and-struct recomputation
+    (oracle.media_expected_parquet); the raw list<float> surface is
+    exercised by tests/test_multimodal.py."""
     import hashlib
 
     import numpy as np

@@ -1,0 +1,171 @@
+"""Pure-numpy codecs for UNCOMPRESSED media containers.
+
+No image/audio libraries exist in this container, but the uncompressed
+container formats are public, byte-level-simple specs — so decode is
+implemented for real here:
+
+* ``P6`` binary PPM (Netpbm spec): ASCII header + raw RGB rows;
+* ``BM`` 24-bit uncompressed BMP (BITMAPINFOHEADER): bottom-up BGR rows,
+  stride padded to 4 bytes;
+* ``RIFF/WAVE`` PCM16 (Microsoft RIFF spec): chunked fmt + data.
+
+Compressed formats (PNG/JPEG/MP3/H.264) genuinely need codec libraries
+and stay behind the featurizer's documented stub
+(``stages/multimodal.MediaFeaturizer``).  Encoders exist so the
+deterministic synthetic media table carries REAL payloads the decoders
+round-trip bit-for-bit (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary P6 PPM bytes."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM -> (H, W, 3) uint8.  Handles comment lines and any
+    whitespace run between header tokens (the Netpbm grammar)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        # skip whitespace and '#' comment lines
+        while payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end:end + 1].isspace():
+            end += 1
+        vals.append(int(payload[pos:end]))
+        pos = end
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1                              # single whitespace after maxval
+    data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit, BITMAPINFOHEADER, uncompressed)
+# ---------------------------------------------------------------------------
+
+def encode_bmp24(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes (bottom-up
+    BGR rows, stride padded to 4)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)   # flip + BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp24(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]       # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, PCM16)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """1-D int16 mono samples -> RIFF/WAVE PCM16 bytes."""
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono -> (int16 samples, sample_rate).  Walks the
+    chunk list (tolerates extra chunks before/after fmt/data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, pos + 8
+            )
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", count=clen // 2,
+                                    offset=pos + 8)
+        pos += 8 + clen + (clen & 1)      # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return samples, sample_rate
+
+
+# ---------------------------------------------------------------------------
+# magic sniffing
+# ---------------------------------------------------------------------------
+
+#: compressed formats that genuinely require codec libraries
+COMPRESSED_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"ID3": "mp3",
+    b"\x00\x00\x00\x18ftyp": "mp4",
+    b"\x00\x00\x00\x20ftyp": "mp4",
+}
+
+
+def sniff(payload: bytes) -> str:
+    """Container id for a payload: 'ppm' | 'bmp' | 'wav' | a compressed
+    format name | 'unknown'."""
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    for magic, name in COMPRESSED_MAGIC.items():
+        if payload[: len(magic)] == magic:
+            return name
+    return "unknown"

@@ -490,13 +490,119 @@ def ivf_expected_parquet(top_k: int = 5, n_queries: int = 4, nlist: int = 16,
     return path
 
 
+def _oracle_encode_ppm(i: int, w: int, h: int) -> bytes:
+    """Independent P6 encoder straight from the pixel-pattern closed form
+    (bytearray loop — never numpy, never the engine's codec)."""
+    out = bytearray(b"P6\n%d %d\n255\n" % (w, h))
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                out.append((i * 31 + y * 7 + x * 3 + c * 11) % 256)
+    return bytes(out)
+
+
+def _oracle_encode_bmp(i: int, w: int, h: int) -> bytes:
+    """Independent 24-bit BMP encoder (bottom-up BGR rows, 4-byte row
+    padding) from the same closed form."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):                 # bottom-up
+        row = bytearray()
+        for x in range(w):
+            for c in (2, 1, 0):                    # BGR
+                row.append((i * 31 + y * 7 + x * 3 + c * 11) % 256)
+        row.extend(b"\x00" * (stride - len(row)))
+        body.extend(row)
+    off = 54
+    return (struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0)
+            + bytes(body))
+
+
+def _oracle_encode_wav(i: int, duration_ms: int) -> bytes:
+    """Independent RIFF/PCM16 encoder from the sawtooth closed form."""
+    import struct
+
+    sr = 8000
+    n = sr * duration_ms // 1000
+    data = b"".join(
+        struct.pack("<h", ((k * ((i % 127) + 1) * 37) % 4096 - 2048) * 8)
+        for k in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _oracle_image_feat(i: int, w: int, h: int) -> bytes:
+    """float32[16] image features recomputed from the closed form with
+    integer sums (see stages/multimodal.image_features for the feature
+    contract — this restates it independently)."""
+    import math
+    import struct
+
+    sx = [0, 0, 0]
+    sx2 = [0, 0, 0]
+    qsum = [0, 0, 0, 0]
+    hh, wh = h // 2, w // 2
+    for y in range(h):
+        for x in range(w):
+            q = (0 if y < hh else 2) + (0 if x < wh else 1)
+            for c in range(3):
+                v = (i * 31 + y * 7 + x * 3 + c * 11) % 256
+                sx[c] += v
+                sx2[c] += v * v
+                qsum[q] += v
+    npix = float(h * w)
+    f = [0.0] * 16
+    for c in range(3):
+        f[c] = sx[c] / npix
+        f[3 + c] = math.sqrt(sx2[c] / npix - (sx[c] / npix) ** 2)
+    qn = [hh * wh, hh * (w - wh), (h - hh) * wh, (h - hh) * (w - wh)]
+    for k in range(4):
+        f[6 + k] = qsum[k] / (3.0 * qn[k]) if qn[k] else 0.0
+    f[10], f[11] = float(w), float(h)
+    return struct.pack("<16f", *f)
+
+
+def _oracle_audio_feat(i: int, duration_ms: int) -> bytes:
+    """float32[16] audio features recomputed from the sawtooth closed
+    form (integer-exact sums of s^2/2^30 terms; see
+    stages/multimodal.audio_features)."""
+    import math
+    import struct
+
+    n = 8000 * duration_ms // 1000
+    f = [0.0] * 16
+    if n:
+        s = [((k * ((i % 127) + 1) * 37) % 4096 - 2048) * 8 for k in range(n)]
+        x = [v / 32768.0 for v in s]
+        f[0] = math.sqrt(sum(v * v for v in x) / n)
+        f[1] = (sum(1 for k in range(1, n) if x[k] * x[k - 1] < 0) / (n - 1)
+                if n > 1 else 0.0)
+        f[2] = max(abs(v) for v in x)
+        for seg in range(8):
+            a, b = seg * n // 8, (seg + 1) * n // 8
+            f[3 + seg] = (math.sqrt(sum(v * v for v in x[a:b]) / (b - a))
+                          if b > a else 0.0)
+        f[11] = n / 1000.0
+    return struct.pack("<16f", *f)
+
+
 def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> str:
     """Expected ``media_featurize`` output, independently recomputed.
 
-    Restates the deterministic generator + fake-decode recipes with plain
-    hashlib/numpy (no stages/multimodal import), so the actor-pool
-    pipeline's whole row — metadata passthrough, payload sha, feature
-    bytes — is hash-checked.  ``n_rows`` mirrors the query's
+    Image and audio rows are REGENERATED from their closed-form pixel /
+    sample patterns with loop-and-struct code (independent encoders and
+    feature math — never the engine's numpy codecs), so the actor-pool
+    pipeline's whole row — metadata passthrough, payload sha over the
+    encoded container bytes, feature bytes — is hash-checked end-to-end
+    including the decode step.  Video rows restate the documented
+    deterministic-fake recipe.  ``n_rows`` mirrors the query's
     least(n_docs, 256) sizing, which is 256 at every testdata scale; the
     SQL asserts that with a discriminator on the live documents view.
     """
@@ -510,22 +616,39 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
     import pyarrow.parquet as pq
 
     out_dir = "/tmp/onto_ray_oracle"
-    path = os.path.join(out_dir, f"expected_media_{n_rows}_{dim}_{seed}.parquet")
+    path = os.path.join(
+        out_dir, f"expected_media_v2_{n_rows}_{dim}_{seed}.parquet"
+    )
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n_rows):
-        h = hashlib.blake2b(b"media%d:%d" % (seed, i), digest_size=32).digest()
-        payload = (h * (4096 // 32 + 1))[:4096]
-        dh = hashlib.blake2b(payload, digest_size=8).digest()
-        feat = (np.random.RandomState(int.from_bytes(dh[:4], "big"))
-                .rand(dim).astype(np.float32))
-        rows.append((i, kinds[i % 3], 64 + (i % 8) * 32, 64 + (i % 5) * 32,
-                     (i % 30) * 1000,
+        kind = kinds[i % 3]
+        width = 64 + (i % 8) * 32
+        height = 64 + (i % 5) * 32
+        duration_ms = (i % 30) * 1000
+        if kind == "image":
+            if (i // 3) % 2 == 0:
+                payload = _oracle_encode_ppm(i, width, height)
+            else:
+                payload = _oracle_encode_bmp(i, width, height)
+            duration_ms = 0
+            feat = _oracle_image_feat(i, width, height)
+        elif kind == "audio":
+            payload = _oracle_encode_wav(i, duration_ms)
+            width = height = 0
+            feat = _oracle_audio_feat(i, duration_ms)
+        else:
+            h = hashlib.blake2b(b"media%d:%d" % (seed, i), digest_size=32).digest()
+            payload = (h * (4096 // 32 + 1))[:4096]
+            dh = hashlib.blake2b(payload, digest_size=8).digest()
+            feat = (np.random.RandomState(int.from_bytes(dh[:4], "big"))
+                    .rand(dim).astype(np.float32).tobytes())
+        rows.append((i, kind, width, height, duration_ms,
                      hashlib.sha256(payload).hexdigest(),
-                     hashlib.sha256(feat.tobytes()).hexdigest(),
+                     hashlib.sha256(feat).hexdigest(),
                      n_rows))
     df = pd.DataFrame(rows, columns=["media_id", "kind", "width", "height",
                                      "duration_ms", "payload_sha256",

@@ -1,15 +1,20 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with REAL
+decode for uncompressed containers.
 
 Images/audio/video ride Ray Data as ``binary`` columns with metadata
-columns alongside (SURVEY's training-data extensions).  The REAL parts
-here — schema, batch sizing, actor-pool signature, output layout — are
-production-shaped; the codec itself is stubbed because no image/audio
-libraries exist in this container:
+columns alongside (SURVEY's training-data extensions).  Decoding:
 
-* ``decode_stub="deterministic"`` produces a seeded fake feature vector
-  from the payload bytes (stable across runs/workers, usable in tests);
-* ``decode_stub="raise"`` raises ``NotImplementedError`` at the exact
-  place a real ``PIL.Image.open``/``soundfile.read`` call would go.
+* ``P6`` PPM / 24-bit BMP / RIFF PCM16 WAV payloads are decoded FOR REAL
+  (pure-numpy parsers, ``functions/codecs.py``) and reduced to a
+  deterministic 16-dim feature vector (channel stats + quadrant
+  luminance for images; RMS / zero-crossings / segment energies for
+  audio);
+* compressed formats (PNG/JPEG/MP3/MP4) genuinely need codec libraries
+  absent from this container: ``decode_stub="raise"`` raises
+  ``NotImplementedError`` at the exact call site a real
+  ``PIL.Image.open``/``av.open`` would occupy, ``"deterministic"``
+  (default) substitutes a seeded fake vector so pipelines stay runnable;
+* unknown containers take the deterministic-fake path too.
 
 Batches stay SMALL (default 64) because payload bytes dominate memory:
 batch_size * payload * concurrency must fit each worker's heap.
@@ -25,28 +30,118 @@ import pandas as pd
 
 import ray.data as rd
 
+from ontology_matcher_ray.functions.codecs import (
+    COMPRESSED_MAGIC,
+    decode_bmp24,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_bmp24,
+    encode_wav,
+    sniff,
+)
+
+FEAT_DIM = 16
+
+
+def image_features(arr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> float32[16]: per-channel mean + population std
+    (via the E[x^2]-E[x]^2 identity), 2x2 quadrant luminance means
+    (rows/cols split at H//2, W//2; luminance = channel mean), then width
+    and height; zero-padded.
+
+    Every reduction is a SUM OF INTEGERS (pixel values / squared pixel
+    values fit float64 exactly below 2^53), so the result is bit-stable
+    under any summation order — the expected-parquet oracle recomputes
+    these features with independent code and must hash-match."""
+    h, w, _ = arr.shape
+    f = np.zeros(FEAT_DIM, dtype=np.float64)
+    x = arr.astype(np.float64)
+    npix = float(h * w)
+    sx = x.sum(axis=(0, 1))
+    sx2 = (x * x).sum(axis=(0, 1))
+    f[0:3] = sx / npix
+    f[3:6] = np.sqrt(sx2 / npix - (sx / npix) ** 2)
+    hh, wh = h // 2, w // 2
+    quads = [x[:hh, :wh], x[:hh, wh:], x[hh:, :wh], x[hh:, wh:]]
+    for k, q in enumerate(quads):
+        f[6 + k] = q.sum() / (3.0 * q.shape[0] * q.shape[1]) if q.size else 0.0
+    f[10] = w
+    f[11] = h
+    return f.astype(np.float32)
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """1-D int16 -> float32[16]: RMS, zero-crossing rate, peak, 8 segment
+    RMS energies (segment s spans [floor(s*n/8), floor((s+1)*n/8))), and
+    n_samples/1000; zero-padded.  Empty inputs/segments contribute 0."""
+    f = np.zeros(FEAT_DIM, dtype=np.float64)
+    n = len(samples)
+    if n:
+        x = samples.astype(np.float64) / 32768.0
+        f[0] = np.sqrt((x * x).mean())
+        f[1] = float((x[1:] * x[:-1] < 0).sum()) / (n - 1) if n > 1 else 0.0
+        f[2] = np.abs(x).max()
+        for s in range(8):
+            seg = x[s * n // 8:(s + 1) * n // 8]
+            f[3 + s] = np.sqrt((seg * seg).mean()) if seg.size else 0.0
+        f[11] = n / 1000.0
+    return f.astype(np.float32)
+
 
 def synthesize_media_table(
     n_rows: int, payload_bytes: int = 4096, seed: int = 42
 ) -> pd.DataFrame:
-    """Deterministic fake media table: (media_id, kind, payload, width,
-    height, duration_ms).  Payload bytes are blake2b-stream generated."""
+    """Deterministic media table with REAL payloads: (media_id, kind,
+    payload, width, height, duration_ms).
+
+    Image rows alternate P6 PPM / 24-bit BMP encodings of a closed-form
+    pixel pattern; audio rows are PCM16 WAV of an integer sawtooth (8 kHz
+    mono — integer arithmetic only, so bit-stable without libm); video
+    rows stay opaque blake2b streams (a compressed container would not be
+    decodable here anyway).  ``payload_bytes`` sizes only the video
+    payloads (image/audio size follows their metadata)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n_rows):
-        h = hashlib.blake2b(b"media%d:%d" % (seed, i), digest_size=32).digest()
-        payload = (h * (payload_bytes // 32 + 1))[:payload_bytes]
+        kind = kinds[i % 3]
+        width = 64 + (i % 8) * 32
+        height = 64 + (i % 5) * 32
+        duration_ms = (i % 30) * 1000
+        if kind == "image":
+            arr = media_image_pattern(i, width, height)
+            payload = encode_ppm(arr) if (i // 3) % 2 == 0 else encode_bmp24(arr)
+            duration_ms = 0
+        elif kind == "audio":
+            payload = encode_wav(media_audio_pattern(i, duration_ms), 8000)
+            width = height = 0
+        else:
+            h = hashlib.blake2b(b"media%d:%d" % (seed, i), digest_size=32).digest()
+            payload = (h * (payload_bytes // 32 + 1))[:payload_bytes]
         rows.append(
             {
                 "media_id": i,
-                "kind": kinds[i % 3],
+                "kind": kind,
                 "payload": payload,
-                "width": 64 + (i % 8) * 32,
-                "height": 64 + (i % 5) * 32,
-                "duration_ms": (i % 30) * 1000,
+                "width": width,
+                "height": height,
+                "duration_ms": duration_ms,
             }
         )
     return pd.DataFrame(rows)
+
+
+def media_image_pattern(i: int, width: int, height: int) -> np.ndarray:
+    """Closed-form pixel pattern for synthetic image i (uint8 RGB)."""
+    y, x, c = np.indices((height, width, 3))
+    return ((i * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+
+
+def media_audio_pattern(i: int, duration_ms: int, sample_rate: int = 8000) -> np.ndarray:
+    """Closed-form integer sawtooth for synthetic audio i (int16)."""
+    n = sample_rate * duration_ms // 1000
+    k = np.arange(n, dtype=np.int64)
+    return (((k * ((i % 127) + 1) * 37) % 4096 - 2048) * 8).astype(np.int16)
 
 
 class MediaFeaturizer:
@@ -54,24 +149,37 @@ class MediaFeaturizer:
 
     Real deployments put model/codec loading in ``__init__`` (once per
     actor) and batched decode in ``__call__``.  Emits
-    (media_id, kind, feat: list<float32>[dim], payload_sha256).
+    (media_id, kind, feat: list<float32>[dim], payload_sha256) plus the
+    passthrough metadata.
     """
 
-    def __init__(self, dim: int = 16, decode_stub: str = "deterministic"):
+    def __init__(self, dim: int = FEAT_DIM, decode_stub: str = "deterministic"):
         self.dim = dim
         self.decode_stub = decode_stub
-        # real version: self.model = load_model(...); self.codec = ...
+        # real version adds: self.model = load_model(...) for the
+        # compressed-format codecs/encoders
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if self.decode_stub == "raise":
-            raise NotImplementedError(
-                "media decode requires an image/audio codec library not "
-                "present in this environment (PIL/soundfile/av)"
-            )
-        # deterministic fake decode: bytes -> seeded feature vector
+    def _fake(self, payload: bytes) -> np.ndarray:
         h = hashlib.blake2b(payload, digest_size=8).digest()
         rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
         return rng.rand(self.dim).astype(np.float32)
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        container = sniff(payload)
+        if container == "ppm":
+            return image_features(decode_ppm(payload))
+        if container == "bmp":
+            return image_features(decode_bmp24(payload))
+        if container == "wav":
+            return audio_features(*decode_wav(payload))
+        if container in COMPRESSED_MAGIC.values():
+            if self.decode_stub == "raise":
+                raise NotImplementedError(
+                    f"decoding {container} requires a codec library not "
+                    "present in this environment (PIL/soundfile/av)"
+                )
+            return self._fake(payload)
+        return self._fake(payload)        # unknown container
 
     #: typed metadata columns that ride alongside the payload and pass
     #: through the featurizer unchanged (real pipelines keep them for
@@ -95,7 +203,7 @@ class MediaFeaturizer:
 
 
 def featurize_media(
-    ds: rd.Dataset, dim: int = 16, concurrency=(1, 4), batch_size: int = 64
+    ds: rd.Dataset, dim: int = FEAT_DIM, concurrency=(1, 4), batch_size: int = 64
 ) -> rd.Dataset:
     """The plumbing pipeline: small batches, actor pool, list<float> out."""
     return ds.map_batches(

@@ -1,27 +1,66 @@
-"""Multimodal plumbing: binary columns through an actor-pool featurizer."""
+"""Multimodal plumbing: binary columns through an actor-pool featurizer,
+plus real decode for the uncompressed containers (PPM/BMP/WAV)."""
+
+import hashlib
 
 import numpy as np
 import pytest
 
 import ray.data as rd
 
+from ontology_matcher_ray.functions.codecs import (
+    decode_bmp24,
+    decode_ppm,
+    decode_wav,
+    encode_bmp24,
+    encode_ppm,
+    encode_wav,
+    sniff,
+)
 from ontology_matcher_ray.stages.multimodal import (
+    FEAT_DIM,
     MediaFeaturizer,
     featurize_media,
+    media_audio_pattern,
+    media_image_pattern,
     synthesize_media_table,
 )
+
+
+def test_codec_roundtrips():
+    arr = media_image_pattern(7, 70, 33)          # odd width -> BMP padding
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+    assert (decode_bmp24(encode_bmp24(arr)) == arr).all()
+    samples = media_audio_pattern(5, 1234)
+    dec, sr = decode_wav(encode_wav(samples, 8000))
+    assert sr == 8000 and (dec == samples).all()
+
+
+def test_ppm_decoder_handles_comments_and_whitespace():
+    arr = media_image_pattern(3, 4, 2)
+    payload = b"P6\n# a comment\n 4\t2 # trailing\n255\n" + arr.tobytes()
+    assert (decode_ppm(payload) == arr).all()
+
+
+def test_sniff():
+    assert sniff(encode_ppm(media_image_pattern(0, 2, 2))) == "ppm"
+    assert sniff(encode_bmp24(media_image_pattern(0, 2, 2))) == "bmp"
+    assert sniff(encode_wav(np.zeros(4, dtype=np.int16))) == "wav"
+    assert sniff(b"\x89PNG\r\n\x1a\n....") == "png"
+    assert sniff(b"\xff\xd8\xff\xe0....") == "jpeg"
+    assert sniff(b"\x00" * 16) == "unknown"
 
 
 def test_binary_columns_roundtrip_through_actor_pool():
     df = synthesize_media_table(64, payload_bytes=1024)
     ds = rd.from_pandas(df)
-    out = featurize_media(ds, dim=8, concurrency=(1, 2), batch_size=16).to_pandas()
+    out = featurize_media(ds, concurrency=(1, 2), batch_size=16).to_pandas()
     assert len(out) == 64
     assert set(out.columns) == {"media_id", "kind", "feat", "payload_sha256",
                                 "width", "height", "duration_ms"}
-    assert all(len(f) == 8 for f in out["feat"])
+    assert all(len(f) == FEAT_DIM for f in out["feat"])
     # deterministic: same payload -> same features on any worker
-    out2 = featurize_media(rd.from_pandas(df), dim=8, concurrency=(1, 2),
+    out2 = featurize_media(rd.from_pandas(df), concurrency=(1, 2),
                            batch_size=32).to_pandas()
     a = out.sort_values("media_id").reset_index(drop=True)
     b = out2.sort_values("media_id").reset_index(drop=True)
@@ -29,7 +68,34 @@ def test_binary_columns_roundtrip_through_actor_pool():
     assert all(np.allclose(x, y) for x, y in zip(a["feat"], b["feat"]))
 
 
+def test_real_decode_reaches_image_and_audio_features():
+    """Image rows must produce channel-mean features derivable from the
+    pixel closed form — proof the PPM/BMP decode actually ran (a fake
+    vector is U[0,1); channel means sit near 127.5)."""
+    f = MediaFeaturizer()
+    arr = media_image_pattern(1, 64, 64)
+    feat = f._decode(encode_ppm(arr))
+    assert np.allclose(feat[0:3], arr.astype(np.float64).mean(axis=(0, 1)))
+    assert feat[10] == 64 and feat[11] == 64
+    samples = media_audio_pattern(2, 2000)
+    afeat = f._decode(encode_wav(samples, 8000))
+    x = samples.astype(np.float64) / 32768.0
+    assert np.isclose(afeat[0], np.sqrt((x * x).mean()), rtol=1e-6)
+
+
 def test_decode_stub_raises_where_real_codec_goes():
     f = MediaFeaturizer(decode_stub="raise")
     with pytest.raises(NotImplementedError, match="codec"):
-        f._decode(b"\x00" * 16)
+        f._decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    # uncompressed containers decode fine even in raise mode
+    arr = media_image_pattern(0, 8, 8)
+    assert f._decode(encode_ppm(arr)).shape == (FEAT_DIM,)
+
+
+def test_payload_sha_matches_independent_hash():
+    df = synthesize_media_table(6)
+    out = featurize_media(rd.from_pandas(df), concurrency=(1, 1),
+                          batch_size=8).to_pandas()
+    merged = out.merge(df[["media_id", "payload"]], on="media_id")
+    for _, r in merged.iterrows():
+        assert r["payload_sha256"] == hashlib.sha256(r["payload"]).hexdigest()
