@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curie_parse": docs_kg.curie_parse,                 # M3
         # --- text analysis (training-data ops) ---
         "doc_stats": docs_text.doc_stats,
+        "doc_quality": docs_text.doc_quality,               # Gopher repetition bands
         "lang_stats": docs_text.lang_stats,
         "token_freq": docs_text.token_freq,
         "top_tokens_per_lang": docs_text.top_tokens_per_lang,  # grouped top-k

@@ -806,6 +806,38 @@ GROUP BY 1
 
     sql["doc_stats"] = DOC_STATS_SQL
 
+    # Gopher-style repetition heuristics (docs_text.doc_quality): the
+    # token/bigram counting is fully recomputed with DuckDB list/lambda
+    # kernels; thresholds restated literally.
+    sql["doc_quality"] = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS n, count(*) AS nd
+        FROM tc GROUP BY 1),
+bg AS (SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+       FROM t),
+m AS (SELECT a.doc_id,
+        CAST(n AS BIGINT) AS n_tokens,
+        (mx * 1000000) // n AS top_token_frac_micro,
+        ((n - nd) * 1000000) // n AS repeat_ratio_micro,
+        ((len(bigrams) - len(list_distinct(bigrams))) * 1000000)
+          // greatest(len(bigrams), 1) AS bigram_repeat_micro
+      FROM agg a JOIN bg USING (doc_id))
+SELECT doc_id, n_tokens,
+       CAST(top_token_frac_micro AS BIGINT) AS top_token_frac_micro,
+       CAST(repeat_ratio_micro AS BIGINT) AS repeat_ratio_micro,
+       CAST(bigram_repeat_micro AS BIGINT) AS bigram_repeat_micro,
+       CASE WHEN top_token_frac_micro > 140000 OR repeat_ratio_micro > 650000
+              THEN 'low'
+            WHEN repeat_ratio_micro < 400000 AND bigram_repeat_micro < 20000
+              THEN 'high'
+            ELSE 'medium' END AS quality_band
+FROM m
+"""
+
     sql["lang_stats"] = f"""
 WITH ds AS ({DOC_STATS_SQL})
 SELECT lang,

@@ -439,3 +439,85 @@ def knn_ivf(sf_dir: str, top_k: int = 5, n_queries: int = 4) -> pd.DataFrame:
     qids, qmat = _query_vectors(sf_dir, n_queries)
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     return ann_stages.ivf_topk(ds, qmat, qids, top_k=top_k)
+
+
+def doc_quality(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition/quality heuristics per document — Arrow
+    hash aggregation, no shuffle, no Python row loop.
+
+    Public heuristics from Rae et al. 2021 ("Scaling Language Models:
+    ... Gopher", §A1.1 repetition filters): fraction of the most common
+    token, duplicate-token fraction, duplicate-bigram fraction — plus a
+    three-way ``quality_band`` a curation pipeline would filter on.
+    Integer micro-unit algebra (floor division) keeps every value exactly
+    recomputable by the DuckDB oracle.
+
+    Batch-local by construction (all metrics are per-doc), so it streams
+    at any corpus size.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        text = pc.cast(t["text"], pa.string())
+        def _one_chunk(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        toks = _one_chunk(pc.split_pattern(text, " "))
+        flat = _one_chunk(pc.list_flatten(toks))
+        parent = _one_chunk(pc.list_parent_indices(toks))
+
+        # (doc, token) counts -> per-doc max / total / distinct
+        tc = pa.table({"p": parent, "tok": flat}).group_by(
+            ["p", "tok"]).aggregate([("tok", "count")])
+        agg = tc.group_by("p").aggregate(
+            [("tok_count", "max"), ("tok_count", "sum"), ("tok", "count")]
+        )
+        p_idx = agg["p"].to_numpy()
+        mx = np.zeros(n_rows, dtype=np.int64)
+        n = np.ones(n_rows, dtype=np.int64)
+        nd = np.ones(n_rows, dtype=np.int64)
+        mx[p_idx] = agg["tok_count_max"].to_numpy()
+        n[p_idx] = agg["tok_count_sum"].to_numpy()
+        nd[p_idx] = agg["tok_count"].to_numpy()
+
+        # adjacent-token bigrams within each doc (vectorized slice+join)
+        nf = len(flat)
+        if nf > 1:
+            lead = flat.slice(1, nf - 1)
+            base = flat.slice(0, nf - 1)
+            same_doc = pc.equal(parent.slice(0, nf - 1), parent.slice(1, nf - 1))
+            bg = pc.binary_join_element_wise(base, lead, " ")
+            bt = pa.table({"p": parent.slice(0, nf - 1), "bg": bg}).filter(same_doc)
+            bagg = bt.group_by("p").aggregate(
+                [("bg", "count"), ("bg", "count_distinct")]
+            )
+            bp = bagg["p"].to_numpy()
+            nbg = np.zeros(n_rows, dtype=np.int64)
+            nbgd = np.zeros(n_rows, dtype=np.int64)
+            nbg[bp] = bagg["bg_count"].to_numpy()
+            nbgd[bp] = bagg["bg_count_distinct"].to_numpy()
+        else:
+            nbg = np.zeros(n_rows, dtype=np.int64)
+            nbgd = np.zeros(n_rows, dtype=np.int64)
+
+        mil = 1_000_000
+        top_frac = mx * mil // n
+        repeat = (n - nd) * mil // n
+        bg_repeat = (nbg - nbgd) * mil // np.maximum(nbg, 1)
+        band = np.where(
+            (top_frac > 140_000) | (repeat > 650_000), "low",
+            np.where((repeat < 400_000) & (bg_repeat < 20_000), "high", "medium"),
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n, pa.int64()),
+            "top_token_frac_micro": pa.array(top_frac, pa.int64()),
+            "repeat_ratio_micro": pa.array(repeat, pa.int64()),
+            "bigram_repeat_micro": pa.array(bg_repeat, pa.int64()),
+            "quality_band": pa.array(band.astype(object), pa.string()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)

@@ -110,3 +110,30 @@ def test_sha256():
     import hashlib
     s = pd.Series(["hello"])
     assert sha256_hex(s).iloc[0] == hashlib.sha256(b"hello").hexdigest()
+
+
+def test_doc_quality_hand_computed():
+    """doc_quality metrics on a hand-worked example (Gopher-style)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_matcher_ray.pipelines import docs_text
+
+    # "a a a b" -> n=4, top=3, distinct=2, bigrams: [a a, a a, a b] -> 3, distinct 2
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a a a b", "x y z"]})
+    import unittest.mock as mock
+
+    with mock.patch.object(docs_text, "read_documents",
+                           lambda sf, columns=None: rd.from_pandas(df)):
+        out = docs_text.doc_quality("ignored").to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+    r0 = out.iloc[0]
+    assert r0["n_tokens"] == 4
+    assert r0["top_token_frac_micro"] == 3 * 1_000_000 // 4
+    assert r0["repeat_ratio_micro"] == 2 * 1_000_000 // 4
+    assert r0["bigram_repeat_micro"] == 1 * 1_000_000 // 3
+    assert r0["quality_band"] == "low"          # top_frac 750000 > 140000
+    r1 = out.iloc[1]
+    assert (r1[["top_token_frac_micro"]] == 1_000_000 // 3).all()
+    assert r1["repeat_ratio_micro"] == 0 and r1["bigram_repeat_micro"] == 0
+    assert r1["quality_band"] == "low"          # top_frac 333333 > 140000
