@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": docs_text.sample_docs,               # hash-threshold sample
         "doc_embedding_join": docs_text.doc_embedding_join, # broadcast hash join
         "fingerprints": docs_text.fingerprints,             # SQL-recomputed oracle
+        "code_token_stats": _code_token_stats,              # BPE-ish regex counting
         # --- dedup family ---
         "dedup_exact": docs_text.dedup_exact,
         "dedup_jaccard_adjacent": docs_text.dedup_jaccard_adjacent,
@@ -101,6 +102,24 @@ def _corpus_kg_triples(sf_dir: str):
         shutil.rmtree(out)
     corpus_kg.build_kg(base, out, snap, n_shards=2)
     return corpus_kg.read_triples(out)
+
+
+def _code_token_stats(sf_dir: str):
+    """BPE-ish token counting + char-class ratios over the deterministic
+    source-code corpus at a FIXED 2000-file scale (like media_featurize's
+    fixed 256 rows — the corpus is the input fixture here, sized
+    identically at every sf so the oracle's Ray-free regeneration of the
+    same rows stays scale-independent).  The DuckDB oracle recomputes
+    every count with its own RE2 ``regexp_extract_all`` pass."""
+    from ontology_matcher_ray import corpus as corpus_mod
+    from ontology_matcher_ray.pipelines.docs_text import code_token_stats
+    from ontology_matcher_ray.schemas import DISEASE_SPEC
+    from ontology_matcher_ray.state.snapshot import build_snapshot
+
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=2000, seed=42)
+    base = f"/tmp/onto_ray_entry/corpus_v{corpus_mod.CORPUS_VERSION}_2000"
+    corpus_mod.generate_corpus(base, 2000, snap)
+    return code_token_stats(base)
 
 
 def _media_featurize(sf_dir: str):

@@ -411,6 +411,50 @@ def corpus_expected_parquet(dict_size: int = 2000, seed: int = 42) -> str:
     return path
 
 
+def corpus_rows_parquet(n_files: int = 2000, dict_size: int = 2000,
+                        seed: int = 42) -> str:
+    """Ray-free regeneration of the fixed-scale corpus INPUT rows for the
+    ``code_token_stats`` oracle: plain ``file_row(i)`` loop + one pyarrow
+    write (no ray.data, no engine code path).  The token/ratio math is
+    NOT done here — the SQL recomputes it with DuckDB's own RE2 pass, so
+    only the shared input fixture (same role as /root/testdata) comes
+    from this file."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_matcher_ray import corpus as corpus_mod
+    from ontology_matcher_ray.state.snapshot import build_snapshot
+
+    out_dir = "/tmp/onto_ray_oracle"
+    path = os.path.join(
+        out_dir,
+        f"corpus_rows_{n_files}_{dict_size}_v{corpus_mod.CORPUS_VERSION}.parquet",
+    )
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=dict_size, seed=seed)
+    raw_ids = corpus_mod._raw_id_universe(snap)
+    terms = corpus_mod.token_lexicon_terms(snap)
+    typo_pool = corpus_mod._typo_pool(terms)
+    rows = [corpus_mod.file_row(i, raw_ids, terms, typo_pool=typo_pool)
+            for i in range(n_files)]
+    table = pa.table({
+        "repo": pa.array([r["repo"] for r in rows], pa.string()),
+        "path": pa.array([r["path"] for r in rows], pa.string()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "content": pa.array([r["content"] for r in rows], pa.string()),
+    })
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def ivf_expected_parquet(top_k: int = 5, n_queries: int = 4, nlist: int = 16,
                          nprobe: int = 4, seed: int = 11) -> str:
     """Expected ``knn_ivf`` result per testdata scale, as one parquet.
@@ -805,6 +849,24 @@ GROUP BY 1
 """
 
     sql["doc_stats"] = DOC_STATS_SQL
+
+    # BPE-ish code token counting: DuckDB recomputes every count with its
+    # own regexp_extract_all pass over a Ray-free regeneration of the
+    # same fixed-scale corpus rows (corpus_rows_parquet).
+    sql["code_token_stats"] = f"""
+SELECT repo, path, lang,
+       CAST(len(regexp_extract_all(content,
+            '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\\s]')) AS BIGINT)
+         AS n_tokens,
+       CAST(length(content) AS BIGINT) AS n_chars,
+       (len(regexp_extract_all(content, '[^A-Za-z0-9\\s]')) * 1000000)
+         // greatest(length(content), 1) AS punct_micro,
+       (len(regexp_extract_all(content, '[0-9]')) * 1000000)
+         // greatest(length(content), 1) AS digit_micro,
+       (len(regexp_extract_all(content, '[A-Z]')) * 1000000)
+         // greatest(length(content), 1) AS upper_micro
+FROM read_parquet('{corpus_rows_parquet()}')
+"""
 
     # Gopher-style repetition heuristics (docs_text.doc_quality): the
     # token/bigram counting is fully recomputed with DuckDB list/lambda

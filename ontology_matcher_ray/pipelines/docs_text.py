@@ -521,3 +521,55 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# BPE-ish pre-tokenizer for source code: identifier runs, digit runs,
+# single punctuation bytes.  RE2 class-only syntax so pyarrow (RE2) and
+# the DuckDB oracle (also RE2) count identically.
+CODE_TOKEN_RE = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\s]"
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+_DIGIT_RE = r"[0-9]"
+_UPPER_RE = r"[A-Z]"
+
+
+def code_token_stats(corpus_dir: str) -> rd.Dataset:
+    """Per-file token counting + character-class ratios over the
+    source-code corpus ``(repo, path, commit, lang, content)``.
+
+    The "BPE-ish" tokenizer is the standard byte-level pre-tokenization
+    regex family (identifier runs / digit runs / punctuation singles),
+    counted with ``pc.count_substring_regex`` — one vectorized RE2 pass
+    per pattern, zero-copy Arrow batches, no shuffle; column pruning at
+    the read keeps ``commit`` (and any future payload columns) off the
+    wire.  Streams at any corpus size."""
+    import pyarrow.compute as pc
+
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(corpus_dir, columns=["repo", "path", "lang", "content"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        content = pc.cast(t["content"], pa.string())
+        n_chars = pc.cast(pc.utf8_length(content), pa.int64()).to_numpy()
+        n_tok = pc.cast(
+            pc.count_substring_regex(content, CODE_TOKEN_RE), pa.int64()
+        ).to_numpy()
+        denom = np.maximum(n_chars, 1)
+        mil = 1_000_000
+
+        def ratio(pat):
+            c = pc.cast(pc.count_substring_regex(content, pat), pa.int64())
+            return c.to_numpy() * mil // denom
+
+        return pa.table({
+            "repo": t["repo"],
+            "path": t["path"],
+            "lang": t["lang"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "punct_micro": pa.array(ratio(_PUNCT_RE), pa.int64()),
+            "digit_micro": pa.array(ratio(_DIGIT_RE), pa.int64()),
+            "upper_micro": pa.array(ratio(_UPPER_RE), pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
