@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": docs_text.knn_ivf,                       # expected-parquet oracle
         # --- multimodal plumbing (decode stubbed; see stages/multimodal) ---
         "media_featurize": _media_featurize,                # expected-parquet oracle
+        "media_transform": _media_transform,                # resize/clip/re-encode
         # --- stream-shaped ---
         "events_hourly": events.hourly_windows,
         "events_sliding": events.sliding_windows,
@@ -163,6 +164,37 @@ def _media_featurize(sf_dir: str):
         })
 
     return featurize_media(ds).map_batches(finalize, batch_format="pandas")
+
+
+def _media_transform(sf_dir: str):
+    """Decode -> nearest-neighbor resize (images) / clip (audio) ->
+    re-encode, over the same synthetic media table as media_featurize.
+    The payload is finalized to a sha256 over the RE-ENCODED container
+    bytes, so the whole decode->transform->encode round trip is
+    value-hash-checked against the oracle's closed-form recomputation
+    (oracle.media_transform_expected_parquet)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ontology_matcher_ray.pipelines.docs_text import read_documents
+    from ontology_matcher_ray.stages.multimodal import (
+        synthesize_media_table,
+        transform_media,
+    )
+
+    n = read_documents(sf_dir, columns=["doc_id"]).count()
+    ds = rd.from_pandas(synthesize_media_table(min(n, 256)))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.drop(columns=["payload"]).copy()
+        out["payload_sha256"] = [
+            hashlib.sha256(p).hexdigest() for p in b["payload"]
+        ]
+        return out
+
+    return transform_media(ds).map_batches(finalize, batch_format="pandas")
 
 
 def oracle_sql() -> dict[str, str]:

@@ -704,6 +704,80 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
     return path
 
 
+def media_transform_expected_parquet(n_rows: int = 256, out_w: int = 32,
+                                     out_h: int = 32, clip_ms: int = 500,
+                                     seed: int = 42) -> str:
+    """Expected ``media_transform`` output, independently recomputed.
+
+    The resized image payload is rebuilt by evaluating the closed-form
+    pixel pattern AT THE SOURCE COORDINATES the nearest-neighbor map
+    selects (``sy = y*H // out_h``) and encoding with the independent
+    loop-and-struct P6 encoder — the engine's decode->index->re-encode
+    round trip never runs here.  Audio is the sawtooth closed form cut at
+    ``min(n, sr*clip_ms/1000)`` samples through the independent WAV
+    encoder.  Video restates the passthrough stub."""
+    import hashlib
+    import os
+    import struct
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/onto_ray_oracle"
+    path = os.path.join(
+        out_dir,
+        f"expected_mediatr_{n_rows}_{out_w}x{out_h}_{clip_ms}_{seed}.parquet",
+    )
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n_rows):
+        kind = kinds[i % 3]
+        width = 64 + (i % 8) * 32
+        height = 64 + (i % 5) * 32
+        duration_ms = (i % 30) * 1000
+        if kind == "image":
+            body = bytearray(b"P6\n%d %d\n255\n" % (out_w, out_h))
+            for y in range(out_h):
+                sy = y * height // out_h
+                for x in range(out_w):
+                    sx = x * width // out_w
+                    for c in range(3):
+                        body.append((i * 31 + sy * 7 + sx * 3 + c * 11) % 256)
+            rows.append((i, kind, "resize", out_w, out_h, 0,
+                         hashlib.sha256(bytes(body)).hexdigest(), n_rows))
+        elif kind == "audio":
+            n = 8000 * duration_ms // 1000
+            n_out = min(n, 8000 * clip_ms // 1000)
+            data = b"".join(
+                struct.pack("<h", ((k * ((i % 127) + 1) * 37) % 4096 - 2048) * 8)
+                for k in range(n_out)
+            )
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            wav_body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(data)) + data)
+            wav = b"RIFF" + struct.pack("<I", len(wav_body)) + wav_body
+            rows.append((i, kind, "clip", 0, 0, n_out * 1000 // 8000,
+                         hashlib.sha256(wav).hexdigest(), n_rows))
+        else:
+            h = hashlib.blake2b(b"media%d:%d" % (seed, i), digest_size=32).digest()
+            payload = (h * (4096 // 32 + 1))[:4096]
+            rows.append((i, kind, "passthrough", width, height, duration_ms,
+                         hashlib.sha256(payload).hexdigest(), n_rows))
+    df = pd.DataFrame(rows, columns=["media_id", "kind", "op", "width",
+                                     "height", "duration_ms",
+                                     "payload_sha256", "n_rows"])
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
+    os.close(fd)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def build_oracle_sql() -> dict:
     terms = terms_cte()
     troute = troute_cte()
@@ -969,6 +1043,12 @@ WHERE emb_fp = (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 100000
     sql["media_featurize"] = f"""
 SELECT media_id, kind, width, height, duration_ms, payload_sha256, feat_sha256
 FROM read_parquet('{media_expected_parquet()}')
+WHERE n_rows = (SELECT least(count(*), 256) FROM documents)
+"""
+
+    sql["media_transform"] = f"""
+SELECT media_id, kind, op, width, height, duration_ms, payload_sha256
+FROM read_parquet('{media_transform_expected_parquet()}')
 WHERE n_rows = (SELECT least(count(*), 256) FROM documents)
 """
 

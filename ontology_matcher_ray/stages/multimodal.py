@@ -213,3 +213,87 @@ def featurize_media(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class MediaTransformer:
+    """Actor-pool stage: decode -> transform -> RE-ENCODE binary payloads.
+
+    The transform family a training-data pipeline runs before featurizing:
+
+    * image: nearest-neighbor resize to ``(out_w, out_h)`` (integer index
+      maps — ``src_y = y*H // out_h`` — so the result is bit-exact and
+      closed-form recomputable), re-encoded as P6 PPM whatever the input
+      container;
+    * audio: clip to the first ``clip_ms`` milliseconds, re-encoded as
+      PCM16 WAV at the source rate;
+    * video: frame sampling genuinely needs a container codec — the
+      payload passes through untouched with ``op='passthrough'`` (the
+      documented stub, same policy as MediaFeaturizer's compressed path).
+
+    Emits (media_id, kind, op, width, height, duration_ms, payload) with
+    payload/metadata reflecting the TRANSFORMED media.  Codec state and
+    index maps are per-actor (``__init__``); batches stay small because
+    payload bytes dominate heap.
+    """
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, clip_ms: int = 500):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.clip_ms = clip_ms
+
+    def _resize(self, arr: np.ndarray) -> np.ndarray:
+        h, w, _ = arr.shape
+        yidx = np.arange(self.out_h, dtype=np.int64) * h // self.out_h
+        xidx = np.arange(self.out_w, dtype=np.int64) * w // self.out_w
+        return arr[yidx][:, xidx]
+
+    def _one(self, payload: bytes):
+        container = sniff(payload)
+        if container == "ppm" or container == "bmp":
+            arr = decode_ppm(payload) if container == "ppm" else decode_bmp24(payload)
+            out = encode_ppm(self._resize(arr))
+            return "resize", out, self.out_w, self.out_h, 0
+        if container == "wav":
+            samples, sr = decode_wav(payload)
+            n_out = min(len(samples), sr * self.clip_ms // 1000)
+            clipped = samples[:n_out]
+            return ("clip", encode_wav(clipped, sr), 0, 0,
+                    n_out * 1000 // sr)
+        return "passthrough", payload, 0, 0, 0
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        ops, payloads, ws, hs, ds_ = [], [], [], [], []
+        for row_payload, w0, h0, d0 in zip(
+            b["payload"], b["width"], b["height"], b["duration_ms"]
+        ):
+            op, p, w, h, d = self._one(row_payload)
+            if op == "passthrough":
+                w, h, d = w0, h0, d0        # metadata untouched
+            ops.append(op)
+            payloads.append(p)
+            ws.append(w)
+            hs.append(h)
+            ds_.append(d)
+        return pd.DataFrame({
+            "media_id": b["media_id"].to_numpy(),
+            "kind": b["kind"].to_numpy(),
+            "op": ops,
+            "width": np.asarray(ws, dtype=np.int64),
+            "height": np.asarray(hs, dtype=np.int64),
+            "duration_ms": np.asarray(ds_, dtype=np.int64),
+            "payload": payloads,
+        })
+
+
+def transform_media(
+    ds: rd.Dataset, out_w: int = 32, out_h: int = 32, clip_ms: int = 500,
+    concurrency=(1, 4), batch_size: int = 64,
+) -> rd.Dataset:
+    """Resize / clip / frame-sample(stub) pipeline over binary columns."""
+    return ds.map_batches(
+        MediaTransformer,
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h, clip_ms=clip_ms),
+        batch_format="pandas",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

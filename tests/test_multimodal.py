@@ -99,3 +99,40 @@ def test_payload_sha_matches_independent_hash():
     merged = out.merge(df[["media_id", "payload"]], on="media_id")
     for _, r in merged.iterrows():
         assert r["payload_sha256"] == hashlib.sha256(r["payload"]).hexdigest()
+
+
+def test_media_transformer_semantics():
+    """Resize picks exact nearest-neighbor source pixels; clip cuts
+    samples; video passes through untouched."""
+    import numpy as np
+    import pandas as pd
+
+    from ontology_matcher_ray.functions.codecs import (
+        decode_ppm, decode_wav, encode_bmp24, encode_wav,
+    )
+    from ontology_matcher_ray.stages.multimodal import MediaTransformer
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    samples = rng.randint(-2048, 2048, size=8000, dtype=np.int16)
+    tr = MediaTransformer(out_w=3, out_h=4, clip_ms=500)
+    b = pd.DataFrame({
+        "media_id": [0, 1, 2],
+        "kind": ["image", "audio", "video"],
+        "payload": [encode_bmp24(arr), encode_wav(samples, 8000), b"\x00opaque"],
+        "width": [6, 0, 64],
+        "height": [10, 0, 64],
+        "duration_ms": [0, 1000, 9000],
+    })
+    out = tr(b)
+    img = decode_ppm(out["payload"][0])
+    yidx = np.arange(4) * 10 // 4
+    xidx = np.arange(3) * 6 // 3
+    assert np.array_equal(img, arr[yidx][:, xidx])
+    assert (out.loc[0, ["width", "height"]] == [3, 4]).all()
+    s2, sr = decode_wav(out["payload"][1])
+    assert sr == 8000 and np.array_equal(s2, samples[:4000])
+    assert out.loc[1, "duration_ms"] == 500
+    assert out.loc[2, "payload"] == b"\x00opaque"
+    assert out.loc[2, "op"] == "passthrough"
+    assert (out.loc[2, ["width", "height", "duration_ms"]] == [64, 64, 9000]).all()
