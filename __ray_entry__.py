@@ -26,7 +26,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ontology_matcher_ray.pipelines import docs_kg, docs_text, events
+    from ontology_matcher_ray.pipelines import docs_kg, docs_text, events, graph
 
     return {
         # --- KG construction core (SURVEY §2.2-2.8) ---
@@ -42,6 +42,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_merge": docs_kg.canonical_merge,         # A1 dedup aggregation
         "curie_validate": docs_kg.curie_validate,           # M2
         "curie_parse": docs_kg.curie_parse,                 # M3
+        # --- graph analytics over the constructed KG ---
+        "entity_cooccurrence": graph.entity_cooccurrence,   # two-exchange pairs
+        "kg_degrees": graph.kg_degrees,                     # combiner + exchange
+        "kg_pagerank": graph.kg_pagerank,                   # integer msg-passing
         # --- text analysis (training-data ops) ---
         "doc_stats": docs_text.doc_stats,
         "doc_quality": docs_text.doc_quality,               # Gopher repetition bands

@@ -337,6 +337,54 @@ WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
 """
 
 
+GRAPH_CTES = """
+dm AS (
+  SELECT DISTINCT d.doc_id, t.out_id
+  FROM documents d JOIN terms t ON (' ' || d.text || ' ') LIKE ('% ' || t.term || ' %')
+),
+cpairs AS (
+  SELECT x.out_id AS a, y.out_id AS b, count(*) AS n_docs
+  FROM dm x JOIN dm y ON x.doc_id = y.doc_id AND x.out_id < y.out_id
+  GROUP BY 1, 2
+),
+gedges AS (
+  SELECT a AS src, b AS dst FROM cpairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM cpairs
+),
+gdeg AS (SELECT src AS node, count(*) AS deg FROM gedges GROUP BY 1)"""
+
+
+def pagerank_sql(iterations: int = 5, total_mass: int = 10**12) -> str:
+    """Exact SQL recomputation of `pipelines.graph.kg_pagerank`.
+
+    The engine's rank arithmetic is pure int64 (contrib = rank // deg,
+    rank' = (15*base)//100 + (85*sum_in)//100 with base = total // n), so
+    the fixed-iteration recurrence unrolls into chained CTEs that DuckDB
+    evaluates bit-identically — no float tolerance needed."""
+    base = f"(SELECT {total_mass} // count(*) FROM gdeg)"
+    parts = [
+        f"r0 AS (SELECT node, deg, CAST({base} AS BIGINT) AS rank FROM gdeg)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""r{i} AS (
+  SELECT e.dst AS node, d.deg,
+         CAST((15 * {base}) // 100
+              + (85 * sum(r.rank // r.deg)) // 100 AS BIGINT) AS rank
+  FROM gedges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN gdeg d ON d.node = e.dst
+  GROUP BY e.dst, d.deg
+)""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH {terms_cte()},
+{GRAPH_CTES},
+{chain}
+SELECT node, rank FROM r{iterations}
+"""
+
+
 def _testdata_scales() -> list:
     """Distinct corpus scales (n_files) the driver can run the
     ``corpus_kg_triples`` query at: one per /root/testdata/sf* dir, via
@@ -842,6 +890,43 @@ SELECT DISTINCT m.out_id, 'xref', u.x
 FROM mentioned m, UNNEST(str_split(m.xrefs, '|')) AS u(x)
 WHERE m.status IN ('ok', 'ok_raw') AND u.x <> ''
 """
+
+    sql["entity_cooccurrence"] = f"""
+WITH {terms},
+{GRAPH_CTES}
+SELECT a, b, CAST(n_docs AS BIGINT) AS n_docs FROM cpairs
+"""
+
+    sql["kg_degrees"] = f"""
+WITH {terms},
+mentioned AS (
+  SELECT DISTINCT t.out_id, t.status, t.xrefs
+  FROM documents d JOIN terms t ON {MENTION_JOIN}
+),
+trip AS (
+  SELECT DISTINCT 'doc:' || d.doc_id AS subj, 'mentions' AS pred, t.out_id AS obj
+  FROM documents d JOIN terms t ON {MENTION_JOIN}
+  UNION ALL
+  SELECT 'doc:' || doc_id, 'in_lang', lang FROM documents
+  UNION ALL
+  SELECT 'doc:' || doc_id, 'from_source', source FROM documents
+  UNION ALL
+  SELECT DISTINCT m.out_id, 'xref', u.x
+  FROM mentioned m, UNNEST(str_split(m.xrefs, '|')) AS u(x)
+  WHERE m.status IN ('ok', 'ok_raw') AND u.x <> ''
+)
+SELECT node,
+       CAST(sum(o) AS BIGINT) AS out_degree,
+       CAST(sum(i) AS BIGINT) AS in_degree
+FROM (
+  SELECT subj AS node, 1 AS o, 0 AS i FROM trip
+  UNION ALL
+  SELECT obj AS node, 0 AS o, 1 AS i FROM trip
+)
+GROUP BY node
+"""
+
+    sql["kg_pagerank"] = pagerank_sql()
 
     sql["resolve_route"] = f"""
 WITH {troute}

@@ -1,0 +1,259 @@
+"""Graph analytics over the constructed knowledge graph.
+
+The operators a KG-construction pipeline runs AFTER building triples:
+co-occurrence edge derivation, degree statistics, and PageRank-style
+centrality over the entity graph.  The reference stops at emitting
+formatted entities (`ontology_matcher/cli.py`); these are the follow-on
+analyses its downstream consumers (knowledge-graph curation) perform, so
+the engine ships them as first-class distributed operators.
+
+Scale design
+------------
+* Co-occurrence pairs are generated inside a ``doc_id``-keyed partition
+  (every mention of one doc is co-located by the exchange guarantee) and
+  aggregated by a second ``(a, b)``-keyed exchange — no driver-side pass,
+  pair volume bounded by sum(per-doc entity count squared).
+* Degrees are one partial-combine (per-batch pandas groupby) + one small
+  exchange keyed on the node — the canonical combiner-then-shuffle shape.
+* PageRank is iterative message passing through the same hash-partition
+  exchange used by `stages.dedup.near_dup_clusters`: per round, rank rows
+  and edge rows co-locate on the source node (exchange 1), contributions
+  ship to destinations and reduce by sum (exchange 2).  The edge list is
+  materialized ONCE and each round consumes the previous round's bounded
+  (node, deg, rank) table exactly once (the Ray 2.49 double-consume
+  lineage pitfall — see near_dup_clusters).
+* All rank arithmetic is INTEGER (micro-mass units of a 10^12 total), so
+  results are order-independent, bit-stable across parallelism levels,
+  and exactly recomputable by the DuckDB oracle
+  (`oracle.pagerank_sql`): contrib = rank // deg,
+  rank' = (15 * BASE) // 100 + (85 * sum(contrib_in)) // 100.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ontology_matcher_ray.pipelines.docs_kg import kg_triples, linked_mentions
+from ontology_matcher_ray.stages import exchange
+
+TOTAL_MASS = 10**12  # integer PageRank mass; per-node BASE = TOTAL // n
+
+
+def entity_cooccurrence(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+    """(a, b, n_docs): entity pairs co-mentioned in a document.
+
+    ``a < b`` lexicographically; ``n_docs`` counts distinct documents
+    mentioning both.  Pair generation is a per-partition self-merge on
+    ``doc_id`` (all mentions of a doc are co-located), aggregation a
+    second exchange on the pair — the same two-exchange shape as the
+    near-dup verifiers.
+    """
+    dm = exchange.distinct(
+        linked_mentions(sf_dir).map_batches(
+            lambda b: pd.DataFrame({
+                "doc_id": b["doc_id"].astype("int64"),
+                "out_id": b["out_id"].astype(str),
+            }),
+            batch_format="pandas",
+        ),
+        ["doc_id", "out_id"],
+        num_partitions,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="doc_id", suffixes=("_a", "_b"))
+        m = m[m["out_id_a"] < m["out_id_b"]]
+        return (
+            m.groupby(["out_id_a", "out_id_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"out_id_a": "a", "out_id_b": "b"})
+        )
+
+    partial = exchange.partitioned_apply(dm, ["doc_id"], pairs, num_partitions)
+    return exchange.grouped_agg(
+        partial, ["a", "b"],
+        lambda gb: gb.agg(n_docs=("n", "sum")),
+        num_partitions,
+    )
+
+
+def kg_degrees(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+    """(node, out_degree, in_degree) over the flagship triple union.
+
+    Per-batch partial counts (the combiner) keep the exchange volume at
+    O(distinct nodes per batch), not O(triples).
+    """
+    trips = kg_triples(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        o = b.groupby("subj", sort=False).size().reset_index(name="out_degree")
+        o = o.rename(columns={"subj": "node"})
+        o["in_degree"] = np.int64(0)
+        i = b.groupby("obj", sort=False).size().reset_index(name="in_degree")
+        i = i.rename(columns={"obj": "node"})
+        i["out_degree"] = np.int64(0)
+        return pd.concat(
+            [o[["node", "out_degree", "in_degree"]],
+             i[["node", "out_degree", "in_degree"]]],
+            ignore_index=True,
+        )
+
+    partials = trips.map_batches(partial, batch_format="pandas")
+    return exchange.grouped_agg(
+        partials, ["node"],
+        lambda gb: gb.agg(out_degree=("out_degree", "sum"),
+                          in_degree=("in_degree", "sum")),
+        num_partitions,
+    )
+
+
+def _cooc_edges(sf_dir: str, num_partitions: int) -> rd.Dataset:
+    """Undirected co-occurrence edges, both directions."""
+    pairs = entity_cooccurrence(sf_dir, num_partitions)
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+            "dst": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()]),
+        })
+
+    return pairs.map_batches(both, batch_format="pandas")
+
+
+def kg_pagerank(
+    sf_dir: str,
+    iterations: int = 5,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Integer PageRank over the entity co-occurrence graph.
+
+    Nodes are entities appearing in >=1 co-occurrence pair; total rank
+    mass is ``TOTAL_MASS`` split evenly (``BASE = TOTAL_MASS // n``).
+    Each of ``iterations`` rounds applies, in pure int64 arithmetic::
+
+        contrib(u)  = rank(u) // deg(u)          (deg >= 1 by construction)
+        rank'(v)    = (15 * BASE) // 100 + (85 * sum_in(v)) // 100
+
+    i.e. damping 0.85 with the teleport term floored per node.  Integer
+    floors lose a bounded amount of mass per round — the price of
+    order-independent, exchange-safe, oracle-exact arithmetic (documented
+    in `oracle.pagerank_sql`, which recomputes the identical recurrence).
+
+    Distribution: the bounded (node, deg, rank) table and the edge list
+    co-locate on ``hash(src)`` (exchange 1); contributions reduce on
+    ``hash(dst)`` (exchange 2).  Each round's ranks are materialized
+    (bounded by entity-vocabulary size) and consumed exactly once; a
+    'carrier' message re-delivers each node's static ``deg`` through the
+    same exchange so no per-round broadcast or extra join is needed.
+    """
+    return pagerank_from_edges(
+        _cooc_edges(sf_dir, num_partitions), iterations, num_partitions
+    )
+
+
+def pagerank_from_edges(
+    edge_ds: rd.Dataset,
+    iterations: int = 5,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Integer PageRank over an arbitrary directed (src, dst) edge list.
+
+    Same recurrence and distribution story as `kg_pagerank` (which is a
+    thin wrapper over the flagship co-occurrence edges); exposed
+    separately so callers — and the skew tests — can run it over any
+    graph.  Requires every node to appear as BOTH a src and a dst
+    (symmetric edge lists satisfy this); nodes violating it drop out of
+    the rank table after round 1.
+    """
+    edges = edge_ds.materialize()
+
+    deg = exchange.grouped_agg(
+        edges, ["src"],
+        lambda gb: gb.agg(deg=("dst", "size")),
+        num_partitions,
+    ).materialize()
+
+    n = deg.count()
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype=str),
+            "rank": pd.Series([], dtype="int64"),
+        }))
+    base = TOTAL_MASS // n
+
+    ranks = deg.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["src"].astype(str),
+            "deg": b["deg"].astype("int64"),
+            "rank": np.full(len(b), base, dtype=np.int64),
+        }),
+        batch_format="pandas",
+    ).materialize()
+
+    for _round in range(iterations):
+        # exchange 1: co-locate each node's (rank, deg) with its
+        # out-edges; 'own' rows double as the deg carrier to the next
+        # ranks generation.  `ranks` is consumed exactly once here.
+        rank_rows = ranks.map_batches(
+            lambda b: pd.DataFrame({
+                "key": b["node"].astype(str),
+                "dst": "",
+                "contrib": (b["rank"].to_numpy(dtype=np.int64)
+                            // b["deg"].to_numpy(dtype=np.int64)),
+                "deg": b["deg"].astype("int64"),
+            }),
+            batch_format="pandas",
+        )
+        edge_rows = edges.map_batches(
+            lambda b: pd.DataFrame({
+                "key": b["src"].astype(str),
+                "dst": b["dst"].astype(str),
+                "contrib": np.int64(0),
+                "deg": np.int64(0),
+            }),
+            batch_format="pandas",
+        )
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            own = g.loc[g["dst"] == "", ["key", "contrib", "deg"]]
+            ed = g.loc[g["dst"] != "", ["key", "dst"]]
+            m = ed.merge(own[["key", "contrib"]], on="key", how="inner")
+            return pd.DataFrame({
+                "node": np.concatenate(
+                    [m["dst"].to_numpy(), own["key"].to_numpy()]),
+                "contrib": np.concatenate(
+                    [m["contrib"].to_numpy(dtype=np.int64),
+                     np.zeros(len(own), dtype=np.int64)]),
+                "deg": np.concatenate(
+                    [np.zeros(len(m), dtype=np.int64),
+                     own["deg"].to_numpy(dtype=np.int64)]),
+                "own": np.concatenate(
+                    [np.zeros(len(m), dtype=np.int64),
+                     np.ones(len(own), dtype=np.int64)]),
+            })
+
+        msgs = exchange.partitioned_apply(
+            rank_rows.union(edge_rows), ["key"], emit, num_partitions
+        )
+
+        # exchange 2: reduce contributions per destination; the carrier
+        # row restores deg.  Every graph node has >=1 in-edge (edges are
+        # symmetric), so no node drops out of the table.
+        def reduce_(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("node", sort=False).agg(
+                insum=("contrib", "sum"), deg=("deg", "max"))
+            agg["rank"] = ((15 * base) // 100
+                           + (85 * agg["insum"].to_numpy(dtype=np.int64)) // 100)
+            return agg.reset_index()[["node", "deg", "rank"]]
+
+        ranks = exchange.partitioned_apply(
+            msgs, ["node"], reduce_, num_partitions
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda b: b[["node", "rank"]], batch_format="pandas"
+    )

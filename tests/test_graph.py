@@ -1,0 +1,82 @@
+"""Graph-analytics operators (pipelines/graph.py) on skewed synthetic
+graphs — the sf fixtures' 16-term vocabulary yields a complete (regular)
+co-occurrence graph whose PageRank is uniform, so these tests build a
+star graph where the hub MUST outrank the leaves, and check the integer
+recurrence against a local reference implementation plus
+partition-count invariance (the order-independence claim)."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ontology_matcher_ray.pipelines.graph import (
+    TOTAL_MASS,
+    entity_cooccurrence,
+    kg_degrees,
+    pagerank_from_edges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def star_edges(n_leaves: int = 20) -> pd.DataFrame:
+    """Hub 'h' <-> each leaf, symmetric (every node has in+out edges)."""
+    leaves = [f"leaf_{i:02d}" for i in range(n_leaves)]
+    return pd.DataFrame({
+        "src": leaves + ["h"] * n_leaves,
+        "dst": ["h"] * n_leaves + leaves,
+    })
+
+
+def reference_pagerank(edges: pd.DataFrame, iterations: int = 5) -> dict:
+    """Plain-Python mirror of the engine's integer recurrence."""
+    deg = edges.groupby("src").size().to_dict()
+    n = len(deg)
+    base = TOTAL_MASS // n
+    rank = {v: base for v in deg}
+    for _ in range(iterations):
+        insum = {v: 0 for v in deg}
+        for src, dst in zip(edges["src"], edges["dst"]):
+            insum[dst] += rank[src] // deg[src]
+        rank = {v: (15 * base) // 100 + (85 * insum[v]) // 100 for v in deg}
+    return rank
+
+
+def test_pagerank_star_hub_dominates():
+    edges = star_edges(20)
+    got = (
+        pagerank_from_edges(rd.from_pandas(edges), iterations=5, num_partitions=8)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    want = reference_pagerank(edges, iterations=5)
+    assert got == want
+    leaf_ranks = {v: r for v, r in got.items() if v != "h"}
+    assert got["h"] > max(leaf_ranks.values())
+    assert len(set(leaf_ranks.values())) == 1  # leaves symmetric
+
+
+@pytest.mark.parametrize("parts", [2, 16])
+def test_pagerank_partition_invariant(parts):
+    edges = star_edges(13)
+    got = (
+        pagerank_from_edges(rd.from_pandas(edges), iterations=3, num_partitions=parts)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    assert got == reference_pagerank(edges, iterations=3)
+
+
+def test_degrees_consistent_with_cooccurrence():
+    """Over the fixture: co-occurrence pairs are symmetric in the degree
+    view of the undirected graph, and kg_degrees' totals must equal the
+    triple count on each side."""
+    co = entity_cooccurrence(SF, num_partitions=8).to_pandas()
+    assert (co["a"] < co["b"]).all()
+    assert co.duplicated(["a", "b"]).sum() == 0
+    dg = kg_degrees(SF, num_partitions=8).to_pandas()
+    # every triple contributes exactly one out- and one in-degree
+    assert dg["out_degree"].sum() == dg["in_degree"].sum()
+    assert (dg["out_degree"] + dg["in_degree"] > 0).all()
