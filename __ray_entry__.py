@@ -26,7 +26,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ontology_matcher_ray.pipelines import docs_kg, docs_text, events, graph
+    from ontology_matcher_ray.pipelines import (
+        docs_kg,
+        docs_text,
+        docs_train,
+        events,
+        graph,
+    )
 
     return {
         # --- KG construction core (SURVEY §2.2-2.8) ---
@@ -57,6 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_join": docs_text.doc_embedding_join, # broadcast hash join
         "fingerprints": docs_text.fingerprints,             # SQL-recomputed oracle
         "code_token_stats": _code_token_stats,              # BPE-ish regex counting
+        # --- training-data prep (pipelines/docs_train.py) ---
+        "pii_scrub": docs_train.pii_scrub,                  # RE2 redaction map
+        "doc_pack": docs_train.doc_pack,                    # distributed prefix-sum
+        "tfidf_top_terms": docs_train.tfidf_top_terms,      # int tf-idf top-k
+        "lang_token_sketch": docs_train.lang_token_sketch,  # HLL registers
         # --- dedup family ---
         "dedup_exact": docs_text.dedup_exact,
         "dedup_jaccard_adjacent": docs_text.dedup_jaccard_adjacent,

@@ -891,6 +891,95 @@ FROM mentioned m, UNNEST(str_split(m.xrefs, '|')) AS u(x)
 WHERE m.status IN ('ok', 'ok_raw') AND u.x <> ''
 """
 
+    # --- training-data prep family (pipelines/docs_train.py) ---
+    from ontology_matcher_ray.pipelines.docs_train import (
+        EMAIL_RE,
+        PHONE_RE,
+        PACK_BUDGET,
+        SKETCH_REGISTERS,
+        SKETCH_RHO_CAP,
+    )
+
+    # DuckDB single-quoted strings pass backslashes through verbatim —
+    # the Python regex literal IS the SQL regex literal
+    email_sql = EMAIL_RE.replace("'", "''")
+    phone_sql = PHONE_RE.replace("'", "''")
+    sql["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.example now'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1-555-' || lpad(CAST(doc_id AS VARCHAR), 7, '0') || ' today'
+            ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{email_sql}', '<EMAIL>', 'g'),
+                      '{phone_sql}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t, '{email_sql}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{phone_sql}')) AS BIGINT) AS n_phones
+FROM aug
+"""
+
+    sql["doc_pack"] = f"""
+WITH t AS (SELECT doc_id, len(str_split(text, ' ')) AS n FROM documents),
+s AS (
+  SELECT doc_id, n,
+         COALESCE(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(start AS BIGINT) AS start_offset,
+       CAST(start // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+       CAST((start + n - 1) // {PACK_BUDGET} - start // {PACK_BUDGET} + 1
+            AS BIGINT) AS n_chunks
+FROM s
+"""
+
+    sql["tfidf_top_terms"] = """
+WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * (((SELECT n FROM n) * 1000000) // df.df) AS score
+  FROM tf JOIN df USING (token)
+),
+ranked AS (
+  SELECT doc_id, token, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+       CAST(score AS BIGINT) AS score_micro, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+    sql["lang_token_sketch"] = f"""
+WITH tok AS (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents),
+h AS (SELECT lang,
+             CAST(md5_number_lower(token) % 2147483647 AS BIGINT) AS hv
+      FROM tok),
+r AS (SELECT lang, hv % {SKETCH_REGISTERS} AS reg,
+             hv // {SKETCH_REGISTERS} AS rest FROM h),
+rho AS (
+  SELECT lang, reg,
+         CASE WHEN rest = 0 THEN {SKETCH_RHO_CAP}
+              ELSE bit_count((rest & (-rest)) - 1) + 1 END AS rho
+  FROM r
+)
+SELECT lang, CAST(reg AS BIGINT) AS reg, CAST(max(rho) AS BIGINT) AS max_rho
+FROM rho GROUP BY 1, 2
+"""
+
     sql["entity_cooccurrence"] = f"""
 WITH {terms},
 {GRAPH_CTES}

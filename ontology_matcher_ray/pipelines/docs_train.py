@@ -1,0 +1,266 @@
+"""Training-data preparation operators over the ``documents`` table.
+
+The ops an LLM-training corpus pipeline runs after dedup/quality scoring:
+PII redaction, sequence packing (concat-and-chunk), TF-IDF salient-term
+extraction, and per-language distinct-token HLL sketches.  Like the rest
+of the engine every ratio/score is integer micro-units and every hash is
+the md5-low-8-bytes recipe (`functions/hashing.md5half` ==
+DuckDB ``md5_number_lower``), so each operator is exactly recomputable by
+its SQL oracle — no float tolerance anywhere.
+
+Scale design
+------------
+* ``pii_scrub`` is a pure map stage: RE2 kernels (``pyarrow.compute``
+  ``replace_substring_regex`` / ``count_substring_regex``) over Arrow
+  string arrays — the SAME regex engine DuckDB uses, so redaction output
+  is bit-identical to the oracle.  No shuffle.
+* ``doc_pack`` needs a GLOBAL token prefix-sum (concat order = doc_id).
+  Classic two-phase distributed scan: pass 1 streams per-batch token
+  totals per range-partition to the driver (``num_partitions`` scalars —
+  the only driver-side collect); pass 2 re-reads the pruned columns and
+  adds the broadcast partition offsets to partition-local sorted cumsums.
+  Re-reading beats caching here: the intermediate would have to be
+  materialized and consumed twice (the Ray 2.49 double-lineage pitfall,
+  see `stages.dedup.near_dup_clusters`), while the re-read is a pruned
+  streaming pass.
+* ``tfidf_top_terms`` is combiner + two exchanges: per-batch (doc, token)
+  tf partials (docs never straddle batches), a token-keyed exchange where
+  group size IS the document frequency, and a doc-keyed exchange for the
+  per-doc top-k.  The token exchange ships (doc_id, token, tf) rows, not
+  text.
+* ``lang_token_sketch`` is the sketch path for distinct counting at
+  100 TB: per-batch partial register maxima (bounded by langs x
+  registers, regardless of token volume), one (lang, reg)-keyed exchange
+  of those partials.  Registers merge by max so duplicate tokens need no
+  pre-distinct pass — the whole corpus reduces to n_langs x 16 rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ontology_matcher_ray.pipelines.docs_text import read_documents
+from ontology_matcher_ray.stages import exchange
+
+SCALE = 1_000_000
+MERSENNE_P = 2147483647  # 31-bit hash domain shared with minhash/simhash
+
+# RE2-compatible (pyarrow and DuckDB both run RE2 — identical semantics)
+EMAIL_RE = r"[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[A-Za-z]+"
+PHONE_RE = r"\+1-555-[0-9]+"
+
+PACK_BUDGET = 256          # tokens per training chunk
+SKETCH_REGISTERS = 16      # HLL registers (p=4)
+SKETCH_RHO_CAP = 28        # rest has 27 bits; rho(rest==0) = cap
+
+
+def _augment_pii(b: pd.DataFrame) -> pd.Series:
+    """Deterministically plant synthetic PII so the redaction path is
+    actually exercised (the synthetic corpus contains no emails/phones);
+    the oracle plants the identical strings in SQL."""
+    d = b["doc_id"].to_numpy(np.int64)
+    ids = pd.Series(d).astype(str)
+    email_sfx = pd.Series(
+        np.where(
+            d % 3 == 0,
+            " contact user" + ids + "@mail" + pd.Series(d % 7).astype(str) + ".example now",
+            "",
+        )
+    )
+    phone_sfx = pd.Series(
+        np.where(d % 5 == 0, " call +1-555-" + ids.str.zfill(7) + " today", "")
+    )
+    return b["text"].reset_index(drop=True) + email_sfx + phone_sfx
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """Redact emails/phones: (doc_id, clean_text, n_emails, n_phones).
+
+    Pure map stage, RE2 kernels on Arrow string arrays.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        aug = pa.array(_augment_pii(b), pa.string())
+        n_emails = pc.count_substring_regex(aug, EMAIL_RE)
+        n_phones = pc.count_substring_regex(aug, PHONE_RE)
+        clean = pc.replace_substring_regex(
+            pc.replace_substring_regex(aug, pattern=EMAIL_RE, replacement="<EMAIL>"),
+            pattern=PHONE_RE,
+            replacement="<PHONE>",
+        )
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "clean_text": clean.to_pandas(),
+            "n_emails": n_emails.to_numpy().astype(np.int64),
+            "n_phones": n_phones.to_numpy().astype(np.int64),
+        })
+
+    return ds.map_batches(stage, batch_format="pandas")
+
+
+def doc_pack(
+    sf_dir: str, budget: int = PACK_BUDGET, num_partitions: int = 16
+) -> rd.Dataset:
+    """Concat-and-chunk sequence packing: documents concatenated in
+    doc_id order and split into fixed ``budget``-token training chunks.
+
+    Output per doc: (doc_id, n_tokens, start_offset, chunk_id, n_chunks)
+    where start_offset is the doc's global token offset, chunk_id the
+    chunk containing its first token, n_chunks how many chunks it spans.
+
+    Two-phase distributed prefix-sum (see module docstring): the driver
+    only ever sees ``num_partitions`` partial totals.
+    """
+    n_docs = read_documents(sf_dir, columns=["doc_id"]).count()  # metadata-only
+    if n_docs == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "start_offset": pd.Series([], dtype="int64"),
+            "chunk_id": pd.Series([], dtype="int64"),
+            "n_chunks": pd.Series([], dtype="int64"),
+        }))
+    parts = num_partitions
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        # len(text.split(' ')) == n_spaces + 1, in C (no per-row split)
+        n = b["text"].str.count(" ").to_numpy(np.int64) + 1
+        # RANGE partition (doc_id order preserved across partitions);
+        # doc_ids beyond n_docs-1 clamp into the last partition
+        p = np.minimum(d * parts // max(n_docs, 1), parts - 1)
+        return pd.DataFrame({"doc_id": d, "n": n, "p": p})
+
+    # pass 1: per-batch partial totals per partition -> tiny driver frame
+    def partial_totals(b: pd.DataFrame) -> pd.DataFrame:
+        return counts(b).groupby("p", sort=False)["n"].sum().reset_index()
+
+    totals = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial_totals, batch_format="pandas")
+        .to_pandas()
+        .groupby("p")["n"].sum().sort_index()
+    )
+    offsets = totals.cumsum().shift(fill_value=0).to_dict()  # exclusive
+
+    # pass 2: partition-local sorted cumsum + broadcast offset
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for p, grp in g.groupby("p", sort=False):
+            grp = grp.sort_values("doc_id")
+            n = grp["n"].to_numpy(np.int64)
+            start = np.cumsum(n) - n + offsets[int(p)]
+            chunk = start // budget
+            out.append(pd.DataFrame({
+                "doc_id": grp["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "start_offset": start,
+                "chunk_id": chunk,
+                "n_chunks": (start + n - 1) // budget - chunk + 1,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        counts, batch_format="pandas"
+    )
+    return exchange.partitioned_apply(ds, ["p"], pack, num_partitions=parts)
+
+
+def tfidf_top_terms(
+    sf_dir: str, k: int = 3, num_partitions: int = 16
+) -> rd.Dataset:
+    """Per-doc top-k salient terms by integer tf-idf.
+
+    score_micro = tf * ((N * 1e6) // df) — linear inverse-df weighting in
+    pure int64 (a log-idf would put a libm ``log`` between numpy and
+    DuckDB and break bit-exactness; the ranking behavior is equivalent
+    for top-k extraction).
+    """
+    n_docs = read_documents(sf_dir, columns=["doc_id"]).count()
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def tf_partial(b: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "token": b["text"].str.split(" "),
+        }).explode("token")
+        return e.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas")
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        # token fully co-located: per-token row count IS the document freq
+        df_ = g.groupby("token", sort=False)["doc_id"].transform("size")
+        g = g.copy()
+        g["score_micro"] = g["tf"].to_numpy(np.int64) * (
+            (n_docs * SCALE) // df_.to_numpy(np.int64)
+        )
+        return g
+
+    scored = exchange.partitioned_apply(tf, ["token"], score, num_partitions)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score_micro", "token"], ascending=[True, False, True]
+        )
+        g = g.assign(rank=g.groupby("doc_id", sort=False).cumcount() + 1)
+        return g.loc[g["rank"] <= k,
+                     ["doc_id", "token", "tf", "score_micro", "rank"]]
+
+    return exchange.partitioned_apply(scored, ["doc_id"], topk, num_partitions)
+
+
+def lang_token_sketch(
+    sf_dir: str, registers: int = SKETCH_REGISTERS, num_partitions: int = 8
+) -> rd.Dataset:
+    """Per-language HyperLogLog registers over the token stream:
+    (lang, reg, max_rho).
+
+    The distinct-counting sketch for 100 TB: registers merge by max, so
+    per-batch partials are bounded by n_langs x ``registers`` no matter
+    how many tokens stream through, and duplicates need no pre-distinct
+    pass.  Estimation (harmonic mean of 2^-rho) is a trivial driver-side
+    fold over the returned rows; the sketch itself — which is what
+    shuffles and checkpoints — is pure int64 and exactly recomputed by
+    the oracle.  rho = trailing-zeros(h // registers) + 1 on the md5
+    31-bit domain, ``SKETCH_RHO_CAP`` when the remainder is 0.
+    """
+    from ontology_matcher_ray.functions.hashing import md5half
+
+    ds = read_documents(sf_dir, columns=["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({
+            "lang": b["lang"].to_numpy(),
+            "token": b["text"].str.split(" "),
+        }).explode("token")
+        vocab = pd.unique(e["token"])
+        hv_map = {t: md5half(t) % MERSENNE_P for t in vocab}  # md5 once per distinct token
+        hv = e["token"].map(hv_map).to_numpy(np.int64)
+        reg = hv % registers
+        rest = hv // registers
+        lowbit = rest & -rest
+        rho = np.where(
+            rest == 0,
+            np.int64(SKETCH_RHO_CAP),
+            np.log2(np.maximum(lowbit, 1)).astype(np.int64) + 1,
+        )
+        part = pd.DataFrame({"lang": e["lang"].to_numpy(), "reg": reg, "rho": rho})
+        return (
+            part.groupby(["lang", "reg"], sort=False)["rho"]
+            .max().reset_index(name="max_rho")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return exchange.grouped_agg(
+        partials, ["lang", "reg"],
+        lambda gb: gb.agg(max_rho=("max_rho", "max")),
+        num_partitions,
+    )
