@@ -59,7 +59,14 @@ def run_bench() -> dict:
     ctx.use_polars_sort = True
 
     from ontology_matcher_ray import corpus as corpus_mod
-    from ontology_matcher_ray.pipelines import corpus_kg, docs_kg, docs_text, events
+    from ontology_matcher_ray.pipelines import (
+        corpus_kg,
+        docs_kg,
+        docs_text,
+        docs_train,
+        events,
+        graph,
+    )
     from ontology_matcher_ray.schemas import DISEASE_SPEC
     from ontology_matcher_ray.state.snapshot import build_snapshot
 
@@ -113,6 +120,9 @@ def run_bench() -> dict:
         "dedup_minhash": lambda: docs_text.dedup_minhash(sf_dir),
         "knn_brute": lambda: docs_text.knn_brute(sf_dir),
         "events_sessionize": lambda: events.sessionize(sf_dir),
+        "kg_pagerank": lambda: graph.kg_pagerank(sf_dir),
+        "doc_pack": lambda: docs_train.doc_pack(sf_dir),
+        "tfidf_top_terms": lambda: docs_train.tfidf_top_terms(sf_dir),
     }
     qtimes = {}
     for name, fn in query_fns.items():
