@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack": docs_train.doc_pack,                    # distributed prefix-sum
         "tfidf_top_terms": docs_train.tfidf_top_terms,      # int tf-idf top-k
         "lang_token_sketch": docs_train.lang_token_sketch,  # HLL registers
+        "embedding_quantize": docs_train.embedding_quantize,  # int8 fixed-point
+        "stratified_sample": docs_train.stratified_sample,  # per-lang rates
         # --- dedup family ---
         "dedup_exact": docs_text.dedup_exact,
         "dedup_jaccard_adjacent": docs_text.dedup_jaccard_adjacent,

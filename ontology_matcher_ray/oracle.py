@@ -980,6 +980,31 @@ SELECT lang, CAST(reg AS BIGINT) AS reg, CAST(max(rho) AS BIGINT) AS max_rho
 FROM rho GROUP BY 1, 2
 """
 
+    sql["embedding_quantize"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+      FROM e),
+s AS (SELECT vec_id, vm,
+             greatest(list_max(list_transform(vm, x -> abs(x))), 1) AS scale
+      FROM m),
+u AS (SELECT vec_id, scale, unnest(vm) AS x,
+             generate_subscripts(vm, 1) AS dim
+      FROM s)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       CAST(CASE WHEN x < 0 THEN -((-x) * 127 // scale)
+                 ELSE x * 127 // scale END AS BIGINT) AS q,
+       CAST(scale AS BIGINT) AS scale_micro
+FROM u
+"""
+
+    sql["stratified_sample"] = """
+SELECT doc_id, lang,
+       CAST(md5_number_lower(lang) % 7 + 2 AS BIGINT) AS strat_mod
+FROM documents
+WHERE md5_number_lower(text) % (md5_number_lower(lang) % 7 + 2) = 0
+"""
+
     sql["entity_cooccurrence"] = f"""
 WITH {terms},
 {GRAPH_CTES}

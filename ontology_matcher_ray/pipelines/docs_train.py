@@ -43,7 +43,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ontology_matcher_ray.pipelines.docs_text import read_documents
+from ontology_matcher_ray.pipelines.docs_text import read_documents, read_embeddings
 from ontology_matcher_ray.stages import exchange
 
 SCALE = 1_000_000
@@ -215,6 +215,71 @@ def tfidf_top_terms(
                      ["doc_id", "token", "tf", "score_micro", "rank"]]
 
     return exchange.partitioned_apply(scored, ["doc_id"], topk, num_partitions)
+
+
+def embedding_quantize(sf_dir: str) -> rd.Dataset:
+    """Symmetric int8-style quantization of the embedding column:
+    (vec_id, dim, q, scale_micro), one row per vector element.
+
+    Pure map stage (no shuffle).  Arithmetic is fixed-point from the
+    first step — v_micro = floor(float64(v) * 1e6) — then all-integer:
+    scale = max(|v_micro|) per vector, q = sign * (|v_micro| * 127 //
+    scale).  The sign split keeps every division non-negative, where
+    numpy floor-division and DuckDB ``//`` (which truncates toward zero
+    on negatives) agree, so the oracle recomputes q bit-for-bit.
+    Exploded to scalar rows because the driver's value-hash compares
+    scalars, not list cells.
+    """
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["vec_id"].to_numpy(np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        vm = np.floor(mat * SCALE).astype(np.int64)
+        scale = np.maximum(np.abs(vm).max(axis=1), 1)
+        q = np.sign(vm) * (np.abs(vm) * 127 // scale[:, None])
+        n, dim = vm.shape
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), n),
+            "q": q.reshape(-1),
+            "scale_micro": np.repeat(scale, dim),
+        })
+
+    return ds.map_batches(stage, batch_format="pandas")
+
+
+def stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Per-language deterministic hash sampling with language-derived
+    rates: (doc_id, lang, strat_mod) for kept docs.
+
+    Coordination-free like ``docs_text.sample_docs`` (keep iff
+    md5half(text) %% mod == 0) but the modulus is per-stratum —
+    mod(lang) = md5half(lang) %% 7 + 2 — so every language gets a
+    deterministic 1/2 .. 1/8 rate without a configured language list.
+    A worker needs no global state: the decision is a pure function of
+    the row.
+    """
+    from ontology_matcher_ray.functions.hashing import md5half
+
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def stage(b: pd.DataFrame) -> pa.Table:
+        mods = {l: md5half(l) % 7 + 2 for l in b["lang"].unique()}
+        mod = b["lang"].map(mods).to_numpy(np.int64)
+        hv = np.fromiter(
+            (md5half(t) for t in b["text"]), dtype=np.uint64, count=len(b)
+        )
+        keep = hv % mod.astype(np.uint64) == 0
+        # typed Arrow output so filtered-empty batches keep their schema
+        # (see docs_text.sample_docs)
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy()[keep], pa.int64()),
+            "lang": pa.array(b["lang"].to_numpy()[keep], pa.string()),
+            "strat_mod": pa.array(mod[keep], pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pandas")
 
 
 def lang_token_sketch(

