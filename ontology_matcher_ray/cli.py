@@ -149,6 +149,39 @@ def cmd_corpus_kg(args) -> int:
     return 0
 
 
+TRAIN_OPS = {
+    # op name -> (module attr, short description)
+    "pii-scrub": ("pii_scrub", "redact emails/phones"),
+    "pack": ("doc_pack", "concat-and-chunk sequence packing"),
+    "tfidf": ("tfidf_top_terms", "per-doc salient terms"),
+    "sketch": ("lang_token_sketch", "per-language HLL distinct-token registers"),
+    "quantize": ("embedding_quantize", "int8 embedding quantization"),
+    "sample": ("stratified_sample", "per-language stratified hash sample"),
+}
+
+GRAPH_OPS = {
+    "cooccur": ("entity_cooccurrence", "entity co-occurrence pairs"),
+    "degrees": ("kg_degrees", "node in/out degrees"),
+    "pagerank": ("kg_pagerank", "integer PageRank over the entity graph"),
+}
+
+
+def cmd_analyze(args) -> int:
+    """Run a training-prep or graph-analytics operator over an sf-style
+    table directory and write partitioned Parquet."""
+    _ensure_ray()
+    from ontology_matcher_ray.pipelines import docs_train, graph
+
+    if args.op in TRAIN_OPS:
+        fn = getattr(docs_train, TRAIN_OPS[args.op][0])
+    else:
+        fn = getattr(graph, GRAPH_OPS[args.op][0])
+    ds = fn(args.sf_dir).materialize()  # one execution: write + count
+    ds.write_parquet(args.output_dir)
+    print(f"{args.op}: {ds.count()} rows -> {args.output_dir}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="onto-match-ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -197,6 +230,17 @@ def main(argv=None) -> int:
     pc.add_argument("--shards", type=int, default=4)
     pc.add_argument("--strategy", choices=["mixture", "unique"], default="mixture")
     pc.set_defaults(fn=cmd_corpus_kg)
+
+    pa_ = sub.add_parser(
+        "analyze",
+        help="Training-prep / graph-analytics operators over an sf table dir.",
+    )
+    pa_.add_argument("--sf-dir", required=True,
+                     help="directory holding documents.parquet / embeddings.parquet")
+    pa_.add_argument("--output-dir", required=True)
+    pa_.add_argument("--op", required=True,
+                     choices=sorted(TRAIN_OPS) + sorted(GRAPH_OPS))
+    pa_.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     return args.fn(args)

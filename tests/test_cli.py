@@ -53,3 +53,21 @@ def test_dedup_command(tmp_path):
     assert row["name"] == "a"                       # first by input order
     assert row["xrefs"] == "X:1|X:2|X:3"            # merge_unique
     assert row["raw_id"] == "MESH:1|MESH:2"
+
+
+def test_analyze_command(tmp_path):
+    out = tmp_path / "packed"
+    assert main([
+        "analyze", "--sf-dir", "/root/testdata/sf0.001",
+        "--output-dir", str(out), "--op", "pack",
+    ]) == 0
+    df = pd.read_parquet(out)
+    assert len(df) == 500
+    assert {"doc_id", "n_tokens", "start_offset", "chunk_id", "n_chunks"} == set(df.columns)
+
+    out2 = tmp_path / "sketch"
+    assert main([
+        "analyze", "--sf-dir", "/root/testdata/sf0.001",
+        "--output-dir", str(out2), "--op", "sketch",
+    ]) == 0
+    assert set(pd.read_parquet(out2).columns) == {"lang", "reg", "max_rho"}
