@@ -232,7 +232,7 @@ def pagerank_from_edges(
             own = g.loc[g["dst"] == "", ["key", "contrib", "deg"]]
             ed = g.loc[g["dst"] != "", ["key", "dst"]]
             m = ed.merge(own[["key", "contrib"]], on="key", how="inner")
-            return pd.DataFrame({
+            frame = pd.DataFrame({
                 "node": np.concatenate(
                     [m["dst"].to_numpy(), own["key"].to_numpy()]),
                 "contrib": np.concatenate(
@@ -241,10 +241,17 @@ def pagerank_from_edges(
                 "deg": np.concatenate(
                     [np.zeros(len(m), dtype=np.int64),
                      own["deg"].to_numpy(dtype=np.int64)]),
-                "own": np.concatenate(
-                    [np.zeros(len(m), dtype=np.int64),
-                     np.ones(len(own), dtype=np.int64)]),
             })
+            # partial combine (hot-node safety): a hub with in-degree D
+            # would otherwise ship D message rows into one exchange-2
+            # partition; summing per node HERE bounds its rows at
+            # num_partitions (one per source partition) — the same
+            # combiner-then-shuffle shape as kg_degrees
+            return (
+                frame.groupby("node", sort=False)
+                .agg(contrib=("contrib", "sum"), deg=("deg", "max"))
+                .reset_index()
+            )
 
         msgs = exchange.partitioned_apply(
             rank_rows.union(edge_rows), ["key"], emit, num_partitions

@@ -130,3 +130,65 @@ def test_curie_scan_equals_regex(s):
     ex = CurieExtractor(DISEASE_SPEC)
     want = {m.group(0) for m in ex.rx.finditer(s)}
     assert ex.scan(s) == want, s
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=-10, max_value=10,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=8))
+def test_quantize_sign_split_matches_python(vec):
+    # docs_train.embedding_quantize relies on the sign-split identity:
+    # numpy floor-division on the non-negative domain == DuckDB // —
+    # check the numpy kernel against plain-Python integer arithmetic
+    import numpy as np
+
+    vm = np.floor(np.asarray(vec, dtype=np.float64) * 1_000_000).astype(np.int64)
+    scale = max(int(np.abs(vm).max()), 1)
+    q_np = np.sign(vm) * (np.abs(vm) * 127 // scale)
+    for x, q in zip(vm.tolist(), q_np.tolist()):
+        want = (abs(x) * 127) // scale
+        want = -want if x < 0 else want
+        assert q == want
+        assert -127 <= q <= 127
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=500),
+                min_size=1, max_size=50),
+       st.integers(min_value=1, max_value=64))
+def test_pack_chunk_algebra(token_counts, budget):
+    # doc_pack invariants: offsets are an exclusive prefix sum, chunk
+    # spans are consistent, and the per-partition + offset composition
+    # used by the distributed scan equals the serial computation
+    import numpy as np
+
+    n = np.asarray(token_counts, dtype=np.int64)
+    start = np.cumsum(n) - n
+    chunk = start // budget
+    n_chunks = (start + n - 1) // budget - chunk + 1
+    assert start[0] == 0
+    assert (n_chunks >= 1).all()
+    # split at an arbitrary point and recompose with an offset — the
+    # two-phase scan identity
+    for cut in {0, len(n) // 2, len(n) - 1}:
+        off = int(n[:cut].sum())
+        right = np.cumsum(n[cut:]) - n[cut:] + off
+        assert (right == start[cut:]).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=string.printable, max_size=12))
+def test_sketch_rho_bits(tok):
+    # rho = trailing-zeros + 1 on the 27-bit remainder; bounded by cap
+    from ontology_matcher_ray.functions.hashing import md5half
+    from ontology_matcher_ray.pipelines.docs_train import (
+        MERSENNE_P, SKETCH_REGISTERS, SKETCH_RHO_CAP,
+    )
+
+    hv = md5half(tok) % MERSENNE_P
+    rest = hv // SKETCH_REGISTERS
+    rho = SKETCH_RHO_CAP if rest == 0 else (rest & -rest).bit_length()
+    assert 1 <= rho <= SKETCH_RHO_CAP
+    if rest:
+        assert rest % (1 << (rho - 1)) == 0      # rho-1 trailing zero bits
+        assert (rest >> (rho - 1)) & 1 == 1      # then a one bit
