@@ -129,22 +129,25 @@ def doc_pack(
         }))
     parts = num_partitions
 
-    def counts(b: pd.DataFrame) -> pd.DataFrame:
-        d = b["doc_id"].to_numpy(np.int64)
-        # len(text.split(' ')) == n_spaces + 1, in C (no per-row split)
-        n = b["text"].str.count(" ").to_numpy(np.int64) + 1
+    def counts(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        d = t["doc_id"].to_numpy()
+        # len(text.split(' ')) == n_spaces + 1, via the zero-copy Arrow
+        # substring counter (no per-row Python, no string copy)
+        n = pc.count_substring(t["text"], " ").to_numpy() + 1
         # RANGE partition (doc_id order preserved across partitions);
         # doc_ids beyond n_docs-1 clamp into the last partition
         p = np.minimum(d * parts // max(n_docs, 1), parts - 1)
-        return pd.DataFrame({"doc_id": d, "n": n, "p": p})
+        return pd.DataFrame({"doc_id": d, "n": n.astype(np.int64), "p": p})
 
     # pass 1: per-batch partial totals per partition -> tiny driver frame
-    def partial_totals(b: pd.DataFrame) -> pd.DataFrame:
-        return counts(b).groupby("p", sort=False)["n"].sum().reset_index()
+    def partial_totals(t: pa.Table) -> pd.DataFrame:
+        return counts(t).groupby("p", sort=False)["n"].sum().reset_index()
 
     totals = (
         read_documents(sf_dir, columns=["doc_id", "text"])
-        .map_batches(partial_totals, batch_format="pandas")
+        .map_batches(partial_totals, batch_format="pyarrow")
         .to_pandas()
         .groupby("p")["n"].sum().sort_index()
     )
@@ -168,7 +171,7 @@ def doc_pack(
         return pd.concat(out, ignore_index=True)
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
-        counts, batch_format="pandas"
+        counts, batch_format="pyarrow"
     )
     return exchange.partitioned_apply(ds, ["p"], pack, num_partitions=parts)
 
