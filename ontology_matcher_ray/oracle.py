@@ -337,10 +337,10 @@ WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
 """
 
 
-GRAPH_CTES = """
+GRAPH_CTES = f"""
 dm AS (
   SELECT DISTINCT d.doc_id, t.out_id
-  FROM documents d JOIN terms t ON (' ' || d.text || ' ') LIKE ('% ' || t.term || ' %')
+  FROM documents d JOIN terms t ON {MENTION_JOIN}
 ),
 cpairs AS (
   SELECT x.out_id AS a, y.out_id AS b, count(*) AS n_docs
@@ -942,14 +942,17 @@ SELECT doc_id,
 FROM s
 """
 
-    sql["tfidf_top_terms"] = """
+    from ontology_matcher_ray.pipelines.docs_train import SCALE as TRAIN_SCALE
+    from ontology_matcher_ray.pipelines.docs_train import TFIDF_K
+
+    sql["tfidf_top_terms"] = f"""
 WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
 df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.token, tf.tf,
-         tf.tf * (((SELECT n FROM n) * 1000000) // df.df) AS score
+         tf.tf * (((SELECT n FROM n) * {TRAIN_SCALE}) // df.df) AS score
   FROM tf JOIN df USING (token)
 ),
 ranked AS (
@@ -960,13 +963,15 @@ ranked AS (
 )
 SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
        CAST(score AS BIGINT) AS score_micro, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 3
+FROM ranked WHERE rank <= {TFIDF_K}
 """
+
+    from ontology_matcher_ray.functions.hashing import MERSENNE_P
 
     sql["lang_token_sketch"] = f"""
 WITH tok AS (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents),
 h AS (SELECT lang,
-             CAST(md5_number_lower(token) % 2147483647 AS BIGINT) AS hv
+             CAST(md5_number_lower(token) % {MERSENNE_P} AS BIGINT) AS hv
       FROM tok),
 r AS (SELECT lang, hv % {SKETCH_REGISTERS} AS reg,
              hv // {SKETCH_REGISTERS} AS rest FROM h),

@@ -46,8 +46,12 @@ import ray.data as rd
 from ontology_matcher_ray.pipelines.docs_text import read_documents, read_embeddings
 from ontology_matcher_ray.stages import exchange
 
+from ontology_matcher_ray.functions.hashing import (
+    MERSENNE_P,  # 31-bit hash domain shared with minhash/simhash
+)
+
 SCALE = 1_000_000
-MERSENNE_P = 2147483647  # 31-bit hash domain shared with minhash/simhash
+TFIDF_K = 3  # default top-k, mirrored into the oracle SQL
 
 # RE2-compatible (pyarrow and DuckDB both run RE2 — identical semantics)
 EMAIL_RE = r"[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[A-Za-z]+"
@@ -177,7 +181,7 @@ def doc_pack(
 
 
 def tfidf_top_terms(
-    sf_dir: str, k: int = 3, num_partitions: int = 16
+    sf_dir: str, k: int = TFIDF_K, num_partitions: int = 16
 ) -> rd.Dataset:
     """Per-doc top-k salient terms by integer tf-idf.
 

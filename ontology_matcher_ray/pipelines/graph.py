@@ -166,9 +166,11 @@ def pagerank_from_edges(
     Same recurrence and distribution story as `kg_pagerank` (which is a
     thin wrapper over the flagship co-occurrence edges); exposed
     separately so callers — and the skew tests — can run it over any
-    graph.  Requires every node to appear as BOTH a src and a dst
-    (symmetric edge lists satisfy this); nodes violating it drop out of
-    the rank table after round 1.
+    graph.  Symmetric edge lists (every node both a src and a dst) give
+    the canonical behavior; on arbitrary directed lists, a node with no
+    out-edge (deg 0 — it cannot forward mass) is dropped from the rank
+    table in the round it first receives a message, and a node with no
+    in-edge decays toward the teleport term.
     """
     edges = edge_ds.materialize()
 
@@ -215,6 +217,7 @@ def pagerank_from_edges(
                 "contrib": (b["rank"].to_numpy(dtype=np.int64)
                             // b["deg"].to_numpy(dtype=np.int64)),
                 "deg": b["deg"].astype("int64"),
+                "carrier": np.int64(1),
             }),
             batch_format="pandas",
         )
@@ -224,13 +227,16 @@ def pagerank_from_edges(
                 "dst": b["dst"].astype(str),
                 "contrib": np.int64(0),
                 "deg": np.int64(0),
+                "carrier": np.int64(0),
             }),
             batch_format="pandas",
         )
 
         def emit(g: pd.DataFrame) -> pd.DataFrame:
-            own = g.loc[g["dst"] == "", ["key", "contrib", "deg"]]
-            ed = g.loc[g["dst"] != "", ["key", "dst"]]
+            # explicit carrier marker — a dst=="" sentinel would
+            # misclassify edges touching a node literally named ""
+            own = g.loc[g["carrier"] == 1, ["key", "contrib", "deg"]]
+            ed = g.loc[g["carrier"] == 0, ["key", "dst"]]
             m = ed.merge(own[["key", "contrib"]], on="key", how="inner")
             frame = pd.DataFrame({
                 "node": np.concatenate(
@@ -263,6 +269,10 @@ def pagerank_from_edges(
         def reduce_(g: pd.DataFrame) -> pd.DataFrame:
             agg = g.groupby("node", sort=False).agg(
                 insum=("contrib", "sum"), deg=("deg", "max"))
+            # a message recipient with no carrier has deg 0: no
+            # out-edges, cannot forward mass next round — drop it now
+            # (documented contract; also prevents rank // 0 upstream)
+            agg = agg[agg["deg"] > 0]
             agg["rank"] = ((15 * base) // 100
                            + (85 * agg["insum"].to_numpy(dtype=np.int64)) // 100)
             return agg.reset_index()[["node", "deg", "rank"]]

@@ -80,3 +80,32 @@ def test_degrees_consistent_with_cooccurrence():
     # every triple contributes exactly one out- and one in-degree
     assert dg["out_degree"].sum() == dg["in_degree"].sum()
     assert (dg["out_degree"] + dg["in_degree"] > 0).all()
+
+
+def test_pagerank_asymmetric_drops_sinks():
+    # a -> b only: 'b' has no out-edge, documented to drop in round 1;
+    # 'a' keeps forwarding into the void and decays to the teleport term
+    edges = pd.DataFrame({"src": ["a"], "dst": ["b"]})
+    got = (
+        pagerank_from_edges(rd.from_pandas(edges), iterations=3, num_partitions=2)
+        .to_pandas()
+    )
+    assert got["node"].tolist() == ["a"]
+    base = TOTAL_MASS // 1  # one node with out-degree
+    assert got["rank"].iloc[0] == (15 * base) // 100
+
+
+def test_pagerank_empty_string_node_name():
+    # a node literally named "" must behave like any other node
+    edges = pd.DataFrame({
+        "src": ["", "hub", "x", "hub"],
+        "dst": ["hub", "", "hub", "x"],
+    })
+    got = (
+        pagerank_from_edges(rd.from_pandas(edges), iterations=4, num_partitions=2)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    assert got == reference_pagerank(edges, iterations=4)
+    assert "" in got
