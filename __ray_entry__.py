@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs_train,
         events,
         graph,
+        relational,
     )
 
     return {
@@ -85,6 +86,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (decode stubbed; see stages/multimodal) ---
         "media_featurize": _media_featurize,                # expected-parquet oracle
         "media_transform": _media_transform,                # resize/clip/re-encode
+        # --- relational big⋈big family (pipelines/relational.py) ---
+        "pricing_summary": relational.pricing_summary,      # Q1-shaped combiner agg
+        "revenue_by_nation": relational.revenue_by_nation,  # 2-hop shuffle join chain
+        "big_orders": relational.big_orders,                # agg -> HAVING -> join back
+        "priority_semi_counts": relational.priority_semi_counts,  # semi join (EXISTS)
+        "customers_without_urgent": relational.customers_without_urgent,  # anti join
         # --- stream-shaped ---
         "events_hourly": events.hourly_windows,
         "events_sliding": events.sliding_windows,

@@ -66,6 +66,7 @@ def run_bench() -> dict:
         docs_train,
         events,
         graph,
+        relational,
     )
     from ontology_matcher_ray.schemas import DISEASE_SPEC
     from ontology_matcher_ray.state.snapshot import build_snapshot
@@ -123,6 +124,9 @@ def run_bench() -> dict:
         "kg_pagerank": lambda: graph.kg_pagerank(sf_dir),
         "doc_pack": lambda: docs_train.doc_pack(sf_dir),
         "tfidf_top_terms": lambda: docs_train.tfidf_top_terms(sf_dir),
+        "pricing_summary": lambda: relational.pricing_summary(sf_dir),
+        "revenue_by_nation": lambda: relational.revenue_by_nation(sf_dir),
+        "priority_semi_counts": lambda: relational.priority_semi_counts(sf_dir),
     }
     qtimes = {}
     for name, fn in query_fns.items():

@@ -1414,4 +1414,67 @@ SELECT user_id, session_id,
 FROM s GROUP BY user_id, session_id
 """
 
+    # --- relational family (pipelines/relational.py) — constants imported
+    # from the pipeline so oracle and query can never drift apart ---
+    from ontology_matcher_ray.pipelines.relational import (
+        BIG_ORDER_MIN_QTY,
+        PRICING_CUTOFF,
+        SEMI_MIN_QTY,
+    )
+
+    # integer-cent expressions, bit-identical to the pipeline's
+    # np.floor(x * 100 + 0.5) (same IEEE-double product both sides)
+    _c = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
+    price_c = _c.format(x="l_extendedprice")
+    disc_pct = _c.format(x="l_discount")
+
+    sql["pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
+       SUM({price_c}) AS sum_base_price_cents,
+       SUM({price_c} * (100 - {disc_pct})) AS sum_disc_price_cp,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["revenue_by_nation"] = f"""
+SELECT n_name, SUM({price_c} * (100 - {disc_pct})) AS revenue_cp
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["big_orders"] = f"""
+WITH po AS (
+  SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_cents,
+       po.sum_qty
+FROM po JOIN orders ON po.l_orderkey = o_orderkey
+WHERE po.sum_qty > {BIG_ORDER_MIN_QTY}
+"""
+
+    sql["priority_semi_counts"] = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= {SEMI_MIN_QTY})
+GROUP BY o_orderpriority
+"""
+
+    sql["customers_without_urgent"] = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
     return sql

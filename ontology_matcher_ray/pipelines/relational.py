@@ -1,0 +1,362 @@
+"""Distributed relational operators over the TPC-H-shaped tables.
+
+The reference's join surface is broadcast-shaped (conversion ⋈ raw input,
+converted ⋈ metadata — SURVEY §2.5 J1/J2: one side always fits in memory).
+A 100-TB training-data pipeline also needs the *big ⋈ big* shapes — fact ⋈
+fact equi-joins, semi/anti filters, and wide aggregates — so this module
+adds them Ray-Data-natively:
+
+- **Shuffle hash join**: ``exchange.hash_join`` — both sides
+  hash-partitioned on the key through the engine's task-based exchange,
+  each partition joined with one vectorized pandas merge.  Used for every
+  join where BOTH sides scale with the fact tables (lineitem ⋈ orders,
+  orders ⋈ customer).  Ray 2.49's native actor-based ``Dataset.join`` is
+  available behind ``native=True`` (see ``exchange.hash_join`` for the
+  measured per-query actor-startup cost that makes it the non-default).
+- **Broadcast join**: tiny dimension chains (nation: 25 rows) are read
+  once driver-side and shipped as a plain dict/array lookup inside
+  ``map_batches`` — never shuffled (same pattern as
+  ``docs_text.doc_embedding_join``).
+- **Partial aggregation before the exchange**: every per-key sum is
+  combined inside ``map_batches`` first (e.g. lineitem → one row per
+  orderkey per block) so the shuffle moves combiner output, not raw fact
+  rows — at 100 TB this is the difference between shuffling ~4 rows per
+  order and shuffling every line item.
+- **Integer-exact money arithmetic**: prices/discounts are converted to
+  integer cents / whole percent via ``floor(x * 100 + 0.5)`` — the same
+  IEEE-double expression DuckDB evaluates — so distributed sums are
+  order-independent and the oracle comparison is value-hash exact (the
+  engine-wide "integer micro-units" rule; see functions/text.py).
+
+Skew note: TPC-H keys are uniform; for a skewed fact⋈fact key the plan is
+the one already used by ``canonical_merge``/events — salt the hot key with
+a second column and merge in a cheap second pass.  ``Dataset.join`` keeps
+`num_partitions` blocks per side; callers size it to the fact volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ontology_matcher_ray.stages import exchange
+
+def _join_partitions(requested=None) -> int:
+    """Partitions per hash-shuffle join, sized to the CLUSTER, not the
+    data: each join spawns one aggregator actor per partition, so asking
+    for more partitions than cores makes the actors thrash (measured 84 s
+    vs 4 s on an 8-CPU session for the same sf0.001 join chain).  Half the
+    cores per join leaves room for the scan/combiner tasks and for the
+    second join of a chain; on a real cluster this is ~total cores."""
+    if requested is not None:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus // 2)
+
+
+def _join(
+    left,
+    right,
+    on,
+    right_on,
+    left_schema,
+    right_schema,
+    how="inner",
+    num_partitions=None,
+    native=False,
+):
+    """Join dispatch: the task-based ``exchange.hash_join`` by default
+    (see its docstring for the measured rationale), or Ray's native
+    actor-based ``Dataset.join`` with ``native=True`` (same key/column
+    semantics: left key name kept, right key consumed)."""
+    num_partitions = _join_partitions(num_partitions)
+    if native:
+        kind = {"inner": "inner", "semi": "left_semi", "anti": "left_anti"}[how]
+        return left.join(
+            right, kind, num_partitions=num_partitions,
+            on=(on,), right_on=(right_on,),
+        )
+    return exchange.hash_join(
+        left, right, on, right_on, left_schema, right_schema, how, num_partitions
+    )
+
+PRICING_CUTOFF = "2000-06-30"  # keeps ~half of lineitem at every sf
+BIG_ORDER_MIN_QTY = 150        # non-degenerate at sf0.001..sf0.1
+SEMI_MIN_QTY = 49.0            # "orders with a near-max-quantity line"
+
+
+def _read(sf_dir: str, name: str, columns):
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """float dollars -> int64 cents, bit-identical to DuckDB's
+    CAST(FLOOR(x * 100 + 0.5) AS BIGINT) (both sides evaluate the same
+    IEEE-double product/sum before the floor)."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _whole(x: np.ndarray) -> np.ndarray:
+    """float -> nearest int64 via the same floor(x + 0.5) expression."""
+    return np.floor(x + 0.5).astype(np.int64)
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-shaped wide aggregate: per (returnflag, linestatus) sums
+    over the shipped slice of lineitem.
+
+    Plan: pruned read -> per-block combiner (groupby inside the batch,
+    ~6 output rows per block) -> tiny final exchange.  The shuffle moves
+    O(blocks x 6) rows regardless of fact volume.
+    """
+    cutoff = np.datetime64(PRICING_CUTOFF)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].to_numpy() <= cutoff]
+        price_c = _cents(b["l_extendedprice"].to_numpy())
+        disc_pct = _whole(b["l_discount"].to_numpy() * 100.0)
+        f = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_numpy(),
+                "l_linestatus": b["l_linestatus"].to_numpy(),
+                "sum_qty": _whole(b["l_quantity"].to_numpy()),
+                "sum_base_price_cents": price_c,
+                # disc price in cent-percent units (exact integer algebra;
+                # divide by 100 downstream only for display)
+                "sum_disc_price_cp": price_c * (100 - disc_pct),
+                "count_order": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return (
+            f.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    part = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    ).map_batches(combine, batch_format="pandas")
+    return exchange.grouped_agg(
+        part, ["l_returnflag", "l_linestatus"], lambda g: g.sum(), num_partitions=8
+    )
+
+
+def _lineitem_revenue_per_order(sf_dir: str) -> rd.Dataset:
+    """Per-block combiner: lineitem -> one (l_orderkey, revenue_cp) row
+    per order per block.  revenue_cp = cents * (100 - disc_pct), the
+    integer-exact form of extendedprice * (1 - discount)."""
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        price_c = _cents(b["l_extendedprice"].to_numpy())
+        disc_pct = _whole(b["l_discount"].to_numpy() * 100.0)
+        f = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "revenue_cp": price_c * (100 - disc_pct),
+            }
+        )
+        return f.groupby("l_orderkey", sort=False).sum().reset_index()
+
+    return _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(combine, batch_format="pandas")
+
+
+def revenue_by_nation(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
+    """Revenue per customer nation: a two-hop shuffle-join chain over the
+    fact tables plus a broadcast dimension lookup.
+
+        lineitem --combiner--> (orderkey, revenue)        [fact]
+          ⋈ shuffle on orderkey: orders(orderkey, custkey) [fact]
+          ⋈ shuffle on custkey:  customer(custkey, nationkey) [scales w/ facts]
+          ⋈ broadcast: nation name (25 rows, driver-read, numpy lookup)
+          --combiner + tiny exchange--> (n_name, revenue_cents... cp)
+
+    Both fact joins are Ray's hash-shuffle join (each side partitioned by
+    the key); only the 25-row nation table is broadcast.
+    """
+    import pyarrow.parquet as pq
+
+    li = _lineitem_revenue_per_order(sf_dir)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    j1 = _join(
+        li, orders, "l_orderkey", "o_orderkey",
+        {"l_orderkey": "int64", "revenue_cp": "int64"},
+        {"o_orderkey": "int64", "o_custkey": "int64"},
+        num_partitions=num_partitions, native=native,
+    )
+    j2 = _join(
+        j1.map_batches(
+            lambda b: b[["o_custkey", "revenue_cp"]], batch_format="pandas"
+        ),
+        cust, "o_custkey", "c_custkey",
+        {"o_custkey": "int64", "revenue_cp": "int64"},
+        {"c_custkey": "int64", "c_nationkey": "int64"},
+        num_partitions=num_partitions, native=native,
+    )
+
+    # dense int nationkey -> name array, broadcast by closure capture (25
+    # rows; Ray ships it once per task spec, not per batch)
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    names = np.empty(int(nat["n_nationkey"].max()) + 1, dtype=object)
+    names[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
+
+    def tag_and_combine(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {
+                "n_name": names[b["c_nationkey"].to_numpy()],
+                "revenue_cp": b["revenue_cp"].to_numpy(),
+            }
+        )
+        return f.groupby("n_name", sort=False).sum().reset_index()
+
+    part = j2.map_batches(tag_and_combine, batch_format="pandas")
+    return exchange.grouped_agg(
+        part, ["n_name"], lambda g: g.sum(), num_partitions=4
+    )
+
+
+def big_orders(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
+    """TPC-H-Q18-shaped: orders whose total line quantity exceeds
+    BIG_ORDER_MIN_QTY, with order payload attached.
+
+    Plan: lineitem per-block qty combiner -> per-orderkey exchange sum ->
+    HAVING filter (cheap: runs on the already-aggregated rows) -> shuffle
+    join back to orders for the payload columns.  The join's left side is
+    the filtered aggregate (~5% of orders), so the shuffle moves the small
+    surviving set plus one pass of orders.
+    """
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "sum_qty": _whole(b["l_quantity"].to_numpy()),
+            }
+        )
+        return f.groupby("l_orderkey", sort=False).sum().reset_index()
+
+    per_order = exchange.grouped_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            combine, batch_format="pandas"
+        ),
+        ["l_orderkey"],
+        lambda g: g.sum(),
+        num_partitions=num_partitions,
+    )
+    big = per_order.map_batches(
+        lambda b: b[b["sum_qty"].to_numpy() > BIG_ORDER_MIN_QTY],
+        batch_format="pandas",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    j = _join(
+        big, orders, "l_orderkey", "o_orderkey",
+        {"l_orderkey": "int64", "sum_qty": "int64"},
+        {"o_orderkey": "int64", "o_custkey": "int64",
+         "o_totalprice": "float64", "o_orderdate": "datetime64[us]"},
+        num_partitions=num_partitions, native=native,
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        # the hash join keeps the LEFT key column (l_orderkey); the right
+        # key is consumed by the equi-condition
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].astype("int64").to_numpy(),
+                "o_custkey": b["o_custkey"].astype("int64").to_numpy(),
+                "o_orderdate": pd.to_datetime(b["o_orderdate"]).dt.strftime(
+                    "%Y-%m-%d"
+                ),
+                "o_totalprice_cents": _cents(b["o_totalprice"].to_numpy()),
+                "sum_qty": b["sum_qty"].astype("int64").to_numpy(),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
+def priority_semi_counts(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
+    """Order count per priority for orders having >= 1 near-max-quantity
+    line item — a semi join (EXISTS), so an order with five qualifying
+    lines still counts once.
+
+    Plan: filter lineitem in the scan (only matching keys leave the read)
+    -> ``left_semi`` hash-shuffle join (dedups the filter side inside the
+    exchange) -> per-block count combiner -> 5-row final exchange.
+    """
+    num_partitions = _join_partitions(num_partitions)
+    hits = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: b[b["l_quantity"].to_numpy() >= SEMI_MIN_QTY][["l_orderkey"]],
+        batch_format="pandas",
+    )
+    semi = _join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        hits, "o_orderkey", "l_orderkey",
+        {"o_orderkey": "int64", "o_orderpriority": "object"},
+        {"l_orderkey": "int64"},
+        how="semi", num_partitions=num_partitions, native=native,
+    )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                "n_orders": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return f.groupby("o_orderpriority", sort=False).sum().reset_index()
+
+    return exchange.grouped_agg(
+        semi.map_batches(combine, batch_format="pandas"),
+        ["o_orderpriority"],
+        lambda g: g.sum(),
+        num_partitions=4,
+    )
+
+
+def customers_without_urgent(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
+    """Customers with no 1-URGENT order — an anti join (NOT EXISTS).
+
+    Plan: filter orders to the urgent slice in the scan -> ``left_anti``
+    hash-shuffle join against customer.  Only customer keys + the pruned
+    urgent keys are shuffled.
+    """
+    num_partitions = _join_partitions(num_partitions)
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b[b["o_orderpriority"].to_numpy() == "1-URGENT"][["o_custkey"]],
+        batch_format="pandas",
+    )
+    return _join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        urgent, "c_custkey", "o_custkey",
+        {"c_custkey": "int64", "c_name": "object"},
+        {"o_custkey": "int64"},
+        how="anti", num_partitions=num_partitions, native=native,
+    )
