@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_orders": relational.big_orders,                # agg -> HAVING -> join back
         "priority_semi_counts": relational.priority_semi_counts,  # semi join (EXISTS)
         "customers_without_urgent": relational.customers_without_urgent,  # anti join
+        "order_price_quantiles": relational.order_price_quantiles,  # exact dist. quantiles
+        "customer_running_revenue": relational.customer_running_revenue,  # window fns
         # --- stream-shaped ---
         "events_hourly": events.hourly_windows,
         "events_sliding": events.sliding_windows,

@@ -1469,6 +1469,30 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 GROUP BY o_orderpriority
 """
 
+    from ontology_matcher_ray.pipelines.relational import QUANTILES
+
+    qcols = ",\n       ".join(
+        f"quantile_disc(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), {q}) "
+        f"AS q{int(q * 100)}_cents"
+        for q in QUANTILES
+    )
+    sql["order_price_quantiles"] = f"""
+SELECT o_orderpriority,
+       {qcols}
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+    sql["customer_running_revenue"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
     sql["customers_without_urgent"] = """
 SELECT c_custkey, c_name
 FROM customer

@@ -341,6 +341,102 @@ def priority_semi_counts(sf_dir: str, num_partitions=None, native=False) -> rd.D
     )
 
 
+QUANTILES = (0.25, 0.50, 0.75, 0.95)
+
+
+def order_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact distributed quantiles of order price per priority, via
+    count-based selection: the shuffle moves (group, value, count) rows —
+    volume bounded by the DISTINCT-value count of the domain (integer
+    cents), not the row count, so a 100-TB orders table exchanges at most
+    |domain| rows per group.
+
+    Per-block combiner collapses duplicate (priority, cents) pairs; one
+    exchange on priority; per group the kernel sorts the distinct values,
+    cumulative-sums the counts and selects index max(0, ceil(q*n) - 1) —
+    DuckDB's ``quantile_disc`` definition (verified empirically), so the
+    oracle recomputes the identical statistic.
+    """
+    import math
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                "cents": _cents(b["o_totalprice"].to_numpy()),
+                "cnt": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return f.groupby(["o_orderpriority", "cents"], sort=False).sum().reset_index()
+
+    part = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]).map_batches(
+        combine, batch_format="pandas"
+    )
+
+    def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for prio, grp in g.groupby("o_orderpriority", sort=False):
+            grp = grp.groupby("cents", sort=True)["cnt"].sum()
+            values = grp.index.to_numpy()
+            cum = grp.to_numpy().cumsum()
+            n = int(cum[-1])
+            row = {"o_orderpriority": prio}
+            for q in QUANTILES:
+                idx = max(0, math.ceil(q * n) - 1)
+                # first distinct value whose cumulative count exceeds idx
+                row[f"q{int(q * 100)}_cents"] = int(
+                    values[np.searchsorted(cum, idx + 1, side="left")]
+                )
+            out.append(row)
+        return pd.DataFrame(out)
+
+    return exchange.partitioned_apply(
+        part, ["o_orderpriority"], select_quantiles, num_partitions=8
+    )
+
+
+def customer_running_revenue(sf_dir: str, num_partitions=None) -> rd.Dataset:
+    """Ordered window functions (row_number + running sum) per customer:
+    one exchange on the window key, then a vectorized
+    sort + groupby-cumsum/cumcount kernel per partition — no per-row or
+    per-group Python.  Ties broken by (o_orderdate, o_orderkey) so output
+    is deterministic under any partitioning.
+
+    Hot-key note: assumes one customer's orders fit a partition (same
+    declared assumption as the event ops pre-salting; a pathological
+    customer would use the salted-exchange + boundary-merge pattern from
+    pipelines/events.py).
+    """
+    num_partitions = _join_partitions(num_partitions)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "o_orderdate": b["o_orderdate"].to_numpy(),
+                "cents": _cents(b["o_totalprice"].to_numpy()),
+            }
+        )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        grp = g.groupby("o_custkey", sort=False)
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "rn": (grp.cumcount() + 1).to_numpy(),
+                "cum_cents": grp["cents"].cumsum().to_numpy(),
+            }
+        )
+
+    part = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(prep, batch_format="pandas")
+    return exchange.partitioned_apply(part, ["o_custkey"], window, num_partitions)
+
+
 def customers_without_urgent(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
     """Customers with no 1-URGENT order — an anti join (NOT EXISTS).
 
