@@ -211,6 +211,7 @@ def hash_join(
     right_schema: dict,
     how: str = "inner",
     num_partitions: int = 32,
+    salt: int = 1,
 ) -> rd.Dataset:
     """Big ⋈ big equi-join through the task-based exchange.
 
@@ -239,9 +240,15 @@ def hash_join(
     sides (TPC-H-style prefixes).  ``how``: "inner", "semi" or "anti"
     (semi/anti read only the right KEY, so pass a keys-only right side).
 
-    Skew: keys are content-hashed; for a hot key, salt it with a second
-    column upstream and merge in a second pass (the canonical_merge /
-    events pattern).
+    Skew: keys are content-hashed, so a HOT key concentrates in one
+    partition.  ``salt > 1`` splits it: left rows get a position-derived
+    ``_salt`` in [0, salt) and the RIGHT side is replicated once per salt
+    value, so the exchange partitions by (key, _salt) and the hot key's
+    probe work spreads over ``salt`` partitions at the cost of a
+    salt-times-larger right shuffle — pick salt so the (small, e.g.
+    pre-aggregated or filtered) right side stays cheap.  The output SET
+    is identical for any salt (each left row still meets every matching
+    right row exactly once; semi/anti see every replicated key).
     """
     assert how in ("inner", "semi", "anti"), how
     overlap = (set(left_schema) - {on}) & (set(right_schema) - {right_on})
@@ -274,6 +281,14 @@ def hash_join(
                     out[c] = np.zeros(n, dtype=dt)  # ints/floats/datetimes
         f = pd.DataFrame(out)
         f["_side"] = np.full(n, side, dtype=np.int8)
+        if salt > 1:
+            if side == 0:
+                # position-derived: any assignment is correct (the matching
+                # right copy exists in every salt partition)
+                f["_salt"] = (np.arange(n) % salt).astype(np.int64)
+            else:
+                f = f.loc[np.repeat(f.index.to_numpy(), salt)].reset_index(drop=True)
+                f["_salt"] = np.tile(np.arange(salt, dtype=np.int64), n)
         return f
 
     lt = left.map_batches(lambda b: _pad(b, 0), batch_format="pandas")
@@ -285,15 +300,25 @@ def hash_join(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         side = g["_side"].to_numpy()
-        l = g.loc[side == 0, l_cols]
-        r = g.loc[side == 1, [on] + r_out]
         if how == "inner":
-            return l.merge(r, on=on, how="inner")
-        keys = r[on].unique()
+            # under salt, merge on (key, _salt): a partition can hold
+            # several salt groups of the SAME key, and each left row must
+            # meet only its own salt's right copy
+            join_cols = [on, "_salt"] if salt > 1 else [on]
+            l = g.loc[side == 0, l_cols + (["_salt"] if salt > 1 else [])]
+            r = g.loc[side == 1, join_cols + r_out]
+            out = l.merge(r, on=join_cols, how="inner")
+            return out.drop(columns=["_salt"]) if salt > 1 else out
+        # semi/anti: the left row's own (key, _salt) partition always
+        # contains the right copy with that salt, so a key-presence mask
+        # is exact under any salt
+        l = g.loc[side == 0, l_cols]
+        keys = g.loc[side == 1, on].unique()
         mask = l[on].isin(keys).to_numpy()
         return l[~mask] if how == "anti" else l[mask]
 
-    return partitioned_apply(lt.union(rt), [on], per_partition, num_partitions)
+    key_cols = [on, "_salt"] if salt > 1 else [on]
+    return partitioned_apply(lt.union(rt), key_cols, per_partition, num_partitions)
 
 
 def grouped_agg(

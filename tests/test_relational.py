@@ -19,6 +19,54 @@ def test_revenue_partition_invariance():
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
 
 
+def test_salted_join_on_hot_key():
+    """One key owning ~80% of the left side: salted hash_join must (a)
+    split the hot key across partitions and (b) return the identical row
+    set as the unsalted join."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_matcher_ray.stages import exchange
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.8, 42, rng.integers(0, 500, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"rk": np.arange(500, dtype=np.int64), "w": np.arange(500, dtype=np.int64) * 10}
+    )
+    ls = {"k": "int64", "v": "int64"}
+    rs = {"rk": "int64", "w": "int64"}
+
+    plain = normalize(
+        to_pandas(
+            exchange.hash_join(
+                rd.from_pandas(left), rd.from_pandas(right), "k", "rk", ls, rs,
+                num_partitions=8,
+            )
+        )
+    )
+    salted = normalize(
+        to_pandas(
+            exchange.hash_join(
+                rd.from_pandas(left), rd.from_pandas(right), "k", "rk", ls, rs,
+                num_partitions=8, salt=8,
+            )
+        )
+    )
+    assert len(plain) == n  # every left row matches exactly one right row
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=False, check_exact=True)
+
+    # semi/anti under salt: replicated right keys must not duplicate rows
+    semi = to_pandas(
+        exchange.hash_join(
+            rd.from_pandas(left), rd.from_pandas(right.iloc[:100]), "k", "rk",
+            ls, {"rk": "int64"}, how="semi", num_partitions=8, salt=4,
+        )
+    )
+    assert len(semi) == int((keys < 100).sum())
+
+
 def test_semi_join_counts_order_once():
     """An order with several qualifying line items must count once (semi
     join, not inner join): total over priorities == distinct qualifying
