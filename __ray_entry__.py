@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": docs_text.sample_docs,               # hash-threshold sample
         "doc_embedding_join": docs_text.doc_embedding_join, # broadcast hash join
         "fingerprints": docs_text.fingerprints,             # SQL-recomputed oracle
+        "source_lang_matrix": docs_text.source_lang_matrix,  # pivot / wide aggregate
         "code_token_stats": _code_token_stats,              # BPE-ish regex counting
         # --- training-data prep (pipelines/docs_train.py) ---
         "pii_scrub": docs_train.pii_scrub,                  # RE2 redaction map

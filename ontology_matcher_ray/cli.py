@@ -165,15 +165,33 @@ GRAPH_OPS = {
     "pagerank": ("kg_pagerank", "integer PageRank over the entity graph"),
 }
 
+RELATIONAL_OPS = {
+    "pricing": ("pricing_summary", "wide aggregate over lineitem"),
+    "revenue": ("revenue_by_nation", "shuffle-join chain + broadcast dim"),
+    "big-orders": ("big_orders", "agg -> HAVING -> join back"),
+    "semi": ("priority_semi_counts", "EXISTS semi join counts"),
+    "anti": ("customers_without_urgent", "NOT EXISTS anti join"),
+    "quantiles": ("order_price_quantiles", "exact distributed quantiles"),
+    "window": ("customer_running_revenue", "row_number + running sum"),
+}
+
+PIVOT_OPS = {
+    "pivot": ("source_lang_matrix", "source x language count matrix"),
+}
+
 
 def cmd_analyze(args) -> int:
     """Run a training-prep or graph-analytics operator over an sf-style
     table directory and write partitioned Parquet."""
     _ensure_ray()
-    from ontology_matcher_ray.pipelines import docs_train, graph
+    from ontology_matcher_ray.pipelines import docs_text, docs_train, graph, relational
 
     if args.op in TRAIN_OPS:
         fn = getattr(docs_train, TRAIN_OPS[args.op][0])
+    elif args.op in RELATIONAL_OPS:
+        fn = getattr(relational, RELATIONAL_OPS[args.op][0])
+    elif args.op in PIVOT_OPS:
+        fn = getattr(docs_text, PIVOT_OPS[args.op][0])
     else:
         fn = getattr(graph, GRAPH_OPS[args.op][0])
     ds = fn(args.sf_dir).materialize()  # one execution: write + count
@@ -239,7 +257,8 @@ def main(argv=None) -> int:
                      help="directory holding documents.parquet / embeddings.parquet")
     pa_.add_argument("--output-dir", required=True)
     pa_.add_argument("--op", required=True,
-                     choices=sorted(TRAIN_OPS) + sorted(GRAPH_OPS))
+                     choices=sorted(TRAIN_OPS) + sorted(GRAPH_OPS)
+                     + sorted(RELATIONAL_OPS) + sorted(PIVOT_OPS))
     pa_.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)

@@ -1469,6 +1469,20 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 GROUP BY o_orderpriority
 """
 
+    from ontology_matcher_ray.pipelines.docs_text import PIVOT_LANGS
+
+    lang_cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lang}"
+        for lang in PIVOT_LANGS
+    )
+    sql["source_lang_matrix"] = f"""
+SELECT source,
+       {lang_cols},
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM documents
+GROUP BY source
+"""
+
     from ontology_matcher_ray.pipelines.relational import QUANTILES
 
     qcols = ",\n       ".join(

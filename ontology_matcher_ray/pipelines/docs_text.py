@@ -137,6 +137,55 @@ def lang_stats(sf_dir: str) -> rd.Dataset:
     return out.map_batches(finish, batch_format="pandas")
 
 
+# the documents table's language domain (stable across every sf); shared
+# with the oracle's conditional-aggregation SQL so pivot columns and the
+# recomputation can never drift apart
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def source_lang_matrix(sf_dir: str) -> rd.Dataset:
+    """Pivot (wide aggregate): one row per source, one count column per
+    language.  Per-block combiner collapses to (source, lang, cnt) — at
+    most |sources| x |langs| rows per block — one exchange on source,
+    then a vectorized unstack per partition.  The shuffle volume is
+    bounded by the category-domain product, never the document count.
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    ds = read_documents(sf_dir, columns=["source", "lang"])
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["source", "lang"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .astype({"cnt": "int64"})
+        )
+
+    part = ds.map_batches(combine, batch_format="pandas")
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            g.groupby(["source", "lang"], sort=False)["cnt"]
+            .sum()
+            .unstack(fill_value=0)
+        )
+        out = {"source": p.index.to_numpy()}
+        total = np.zeros(len(p), dtype=np.int64)
+        for lang in PIVOT_LANGS:
+            col = (
+                p[lang].to_numpy().astype(np.int64)
+                if lang in p.columns
+                else np.zeros(len(p), dtype=np.int64)
+            )
+            out[f"n_{lang}"] = col
+            total += col
+        out["n_total"] = total
+        return pd.DataFrame(out)
+
+    return exchange.partitioned_apply(part, ["source"], pivot, num_partitions=8)
+
+
 def token_freq(sf_dir: str) -> rd.Dataset:
     """Global token frequencies (combiner inside map_batches, tiny groupby).
 

@@ -67,6 +67,50 @@ def test_salted_join_on_hot_key():
     assert len(semi) == int((keys < 100).sum())
 
 
+def test_hash_join_many_to_many_and_empty_side():
+    """Inner join semantics: duplicate keys on BOTH sides produce the
+    per-key cartesian product (pandas-merge ground truth); an empty right
+    side yields 0 inner rows and all-left anti rows."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_matcher_ray.stages import exchange
+
+    left = pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "v": range(6)})
+    right = pd.DataFrame({"rk": [1, 1, 3, 9], "w": [10, 11, 30, 90]})
+    ls = {"k": "int64", "v": "int64"}
+    rs = {"rk": "int64", "w": "int64"}
+
+    got = normalize(
+        to_pandas(
+            exchange.hash_join(
+                rd.from_pandas(left), rd.from_pandas(right), "k", "rk", ls, rs,
+                num_partitions=3,
+            )
+        )
+    )
+    want = normalize(
+        left.merge(right.rename(columns={"rk": "k"}), on="k", how="inner")
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    empty = right.iloc[0:0]
+    inner = to_pandas(
+        exchange.hash_join(
+            rd.from_pandas(left), rd.from_pandas(empty), "k", "rk", ls, rs,
+            num_partitions=2,
+        )
+    )
+    assert len(inner) == 0
+    anti = to_pandas(
+        exchange.hash_join(
+            rd.from_pandas(left), rd.from_pandas(empty), "k", "rk",
+            ls, {"rk": "int64"}, how="anti", num_partitions=2,
+        )
+    )
+    assert len(anti) == len(left)
+
+
 def test_semi_join_counts_order_once():
     """An order with several qualifying line items must count once (semi
     join, not inner join): total over priorities == distinct qualifying
