@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_join": docs_text.doc_embedding_join, # broadcast hash join
         "fingerprints": docs_text.fingerprints,             # SQL-recomputed oracle
         "source_lang_matrix": docs_text.source_lang_matrix,  # pivot / wide aggregate
+        "doc_rollup": docs_text.doc_rollup,                 # GROUPING SETS one-pass
         "code_token_stats": _code_token_stats,              # BPE-ish regex counting
         # --- training-data prep (pipelines/docs_train.py) ---
         "pii_scrub": docs_train.pii_scrub,                  # RE2 redaction map
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": events.asof_join,                    # as-of join via exchange
         "events_range_join": events.range_join,             # range join aggregate
         "events_sessionize": events.sessionize,
+        "events_funnel": events.funnel,                     # click->purchase funnel
         # --- flagship corpus pipeline (sharded + resumable; hash-checked
         #     against the closed-form expected parquet, scale-coupled) ---
         "corpus_kg_triples": _corpus_kg_triples,

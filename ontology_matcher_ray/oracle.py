@@ -1483,6 +1483,33 @@ FROM documents
 GROUP BY source
 """
 
+    from ontology_matcher_ray.pipelines.docs_text import ROLLUP_ALL
+
+    sql["doc_rollup"] = f"""
+SELECT COALESCE(lang, '{ROLLUP_ALL}') AS lang,
+       COALESCE(source, '{ROLLUP_ALL}') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+"""
+
+    sql["events_funnel"] = """
+WITH c AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_click_us
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS fp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.first_click_us
+  GROUP BY e.user_id
+)
+SELECT c.user_id, c.first_click_us,
+       COALESCE(p.fp, -1) AS first_purchase_us,
+       CAST(p.fp IS NOT NULL AS BIGINT) AS converted
+FROM c LEFT JOIN p USING (user_id)
+"""
+
     from ontology_matcher_ray.pipelines.relational import QUANTILES
 
     qcols = ",\n       ".join(

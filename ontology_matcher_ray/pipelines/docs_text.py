@@ -186,6 +186,43 @@ def source_lang_matrix(sf_dir: str) -> rd.Dataset:
     return exchange.partitioned_apply(part, ["source"], pivot, num_partitions=8)
 
 
+ROLLUP_ALL = "*"  # sentinel for rolled-up levels; shared with the oracle
+
+
+def doc_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUPING-SETS-shaped rollup in ONE pass: document counts at
+    (lang, source), (lang, *) and (*, *) levels.  The per-block combiner
+    emits all three levels (3 x |lang|x|source| rows per block max), so a
+    single exchange finalizes every level — no second aggregation job per
+    level.
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    ds = read_documents(sf_dir, columns=["lang", "source"])
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        fine = (
+            b.groupby(["lang", "source"], sort=False)
+            .size()
+            .reset_index(name="n_docs")
+        )
+        mid = fine.groupby("lang", sort=False)["n_docs"].sum().reset_index()
+        mid["source"] = ROLLUP_ALL
+        top = pd.DataFrame(
+            {"lang": [ROLLUP_ALL], "source": [ROLLUP_ALL],
+             "n_docs": [int(fine["n_docs"].sum())]}
+        )
+        out = pd.concat([fine, mid[["lang", "source", "n_docs"]], top],
+                        ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    part = ds.map_batches(combine, batch_format="pandas")
+    return exchange.grouped_agg(
+        part, ["lang", "source"], lambda g: g.sum(), num_partitions=8
+    )
+
+
 def token_freq(sf_dir: str) -> rd.Dataset:
     """Global token frequencies (combiner inside map_batches, tiny groupby).
 

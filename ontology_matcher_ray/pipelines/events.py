@@ -552,3 +552,79 @@ def sessionize(sf_dir: str, gap_minutes: int = 30,
     return exchange.partitioned_apply(
         p1.union(p2), ["user_id", "bucket"], assemble, 32
     )
+
+
+def funnel(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+    """Click -> purchase conversion funnel per user: first click, first
+    purchase at-or-after it, and a converted flag.
+
+    Plan: prune to (user_id, ts, event_type), filter to the two funnel
+    stages in the scan pass (shuffle volume = funnel events only), reduce
+    clicks to one per-user min per BLOCK in the same pass, one user_id
+    exchange, then a vectorized kernel: per user, the first purchase >=
+    first click via a merge of per-user minima.  Timestamps leave as
+    epoch MICROSECONDS (int64) so the result is value-hash comparable
+    with the oracle's ``epoch_us``.
+
+    Hot-user note: per-user rows fit a partition (the salted pattern from
+    sessionize applies if one user dominates).
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    ds = read_events(sf_dir, columns=["user_id", "ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        et = b["event_type"].to_numpy()
+        keep = (et == "click") | (et == "purchase")
+        b = b[keep]
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        f = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "ts_us": us,
+                "is_click": (b["event_type"].to_numpy() == "click"),
+            }
+        )
+        # block-local combiner: clicks collapse to one min per user
+        clicks = (
+            f[f["is_click"]]
+            .groupby("user_id", sort=False)["ts_us"]
+            .min()
+            .reset_index()
+        )
+        clicks["is_click"] = True
+        purchases = f[~f["is_click"]]
+        return pd.concat([clicks, purchases], ignore_index=True)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        is_click = g["is_click"].to_numpy()
+        fc = (
+            g[is_click]
+            .groupby("user_id", sort=False)["ts_us"]
+            .min()
+            .rename("first_click_us")
+            .reset_index()
+        )
+        p = g[~is_click].merge(fc, on="user_id", how="inner")
+        p = p[p["ts_us"].to_numpy() >= p["first_click_us"].to_numpy()]
+        fp = (
+            p.groupby("user_id", sort=False)["ts_us"]
+            .min()
+            .rename("first_purchase_us")
+            .reset_index()
+        )
+        out = fc.merge(fp, on="user_id", how="left")
+        has = out["first_purchase_us"].notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64").to_numpy(),
+                "first_click_us": out["first_click_us"].astype("int64").to_numpy(),
+                "first_purchase_us": np.where(
+                    has, out["first_purchase_us"].fillna(-1).to_numpy(), -1
+                ).astype(np.int64),
+                "converted": has.astype(np.int64),
+            }
+        )
+
+    part = ds.map_batches(prep, batch_format="pandas")
+    return exchange.partitioned_apply(part, ["user_id"], per_user, num_partitions)
