@@ -35,12 +35,13 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary P6 PPM -> (H, W, 3) uint8.  Handles comment lines and any
-    whitespace run between header tokens (the Netpbm grammar)."""
-    if payload[:2] != b"P6":
+def decode_ppm_at(payload: bytes, pos: int = 0) -> Tuple[np.ndarray, int]:
+    """Parse ONE P6 frame starting at ``pos``; returns (frame, next_pos).
+    Handles comment lines and any whitespace run between header tokens
+    (the Netpbm grammar)."""
+    if payload[pos:pos + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    pos = 2
+    pos += 2
     vals = []
     while len(vals) < 3:
         # skip whitespace and '#' comment lines
@@ -59,7 +60,34 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError("only 8-bit PPM supported")
     pos += 1                              # single whitespace after maxval
     data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
-    return data.reshape(h, w, 3)
+    return data.reshape(h, w, 3), pos + h * w * 3
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM -> (H, W, 3) uint8 (first frame of the payload)."""
+    arr, _ = decode_ppm_at(payload)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# PPM stream ("uncompressed video": concatenated P6 frames, the Netpbm
+# analogue of a raw MJPEG stream — each frame is a complete P6 image)
+# ---------------------------------------------------------------------------
+
+def encode_ppm_stream(frames) -> bytes:
+    """list[(H, W, 3) uint8] -> concatenated P6 frames."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_ppm_stream(payload: bytes):
+    """Concatenated P6 frames -> list[(H, W, 3) uint8].  A single-frame
+    payload is a 1-element stream (plain PPM is the degenerate case)."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        arr, pos = decode_ppm_at(payload, pos)
+        frames.append(arr)
+    return frames
 
 
 # ---------------------------------------------------------------------------

@@ -685,6 +685,41 @@ def _oracle_audio_feat(i: int, duration_ms: int) -> bytes:
     return struct.pack("<16f", *f)
 
 
+def _oracle_video_payload(i: int) -> bytes:
+    """Independent PPM-stream encoder from the video closed form
+    (bytearray loops — never the engine's numpy codec)."""
+    n_frames = 4 + (i % 5)
+    w, h = 32, 24
+    out = bytearray()
+    for fr in range(n_frames):
+        out += b"P6\n%d %d\n255\n" % (w, h)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    out.append((i * 31 + fr * 13 + y * 7 + x * 3 + c * 11) % 256)
+    return bytes(out)
+
+
+def _oracle_video_feat(i: int) -> bytes:
+    """float32[16] video features recomputed from the closed form (see
+    stages/multimodal.video_features — restated independently)."""
+    import struct
+
+    n_frames = 4 + (i % 5)
+    w, h = 32, 24
+    f = [0.0] * 16
+    for fr in range(min(n_frames, 8)):
+        s = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    s += (i * 31 + fr * 13 + y * 7 + x * 3 + c * 11) % 256
+        f[fr] = s / (3.0 * h * w)
+    f[8] = float(n_frames)
+    f[9], f[10] = float(w), float(h)
+    return struct.pack("<16f", *f)
+
+
 def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> str:
     """Expected ``media_featurize`` output, independently recomputed.
 
@@ -693,10 +728,11 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
     feature math — never the engine's numpy codecs), so the actor-pool
     pipeline's whole row — metadata passthrough, payload sha over the
     encoded container bytes, feature bytes — is hash-checked end-to-end
-    including the decode step.  Video rows restate the documented
-    deterministic-fake recipe.  ``n_rows`` mirrors the query's
-    least(n_docs, 256) sizing, which is 256 at every testdata scale; the
-    SQL asserts that with a discriminator on the live documents view.
+    including the decode step.  Video rows are PPM STREAMS recomputed the
+    same way (independent frame-loop encoder + per-frame luminance
+    features).  ``n_rows`` mirrors the query's least(n_docs, 256) sizing,
+    which is 256 at every testdata scale; the SQL asserts that with a
+    discriminator on the live documents view.
     """
     import hashlib
     import os
@@ -709,7 +745,7 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
 
     out_dir = "/tmp/onto_ray_oracle"
     path = os.path.join(
-        out_dir, f"expected_media_v2_{n_rows}_{dim}_{seed}.parquet"
+        out_dir, f"expected_media_v3_{n_rows}_{dim}_{seed}.parquet"
     )
     if os.path.exists(path):
         return path
@@ -733,11 +769,10 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
             width = height = 0
             feat = _oracle_audio_feat(i, duration_ms)
         else:
-            h = hashlib.blake2b(b"media%d:%d" % (seed, i), digest_size=32).digest()
-            payload = (h * (4096 // 32 + 1))[:4096]
-            dh = hashlib.blake2b(payload, digest_size=8).digest()
-            feat = (np.random.RandomState(int.from_bytes(dh[:4], "big"))
-                    .rand(dim).astype(np.float32).tobytes())
+            payload = _oracle_video_payload(i)
+            feat = _oracle_video_feat(i)
+            width, height = 32, 24
+            duration_ms = (4 + (i % 5)) * 40
         rows.append((i, kind, width, height, duration_ms,
                      hashlib.sha256(payload).hexdigest(),
                      hashlib.sha256(feat).hexdigest(),
@@ -763,7 +798,8 @@ def media_transform_expected_parquet(n_rows: int = 256, out_w: int = 32,
     loop-and-struct P6 encoder — the engine's decode->index->re-encode
     round trip never runs here.  Audio is the sawtooth closed form cut at
     ``min(n, sr*clip_ms/1000)`` samples through the independent WAV
-    encoder.  Video restates the passthrough stub."""
+    encoder.  Video is the PPM stream's every-2nd frame, re-encoded with
+    the independent frame-loop encoder."""
     import hashlib
     import os
     import struct
@@ -776,7 +812,7 @@ def media_transform_expected_parquet(n_rows: int = 256, out_w: int = 32,
     out_dir = "/tmp/onto_ray_oracle"
     path = os.path.join(
         out_dir,
-        f"expected_mediatr_{n_rows}_{out_w}x{out_h}_{clip_ms}_{seed}.parquet",
+        f"expected_mediatr_v2_{n_rows}_{out_w}x{out_h}_{clip_ms}_{seed}.parquet",
     )
     if os.path.exists(path):
         return path
@@ -812,10 +848,21 @@ def media_transform_expected_parquet(n_rows: int = 256, out_w: int = 32,
             rows.append((i, kind, "clip", 0, 0, n_out * 1000 // 8000,
                          hashlib.sha256(wav).hexdigest(), n_rows))
         else:
-            h = hashlib.blake2b(b"media%d:%d" % (seed, i), digest_size=32).digest()
-            payload = (h * (4096 // 32 + 1))[:4096]
-            rows.append((i, kind, "passthrough", width, height, duration_ms,
-                         hashlib.sha256(payload).hexdigest(), n_rows))
+            n_frames = 4 + (i % 5)
+            vw, vh = 32, 24
+            kept = list(range(0, n_frames, 2))
+            body = bytearray()
+            for fr in kept:
+                body += b"P6\n%d %d\n255\n" % (vw, vh)
+                for y in range(vh):
+                    for x in range(vw):
+                        for c in range(3):
+                            body.append(
+                                (i * 31 + fr * 13 + y * 7 + x * 3 + c * 11) % 256
+                            )
+            dur = (n_frames * 40) * len(kept) // n_frames
+            rows.append((i, kind, "frame_sample", vw, vh, dur,
+                         hashlib.sha256(bytes(body)).hexdigest(), n_rows))
     df = pd.DataFrame(rows, columns=["media_id", "kind", "op", "width",
                                      "height", "duration_ms",
                                      "payload_sha256", "n_rows"])

@@ -4,11 +4,12 @@ decode for uncompressed containers.
 Images/audio/video ride Ray Data as ``binary`` columns with metadata
 columns alongside (SURVEY's training-data extensions).  Decoding:
 
-* ``P6`` PPM / 24-bit BMP / RIFF PCM16 WAV payloads are decoded FOR REAL
-  (pure-numpy parsers, ``functions/codecs.py``) and reduced to a
+* ``P6`` PPM / 24-bit BMP / RIFF PCM16 WAV / PPM-stream (concatenated P6
+  frames — the uncompressed video analogue) payloads are decoded FOR
+  REAL (pure-numpy parsers, ``functions/codecs.py``) and reduced to a
   deterministic 16-dim feature vector (channel stats + quadrant
   luminance for images; RMS / zero-crossings / segment energies for
-  audio);
+  audio; per-frame luminance for video);
 * compressed formats (PNG/JPEG/MP3/MP4) genuinely need codec libraries
   absent from this container: ``decode_stub="raise"`` raises
   ``NotImplementedError`` at the exact call site a real
@@ -34,8 +35,10 @@ from ontology_matcher_ray.functions.codecs import (
     COMPRESSED_MAGIC,
     decode_bmp24,
     decode_ppm,
+    decode_ppm_stream,
     decode_wav,
     encode_ppm,
+    encode_ppm_stream,
     encode_bmp24,
     encode_wav,
     sniff,
@@ -89,6 +92,11 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
     return f.astype(np.float32)
 
 
+#: video synthesis constants (shared with the oracle's recomputation)
+VIDEO_W, VIDEO_H = 32, 24
+VIDEO_FRAME_MS = 40                       # 25 fps
+
+
 def synthesize_media_table(
     n_rows: int, payload_bytes: int = 4096, seed: int = 42
 ) -> pd.DataFrame:
@@ -98,9 +106,12 @@ def synthesize_media_table(
     Image rows alternate P6 PPM / 24-bit BMP encodings of a closed-form
     pixel pattern; audio rows are PCM16 WAV of an integer sawtooth (8 kHz
     mono — integer arithmetic only, so bit-stable without libm); video
-    rows stay opaque blake2b streams (a compressed container would not be
-    decodable here anyway).  ``payload_bytes`` sizes only the video
-    payloads (image/audio size follows their metadata)."""
+    rows are PPM STREAMS (concatenated P6 frames, the uncompressed
+    analogue of an MJPEG stream) of 4-8 closed-form frames — a compressed
+    container (H.264/MP4) would not be decodable here, but a raw frame
+    stream is, so frame-level ops run FOR REAL.  ``payload_bytes`` is
+    retained for signature compatibility (video size now follows its
+    frame count)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n_rows):
@@ -116,8 +127,12 @@ def synthesize_media_table(
             payload = encode_wav(media_audio_pattern(i, duration_ms), 8000)
             width = height = 0
         else:
-            h = hashlib.blake2b(b"media%d:%d" % (seed, i), digest_size=32).digest()
-            payload = (h * (payload_bytes // 32 + 1))[:payload_bytes]
+            n_frames = 4 + (i % 5)
+            payload = encode_ppm_stream(
+                [media_video_pattern(i, f) for f in range(n_frames)]
+            )
+            width, height = VIDEO_W, VIDEO_H
+            duration_ms = n_frames * VIDEO_FRAME_MS
         rows.append(
             {
                 "media_id": i,
@@ -144,6 +159,28 @@ def media_audio_pattern(i: int, duration_ms: int, sample_rate: int = 8000) -> np
     return (((k * ((i % 127) + 1) * 37) % 4096 - 2048) * 8).astype(np.int16)
 
 
+def media_video_pattern(i: int, frame: int) -> np.ndarray:
+    """Closed-form pixel pattern for frame ``frame`` of synthetic video
+    i (uint8 RGB, VIDEO_W x VIDEO_H)."""
+    y, x, c = np.indices((VIDEO_H, VIDEO_W, 3))
+    return ((i * 31 + frame * 13 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+
+
+def video_features(frames) -> np.ndarray:
+    """list of (H, W, 3) uint8 -> float32[16]: mean luminance of the
+    first 8 frames (integer sums, order-stable), then n_frames, width,
+    height; zero-padded."""
+    f = np.zeros(FEAT_DIM, dtype=np.float64)
+    for k, fr in enumerate(frames[:8]):
+        h, w, _ = fr.shape
+        f[k] = fr.astype(np.float64).sum() / (3.0 * h * w)
+    f[8] = len(frames)
+    if frames:
+        f[9] = frames[0].shape[1]
+        f[10] = frames[0].shape[0]
+    return f.astype(np.float32)
+
+
 class MediaFeaturizer:
     """Actor-pool stage: decode + feature-extract binary payloads.
 
@@ -167,7 +204,12 @@ class MediaFeaturizer:
     def _decode(self, payload: bytes) -> np.ndarray:
         container = sniff(payload)
         if container == "ppm":
-            return image_features(decode_ppm(payload))
+            # a P6 payload is a 1..N-frame stream: one frame is an image,
+            # several are an uncompressed video
+            frames = decode_ppm_stream(payload)
+            if len(frames) == 1:
+                return image_features(frames[0])
+            return video_features(frames)
         if container == "bmp":
             return image_features(decode_bmp24(payload))
         if container == "wav":
@@ -226,9 +268,11 @@ class MediaTransformer:
       container;
     * audio: clip to the first ``clip_ms`` milliseconds, re-encoded as
       PCM16 WAV at the source rate;
-    * video: frame sampling genuinely needs a container codec — the
-      payload passes through untouched with ``op='passthrough'`` (the
-      documented stub, same policy as MediaFeaturizer's compressed path).
+    * video (PPM stream): REAL frame sampling — keep every
+      ``frame_step``-th frame, re-encode the sampled stream, duration
+      scales by kept/total.  A compressed container (MP4/H.264) would
+      pass through untouched with ``op='passthrough'`` (same policy as
+      MediaFeaturizer's compressed path).
 
     Emits (media_id, kind, op, width, height, duration_ms, payload) with
     payload/metadata reflecting the TRANSFORMED media.  Codec state and
@@ -236,10 +280,12 @@ class MediaTransformer:
     payload bytes dominate heap.
     """
 
-    def __init__(self, out_w: int = 32, out_h: int = 32, clip_ms: int = 500):
+    def __init__(self, out_w: int = 32, out_h: int = 32, clip_ms: int = 500,
+                 frame_step: int = 2):
         self.out_w = out_w
         self.out_h = out_h
         self.clip_ms = clip_ms
+        self.frame_step = frame_step
 
     def _resize(self, arr: np.ndarray) -> np.ndarray:
         h, w, _ = arr.shape
@@ -247,11 +293,20 @@ class MediaTransformer:
         xidx = np.arange(self.out_w, dtype=np.int64) * w // self.out_w
         return arr[yidx][:, xidx]
 
-    def _one(self, payload: bytes):
+    def _one(self, payload: bytes, duration_ms: int):
         container = sniff(payload)
-        if container == "ppm" or container == "bmp":
-            arr = decode_ppm(payload) if container == "ppm" else decode_bmp24(payload)
-            out = encode_ppm(self._resize(arr))
+        if container == "ppm":
+            frames = decode_ppm_stream(payload)
+            if len(frames) > 1:
+                kept = frames[::self.frame_step]
+                return ("frame_sample", encode_ppm_stream(kept),
+                        frames[0].shape[1], frames[0].shape[0],
+                        duration_ms * len(kept) // len(frames))
+            arr = frames[0]
+            return ("resize", encode_ppm(self._resize(arr)),
+                    self.out_w, self.out_h, 0)
+        if container == "bmp":
+            out = encode_ppm(self._resize(decode_bmp24(payload)))
             return "resize", out, self.out_w, self.out_h, 0
         if container == "wav":
             samples, sr = decode_wav(payload)
@@ -266,7 +321,7 @@ class MediaTransformer:
         for row_payload, w0, h0, d0 in zip(
             b["payload"], b["width"], b["height"], b["duration_ms"]
         ):
-            op, p, w, h, d = self._one(row_payload)
+            op, p, w, h, d = self._one(row_payload, int(d0))
             if op == "passthrough":
                 w, h, d = w0, h0, d0        # metadata untouched
             ops.append(op)
@@ -287,12 +342,13 @@ class MediaTransformer:
 
 def transform_media(
     ds: rd.Dataset, out_w: int = 32, out_h: int = 32, clip_ms: int = 500,
-    concurrency=(1, 4), batch_size: int = 64,
+    frame_step: int = 2, concurrency=(1, 4), batch_size: int = 64,
 ) -> rd.Dataset:
-    """Resize / clip / frame-sample(stub) pipeline over binary columns."""
+    """Resize / clip / frame-sample pipeline over binary columns."""
     return ds.map_batches(
         MediaTransformer,
-        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h, clip_ms=clip_ms),
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h, clip_ms=clip_ms,
+                                   frame_step=frame_step),
         batch_format="pandas",
         concurrency=concurrency,
         batch_size=batch_size,

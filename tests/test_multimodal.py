@@ -136,3 +136,44 @@ def test_media_transformer_semantics():
     assert out.loc[2, "payload"] == b"\x00opaque"
     assert out.loc[2, "op"] == "passthrough"
     assert (out.loc[2, ["width", "height", "duration_ms"]] == [64, 64, 9000]).all()
+
+
+def test_video_ppm_stream_roundtrip_and_frame_sample():
+    """Video payloads are real PPM streams: decode returns every frame
+    bit-exact, the featurizer computes per-frame luminance (not the fake
+    path), and the transformer's frame sampling keeps every 2nd frame."""
+    import numpy as np
+
+    from ontology_matcher_ray.functions.codecs import (
+        decode_ppm_stream,
+        encode_ppm_stream,
+    )
+    from ontology_matcher_ray.stages.multimodal import (
+        MediaFeaturizer,
+        MediaTransformer,
+        media_video_pattern,
+        synthesize_media_table,
+        video_features,
+    )
+
+    i = 2  # first video row of the synthetic table
+    t = synthesize_media_table(6)
+    row = t[t["kind"] == "video"].iloc[0]
+    frames = decode_ppm_stream(row["payload"])
+    n_frames = 4 + (i % 5)
+    assert len(frames) == n_frames
+    for fr, arr in enumerate(frames):
+        np.testing.assert_array_equal(arr, media_video_pattern(i, fr))
+
+    feat = MediaFeaturizer()._decode(row["payload"])
+    np.testing.assert_array_equal(feat, video_features(frames))
+    assert feat[8] == n_frames
+
+    op, payload, w, h, dur = MediaTransformer(frame_step=2)._one(
+        row["payload"], int(row["duration_ms"])
+    )
+    assert op == "frame_sample"
+    kept = decode_ppm_stream(payload)
+    assert len(kept) == (n_frames + 1) // 2
+    np.testing.assert_array_equal(kept[1], frames[2])
+    assert dur == int(row["duration_ms"]) * len(kept) // n_frames
