@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_semi_counts": relational.priority_semi_counts,  # semi join (EXISTS)
         "customers_without_urgent": relational.customers_without_urgent,  # anti join
         "order_price_quantiles": relational.order_price_quantiles,  # exact dist. quantiles
+        "top_revenue_customers": relational.top_revenue_customers,  # global top-N
         "customer_running_revenue": relational.customer_running_revenue,  # window fns
         # --- stream-shaped ---
         "events_hourly": events.hourly_windows,
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events.range_join,             # range join aggregate
         "events_sessionize": events.sessionize,
         "events_funnel": events.funnel,                     # click->purchase funnel
+        "event_type_distinct_users": events.event_type_distinct_users,  # exact COUNT DISTINCT
         # --- flagship corpus pipeline (sharded + resumable; hash-checked
         #     against the closed-form expected parquet, scale-coupled) ---
         "corpus_kg_triples": _corpus_kg_triples,
@@ -154,8 +156,8 @@ def _code_token_stats(sf_dir: str):
 
 def _media_featurize(sf_dir: str):
     """Binary-column pipeline: synthetic media table (REAL PPM/BMP/WAV
-    payloads for image/audio, opaque bytes for video) sized from the
-    documents row count -> actor-pool featurizer with genuine decode.
+    payloads for image/audio, PPM-stream frames for video) sized from
+    the documents row count -> actor-pool featurizer with genuine decode.
 
     The feature vector is finalized to a sha256 over its float32 bytes so
     EVERY output column — metadata, payload sha over the encoded

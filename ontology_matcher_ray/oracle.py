@@ -1540,6 +1540,23 @@ FROM documents
 GROUP BY GROUPING SETS ((lang, source), (lang), ())
 """
 
+    from ontology_matcher_ray.pipelines.relational import TOP_CUSTOMERS
+
+    sql["top_revenue_customers"] = f"""
+SELECT o_custkey,
+       SUM({{pc}} * (100 - {{dp}})) AS revenue_cp
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY revenue_cp DESC, o_custkey ASC
+LIMIT {TOP_CUSTOMERS}
+""".format(pc="CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)",
+           dp="CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)")
+
+    sql["event_type_distinct_users"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
     sql["events_funnel"] = """
 WITH c AS (
   SELECT user_id, min(epoch_us(ts)) AS first_click_us

@@ -628,3 +628,36 @@ def funnel(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
 
     part = ds.map_batches(prep, batch_format="pandas")
     return exchange.partitioned_apply(part, ["user_id"], per_user, num_partitions)
+
+
+def event_type_distinct_users(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """EXACT distinct count per group (the exact counterpart of the HLL
+    sketch in docs_train): distinct users per event_type.
+
+    Per-block combiner dedups (event_type, user_id) pairs, the distinct
+    exchange finalizes pair uniqueness, then a per-block count combiner +
+    a 5-row exchange aggregates.  Shuffle volume is bounded by the
+    DISTINCT pair count, not the event count.
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    ds = read_events(sf_dir, columns=["event_type", "user_id"])
+    pairs = exchange.distinct(
+        ds, ["event_type", "user_id"], num_partitions=num_partitions
+    )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "n_users": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return f.groupby("event_type", sort=False).sum().reset_index()
+
+    return exchange.grouped_agg(
+        pairs.map_batches(combine, batch_format="pandas"),
+        ["event_type"],
+        lambda g: g.sum(),
+        num_partitions=4,
+    )

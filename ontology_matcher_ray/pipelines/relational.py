@@ -341,6 +341,47 @@ def priority_semi_counts(sf_dir: str, num_partitions=None, native=False) -> rd.D
     )
 
 
+TOP_CUSTOMERS = 10
+
+
+def top_revenue_customers(sf_dir: str, num_partitions=None) -> pd.DataFrame:
+    """Global top-N by value: the ``TOP_CUSTOMERS`` highest-revenue
+    customers.  Per-partition partial top-N (each at most N rows) then
+    one driver-side merge of ``num_partitions * N`` rows — the same
+    bounded-reduce pattern as the ANN finalize; the driver never sees
+    more than P*N rows no matter the table size.  Ties break by
+    o_custkey asc so the result is deterministic and oracle-comparable.
+    """
+    j1 = _join(
+        _lineitem_revenue_per_order(sf_dir),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "l_orderkey", "o_orderkey",
+        {"l_orderkey": "int64", "revenue_cp": "int64"},
+        {"o_orderkey": "int64", "o_custkey": "int64"},
+        num_partitions=num_partitions,
+    )
+    per_cust = exchange.grouped_agg(
+        j1.map_batches(
+            lambda b: b[["o_custkey", "revenue_cp"]], batch_format="pandas"
+        ),
+        ["o_custkey"],
+        lambda g: g.sum(),
+        num_partitions=_join_partitions(num_partitions),
+    )
+
+    def partial_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["revenue_cp", "o_custkey"], ascending=[False, True]
+        ).head(TOP_CUSTOMERS)
+
+    partials = per_cust.map_batches(partial_top, batch_format="pandas").to_pandas()
+    return (
+        partials.sort_values(["revenue_cp", "o_custkey"], ascending=[False, True])
+        .head(TOP_CUSTOMERS)
+        .reset_index(drop=True)
+    )
+
+
 QUANTILES = (0.25, 0.50, 0.75, 0.95)
 
 
