@@ -149,54 +149,71 @@ def cmd_corpus_kg(args) -> int:
     return 0
 
 
-TRAIN_OPS = {
-    # op name -> (module attr, short description)
-    "pii-scrub": ("pii_scrub", "redact emails/phones"),
-    "pack": ("doc_pack", "concat-and-chunk sequence packing"),
-    "tfidf": ("tfidf_top_terms", "per-doc salient terms"),
-    "sketch": ("lang_token_sketch", "per-language HLL distinct-token registers"),
-    "quantize": ("embedding_quantize", "int8 embedding quantization"),
-    "sample": ("stratified_sample", "per-language stratified hash sample"),
-}
-
-GRAPH_OPS = {
-    "cooccur": ("entity_cooccurrence", "entity co-occurrence pairs"),
-    "degrees": ("kg_degrees", "node in/out degrees"),
-    "pagerank": ("kg_pagerank", "integer PageRank over the entity graph"),
-}
-
-RELATIONAL_OPS = {
-    "pricing": ("pricing_summary", "wide aggregate over lineitem"),
-    "revenue": ("revenue_by_nation", "shuffle-join chain + broadcast dim"),
-    "big-orders": ("big_orders", "agg -> HAVING -> join back"),
-    "semi": ("priority_semi_counts", "EXISTS semi join counts"),
-    "anti": ("customers_without_urgent", "NOT EXISTS anti join"),
-    "quantiles": ("order_price_quantiles", "exact distributed quantiles"),
-    "window": ("customer_running_revenue", "row_number + running sum"),
-}
-
-PIVOT_OPS = {
-    "pivot": ("source_lang_matrix", "source x language count matrix"),
+# one registry: op name -> (pipelines submodule, function, description).
+# Adding an op family is one row here, nothing else.
+ANALYZE_OPS = {
+    # training-data prep
+    "pii-scrub": ("docs_train", "pii_scrub", "redact emails/phones"),
+    "pack": ("docs_train", "doc_pack", "concat-and-chunk sequence packing"),
+    "tfidf": ("docs_train", "tfidf_top_terms", "per-doc salient terms"),
+    "sketch": ("docs_train", "lang_token_sketch",
+               "per-language HLL distinct-token registers"),
+    "quantize": ("docs_train", "embedding_quantize",
+                 "int8 embedding quantization"),
+    "sample": ("docs_train", "stratified_sample",
+               "per-language stratified hash sample"),
+    # graph analytics
+    "cooccur": ("graph", "entity_cooccurrence", "entity co-occurrence pairs"),
+    "degrees": ("graph", "kg_degrees", "node in/out degrees"),
+    "pagerank": ("graph", "kg_pagerank",
+                 "integer PageRank over the entity graph"),
+    # relational
+    "pricing": ("relational", "pricing_summary", "wide aggregate over lineitem"),
+    "revenue": ("relational", "revenue_by_nation",
+                "shuffle-join chain + broadcast dim"),
+    "big-orders": ("relational", "big_orders", "agg -> HAVING -> join back"),
+    "semi": ("relational", "priority_semi_counts", "EXISTS semi join counts"),
+    "anti": ("relational", "customers_without_urgent", "NOT EXISTS anti join"),
+    "quantiles": ("relational", "order_price_quantiles",
+                  "exact distributed quantiles"),
+    "window": ("relational", "customer_running_revenue",
+               "row_number + running sum"),
+    "top-customers": ("relational", "top_revenue_customers",
+                      "global top-N by revenue"),
+    # documents / events analytics
+    "pivot": ("docs_text", "source_lang_matrix",
+              "source x language count matrix"),
+    "rollup": ("docs_text", "doc_rollup", "GROUPING-SETS doc counts"),
+    "funnel": ("events", "funnel", "click->purchase conversion per user"),
+    "distinct-users": ("events", "event_type_distinct_users",
+                       "exact distinct users per event type"),
 }
 
 
 def cmd_analyze(args) -> int:
-    """Run a training-prep or graph-analytics operator over an sf-style
-    table directory and write partitioned Parquet."""
-    _ensure_ray()
-    from ontology_matcher_ray.pipelines import docs_text, docs_train, graph, relational
+    """Run an analytics/training-prep operator over an sf-style table
+    directory and write partitioned Parquet."""
+    import importlib
 
-    if args.op in TRAIN_OPS:
-        fn = getattr(docs_train, TRAIN_OPS[args.op][0])
-    elif args.op in RELATIONAL_OPS:
-        fn = getattr(relational, RELATIONAL_OPS[args.op][0])
-    elif args.op in PIVOT_OPS:
-        fn = getattr(docs_text, PIVOT_OPS[args.op][0])
-    else:
-        fn = getattr(graph, GRAPH_OPS[args.op][0])
-    ds = fn(args.sf_dir).materialize()  # one execution: write + count
-    ds.write_parquet(args.output_dir)
-    print(f"{args.op}: {ds.count()} rows -> {args.output_dir}")
+    _ensure_ray()
+    module_name, attr, _desc = ANALYZE_OPS[args.op]
+    mod = importlib.import_module(f"ontology_matcher_ray.pipelines.{module_name}")
+    res = getattr(mod, attr)(args.sf_dir)
+    if hasattr(res, "materialize"):
+        ds = res.materialize()          # one execution: write + count
+        ds.write_parquet(args.output_dir)
+        n = ds.count()
+    else:                               # bounded driver-side result (top-N)
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(res, preserve_index=False),
+                       os.path.join(args.output_dir, "part-0.parquet"))
+        n = len(res)
+    print(f"{args.op}: {n} rows -> {args.output_dir}")
     return 0
 
 
@@ -256,9 +273,7 @@ def main(argv=None) -> int:
     pa_.add_argument("--sf-dir", required=True,
                      help="directory holding documents.parquet / embeddings.parquet")
     pa_.add_argument("--output-dir", required=True)
-    pa_.add_argument("--op", required=True,
-                     choices=sorted(TRAIN_OPS) + sorted(GRAPH_OPS)
-                     + sorted(RELATIONAL_OPS) + sorted(PIVOT_OPS))
+    pa_.add_argument("--op", required=True, choices=sorted(ANALYZE_OPS))
     pa_.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)

@@ -42,23 +42,34 @@ def decode_ppm_at(payload: bytes, pos: int = 0) -> Tuple[np.ndarray, int]:
     if payload[pos:pos + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     pos += 2
+    n = len(payload)
     vals = []
     while len(vals) < 3:
         # skip whitespace and '#' comment lines
-        while payload[pos:pos + 1].isspace():
+        while pos < n and payload[pos:pos + 1].isspace():
             pos += 1
+        if pos >= n:
+            raise ValueError("truncated PPM header")
         if payload[pos:pos + 1] == b"#":
-            pos = payload.index(b"\n", pos) + 1
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            pos = nl + 1
             continue
         end = pos
-        while not payload[end:end + 1].isspace():
+        while end < n and not payload[end:end + 1].isspace():
             end += 1
+        if end == pos or end >= n:
+            # empty token, or a header token running into end-of-buffer
+            raise ValueError("truncated PPM header")
         vals.append(int(payload[pos:end]))
         pos = end
     w, h, maxval = vals
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
     pos += 1                              # single whitespace after maxval
+    if len(payload) - pos < h * w * 3:
+        raise ValueError("truncated PPM pixel data")
     data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
     return data.reshape(h, w, 3), pos + h * w * 3
 
@@ -81,10 +92,16 @@ def encode_ppm_stream(frames) -> bytes:
 
 def decode_ppm_stream(payload: bytes):
     """Concatenated P6 frames -> list[(H, W, 3) uint8].  A single-frame
-    payload is a 1-element stream (plain PPM is the degenerate case)."""
+    payload is a 1-element stream (plain PPM is the degenerate case);
+    whitespace between/after frames is tolerated, truncation raises."""
     frames = []
     pos = 0
-    while pos < len(payload):
+    n = len(payload)
+    while pos < n:
+        while pos < n and payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos >= n:
+            break
         arr, pos = decode_ppm_at(payload, pos)
         frames.append(arr)
     return frames

@@ -685,19 +685,32 @@ def _oracle_audio_feat(i: int, duration_ms: int) -> bytes:
     return struct.pack("<16f", *f)
 
 
-def _oracle_video_payload(i: int) -> bytes:
-    """Independent PPM-stream encoder from the video closed form
-    (bytearray loops — never the engine's numpy codec)."""
-    n_frames = 4 + (i % 5)
-    w, h = 32, 24
+_VIDEO_W, _VIDEO_H = 32, 24
+
+
+def _oracle_video_frame_pixels(i: int, fr: int) -> bytearray:
+    """One frame of video i as raw RGB bytes, straight from the closed
+    form (bytearray loop — never the engine's numpy codec).  The single
+    statement of the pattern inside the oracle; every video recomputation
+    below goes through it."""
     out = bytearray()
-    for fr in range(n_frames):
-        out += b"P6\n%d %d\n255\n" % (w, h)
-        for y in range(h):
-            for x in range(w):
-                for c in range(3):
-                    out.append((i * 31 + fr * 13 + y * 7 + x * 3 + c * 11) % 256)
-    return bytes(out)
+    for y in range(_VIDEO_H):
+        for x in range(_VIDEO_W):
+            for c in range(3):
+                out.append((i * 31 + fr * 13 + y * 7 + x * 3 + c * 11) % 256)
+    return out
+
+
+def _oracle_video_frame_bytes(i: int, fr: int) -> bytes:
+    """One complete P6 frame (header + pixels) of video i."""
+    return (b"P6\n%d %d\n255\n" % (_VIDEO_W, _VIDEO_H)
+            + bytes(_oracle_video_frame_pixels(i, fr)))
+
+
+def _oracle_video_payload(i: int) -> bytes:
+    """Independent PPM-stream encoder from the video closed form."""
+    n_frames = 4 + (i % 5)
+    return b"".join(_oracle_video_frame_bytes(i, fr) for fr in range(n_frames))
 
 
 def _oracle_video_feat(i: int) -> bytes:
@@ -706,17 +719,11 @@ def _oracle_video_feat(i: int) -> bytes:
     import struct
 
     n_frames = 4 + (i % 5)
-    w, h = 32, 24
     f = [0.0] * 16
     for fr in range(min(n_frames, 8)):
-        s = 0
-        for y in range(h):
-            for x in range(w):
-                for c in range(3):
-                    s += (i * 31 + fr * 13 + y * 7 + x * 3 + c * 11) % 256
-        f[fr] = s / (3.0 * h * w)
+        f[fr] = sum(_oracle_video_frame_pixels(i, fr)) / (3.0 * _VIDEO_H * _VIDEO_W)
     f[8] = float(n_frames)
-    f[9], f[10] = float(w), float(h)
+    f[9], f[10] = float(_VIDEO_W), float(_VIDEO_H)
     return struct.pack("<16f", *f)
 
 
@@ -849,20 +856,11 @@ def media_transform_expected_parquet(n_rows: int = 256, out_w: int = 32,
                          hashlib.sha256(wav).hexdigest(), n_rows))
         else:
             n_frames = 4 + (i % 5)
-            vw, vh = 32, 24
             kept = list(range(0, n_frames, 2))
-            body = bytearray()
-            for fr in kept:
-                body += b"P6\n%d %d\n255\n" % (vw, vh)
-                for y in range(vh):
-                    for x in range(vw):
-                        for c in range(3):
-                            body.append(
-                                (i * 31 + fr * 13 + y * 7 + x * 3 + c * 11) % 256
-                            )
+            body = b"".join(_oracle_video_frame_bytes(i, fr) for fr in kept)
             dur = (n_frames * 40) * len(kept) // n_frames
-            rows.append((i, kind, "frame_sample", vw, vh, dur,
-                         hashlib.sha256(bytes(body)).hexdigest(), n_rows))
+            rows.append((i, kind, "frame_sample", _VIDEO_W, _VIDEO_H, dur,
+                         hashlib.sha256(body).hexdigest(), n_rows))
     df = pd.DataFrame(rows, columns=["media_id", "kind", "op", "width",
                                      "height", "duration_ms",
                                      "payload_sha256", "n_rows"])

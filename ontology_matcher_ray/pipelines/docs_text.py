@@ -171,16 +171,15 @@ def source_lang_matrix(sf_dir: str) -> rd.Dataset:
             .unstack(fill_value=0)
         )
         out = {"source": p.index.to_numpy()}
-        total = np.zeros(len(p), dtype=np.int64)
         for lang in PIVOT_LANGS:
-            col = (
+            out[f"n_{lang}"] = (
                 p[lang].to_numpy().astype(np.int64)
                 if lang in p.columns
                 else np.zeros(len(p), dtype=np.int64)
             )
-            out[f"n_{lang}"] = col
-            total += col
-        out["n_total"] = total
+        # COUNT(*) semantics: total over ALL langs present, including any
+        # outside the pinned pivot domain (matches the oracle's COUNT(*))
+        out["n_total"] = p.to_numpy().sum(axis=1).astype(np.int64)
         return pd.DataFrame(out)
 
     return exchange.partitioned_apply(part, ["source"], pivot, num_partitions=8)

@@ -57,6 +57,18 @@ def test_salted_join_on_hot_key():
     assert len(plain) == n  # every left row matches exactly one right row
     pd.testing.assert_frame_equal(plain, salted, check_dtype=False, check_exact=True)
 
+    # property (a): the hot key must actually SPREAD — its 8 salt groups
+    # hash to more than one partition (guards against salt silently
+    # becoming a no-op in hash_join's key_cols)
+    probe = pd.DataFrame(
+        {"k": np.full(8, 42, dtype=np.int64),
+         "_salt": np.arange(8, dtype=np.int64)}
+    )
+    n_parts = exchange.add_partition_column(probe, ["k", "_salt"], 8)[
+        exchange.PARTITION_COL
+    ].nunique()
+    assert n_parts > 1
+
     # semi/anti under salt: replicated right keys must not duplicate rows
     semi = to_pandas(
         exchange.hash_join(
