@@ -478,6 +478,133 @@ def customer_running_revenue(sf_dir: str, num_partitions=None) -> rd.Dataset:
     return exchange.partitioned_apply(part, ["o_custkey"], window, num_partitions)
 
 
+def customer_running_revenue_salted(
+    sf_dir: str, bucket_days: int = 32, num_partitions=None
+) -> rd.Dataset:
+    """Hot-key-safe ``customer_running_revenue``: identical output, but a
+    single customer's orders may span partitions.
+
+    Three passes (the offsets-only cousin of events.sessionize's salted
+    pattern — ordered-window offsets need no chain merging):
+
+    1. salted exchange on (custkey, bucket = orderdate // bucket_days):
+       local row_number + running sum WITHIN each bucket, plus one
+       (n_rows, total) summary per bucket;
+    2. custkey exchange over SUMMARIES ONLY (bounded by user-bucket
+       count, not row count): per-bucket prefix offsets;
+    3. salted exchange joins offsets back: rn = local_rn + rn_offset,
+       cum = local_cum + cum_offset.
+
+    Pass 1 is materialized once (object-store backed, spillable) so
+    passes 2 and 3 don't recompute the scan.
+    """
+    num_partitions = _join_partitions(num_partitions)
+    bucket_us = np.int64(bucket_days) * 86_400_000_000
+
+    F_COLS = (
+        ("o_custkey", -1), ("bucket", -1), ("o_orderkey", -1),
+        ("o_orderdate_us", -1), ("local_rn", -1), ("local_cum", -1),
+        ("n", -1), ("total", -1), ("rn_off", -1), ("cum_off", -1),
+        ("kind", -1),
+    )
+
+    def _frame(**named) -> pd.DataFrame:
+        n = len(next(iter(named.values()))) if named else 0
+        out = {}
+        for c, fill in F_COLS:
+            if c in named:
+                out[c] = np.asarray(named[c], dtype=np.int64)
+            else:
+                out[c] = np.full(n, fill, dtype=np.int64)
+        return pd.DataFrame(out)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return _frame(
+            o_custkey=b["o_custkey"].to_numpy(),
+            bucket=us // bucket_us,
+            o_orderkey=b["o_orderkey"].to_numpy(),
+            o_orderdate_us=us,
+            local_cum=_cents(b["o_totalprice"].to_numpy()),  # cents; cumsum in p1
+            kind=np.zeros(len(b), dtype=np.int64),
+        )
+
+    def bucket_window(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _frame()
+        g = g.sort_values(
+            ["o_custkey", "bucket", "o_orderdate_us", "o_orderkey"],
+            ignore_index=True,
+        )
+        grp = g.groupby(["o_custkey", "bucket"], sort=False)
+        rows = _frame(
+            o_custkey=g["o_custkey"], bucket=g["bucket"],
+            o_orderkey=g["o_orderkey"],
+            local_rn=(grp.cumcount() + 1),
+            local_cum=grp["local_cum"].cumsum(),
+            kind=np.zeros(len(g), dtype=np.int64),
+        )
+        summ = grp.agg(n=("o_orderkey", "size"), total=("local_cum", "sum")
+                       ).reset_index()
+        summaries = _frame(
+            o_custkey=summ["o_custkey"], bucket=summ["bucket"],
+            n=summ["n"], total=summ["total"],
+            kind=np.ones(len(summ), dtype=np.int64),
+        )
+        return pd.concat([rows, summaries], ignore_index=True)
+
+    src = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(prep, batch_format="pandas")
+    p1 = exchange.partitioned_apply(
+        src, ["o_custkey", "bucket"], bucket_window, num_partitions
+    ).materialize()
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _frame()
+        g = g.sort_values(["o_custkey", "bucket"], ignore_index=True)
+        grp = g.groupby("o_custkey", sort=False)
+        return _frame(
+            o_custkey=g["o_custkey"], bucket=g["bucket"],
+            rn_off=grp["n"].cumsum() - g["n"],
+            cum_off=grp["total"].cumsum() - g["total"],
+            kind=np.full(len(g), 2, dtype=np.int64),
+        )
+
+    p2 = exchange.partitioned_apply(
+        p1.map_batches(lambda b: b[b["kind"] == 1], batch_format="pandas"),
+        ["o_custkey"],
+        offsets,
+        num_partitions,
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["kind"] == 0]
+        offs = g[g["kind"] == 2][["o_custkey", "bucket", "rn_off", "cum_off"]]
+        if rows.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("o_custkey", "o_orderkey", "rn", "cum_cents")}
+            )
+        m = rows.drop(columns=["rn_off", "cum_off"]).merge(
+            offs, on=["o_custkey", "bucket"], how="inner"
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": m["o_custkey"].to_numpy(),
+                "o_orderkey": m["o_orderkey"].to_numpy(),
+                "rn": (m["local_rn"] + m["rn_off"]).to_numpy(),
+                "cum_cents": (m["local_cum"] + m["cum_off"]).to_numpy(),
+            }
+        )
+
+    rows_in = p1.map_batches(lambda b: b[b["kind"] == 0], batch_format="pandas")
+    return exchange.partitioned_apply(
+        rows_in.union(p2), ["o_custkey", "bucket"], attach, num_partitions
+    )
+
+
 def customers_without_urgent(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
     """Customers with no 1-URGENT order — an anti join (NOT EXISTS).
 

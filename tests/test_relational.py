@@ -123,6 +123,44 @@ def test_hash_join_many_to_many_and_empty_side():
     assert len(anti) == len(left)
 
 
+def test_salted_window_matches_unsalted(tmp_path):
+    """customer_running_revenue_salted must be bit-identical to the
+    single-exchange formulation — on real data and on a hot-customer
+    fixture (one customer owns ~80% of orders, spanning many buckets)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = normalize(to_pandas(relational.customer_running_revenue(SF)))
+    b = normalize(to_pandas(relational.customer_running_revenue_salted(SF)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    cust = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 50, n)).astype(np.int64)
+    days = rng.integers(0, 400, n)  # spans ~13 monthly buckets
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_custkey": pa.array(cust),
+            "o_orderdate": pa.array(
+                (np.datetime64("1998-01-01", "us")
+                 + days * np.timedelta64(86400, "s").astype("timedelta64[us]"))
+            ),
+            "o_totalprice": pa.array(rng.random(n) * 1000.0),
+        }
+    )
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(t, str(d / "orders.parquet"))
+    a2 = normalize(to_pandas(relational.customer_running_revenue(str(d))))
+    b2 = normalize(
+        to_pandas(relational.customer_running_revenue_salted(str(d)))
+    )
+    assert len(a2) == n
+    pd.testing.assert_frame_equal(a2, b2, check_dtype=False, check_exact=True)
+
+
 def test_semi_join_counts_order_once():
     """An order with several qualifying line items must count once (semi
     join, not inner join): total over priorities == distinct qualifying
