@@ -1473,19 +1473,23 @@ FROM s GROUP BY user_id, session_id
     price_c = _c.format(x="l_extendedprice")
     disc_pct = _c.format(x="l_discount")
 
+    # NOTE: every SUM is wrapped in CAST(... AS BIGINT): DuckDB promotes
+    # SUM(BIGINT) to HUGEINT, which lands in pandas as float64 — the
+    # driver's value hash then sees 6.0 vs the engine's int64 6 and
+    # mismatches even though the values are equal.
     sql["pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
-       SUM({price_c}) AS sum_base_price_cents,
-       SUM({price_c} * (100 - {disc_pct})) AS sum_disc_price_cp,
-       COUNT(*) AS count_order
+       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM({price_c}) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM({price_c} * (100 - {disc_pct})) AS BIGINT) AS sum_disc_price_cp,
+       CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
 """
 
     sql["revenue_by_nation"] = f"""
-SELECT n_name, SUM({price_c} * (100 - {disc_pct})) AS revenue_cp
+SELECT n_name, CAST(SUM({price_c} * (100 - {disc_pct})) AS BIGINT) AS revenue_cp
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1495,7 +1499,8 @@ GROUP BY n_name
 
     sql["big_orders"] = f"""
 WITH po AS (
-  SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o_orderkey, o_custkey,
@@ -1507,7 +1512,7 @@ WHERE po.sum_qty > {BIG_ORDER_MIN_QTY}
 """
 
     sql["priority_semi_counts"] = f"""
-SELECT o_orderpriority, COUNT(*) AS n_orders
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_quantity >= {SEMI_MIN_QTY})
@@ -1542,7 +1547,7 @@ GROUP BY GROUPING SETS ((lang, source), (lang), ())
 
     sql["top_revenue_customers"] = f"""
 SELECT o_custkey,
-       SUM({{pc}} * (100 - {{dp}})) AS revenue_cp
+       CAST(SUM({{pc}} * (100 - {{dp}})) AS BIGINT) AS revenue_cp
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_custkey
 ORDER BY revenue_cp DESC, o_custkey ASC
