@@ -206,10 +206,19 @@ def revenue_by_nation(sf_dir: str, num_partitions=None, native=False) -> rd.Data
         {"o_orderkey": "int64", "o_custkey": "int64"},
         num_partitions=num_partitions, native=native,
     )
+    def cust_combine(b: pd.DataFrame) -> pd.DataFrame:
+        # partial-aggregate per block before the second exchange: ~10
+        # orders/customer collapse to one row per customer per block, so
+        # j2 shuffles combiner output, not order-grain rows
+        return (
+            b[["o_custkey", "revenue_cp"]]
+            .groupby("o_custkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+
     j2 = _join(
-        j1.map_batches(
-            lambda b: b[["o_custkey", "revenue_cp"]], batch_format="pandas"
-        ),
+        j1.map_batches(cust_combine, batch_format="pandas"),
         cust, "o_custkey", "c_custkey",
         {"o_custkey": "int64", "revenue_cp": "int64"},
         {"c_custkey": "int64", "c_nationkey": "int64"},

@@ -40,9 +40,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(dt) -> str:
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if "datetime" in s:
+        return "datetime"
+    return "object"
+
+
 def assert_matches_oracle(ray_result, sql: str, sf_dir: str):
-    got = normalize(to_pandas(ray_result))
-    want = normalize(run_oracle(sql, sf_dir))
+    raw_got = to_pandas(ray_result)
+    raw_want = run_oracle(sql, sf_dir)
+    # dtype CLASSES must match BEFORE normalization: the driver hashes
+    # raw values, so an engine int64 against an oracle float64 (e.g.
+    # DuckDB's SUM -> HUGEINT -> float64 promotion) hash-mismatches even
+    # when the values are numerically equal — catch that here instead of
+    # letting the lenient normalize mask it.
+    for c in set(raw_got.columns) & set(raw_want.columns):
+        gk, wk = _dtype_class(raw_got[c].dtype), _dtype_class(raw_want[c].dtype)
+        assert gk == wk, (
+            f"dtype class differs on {c!r}: engine {raw_got[c].dtype} vs "
+            f"oracle {raw_want[c].dtype} — cast the aggregate in the SQL"
+        )
+    got = normalize(raw_got)
+    want = normalize(raw_want)
     assert list(got.columns) == list(want.columns), (
         f"columns differ: {list(got.columns)} vs {list(want.columns)}"
     )
