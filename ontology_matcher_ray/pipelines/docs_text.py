@@ -217,9 +217,8 @@ def doc_rollup(sf_dir: str) -> rd.Dataset:
         return out
 
     part = ds.map_batches(combine, batch_format="pandas")
-    return exchange.grouped_agg(
-        part, ["lang", "source"], lambda g: g.sum(), num_partitions=8
-    )
+    # <= |langs+1| x |sources+1| groups: bounded driver reduce
+    return exchange.small_grouped_agg(part, ["lang", "source"], lambda g: g.sum())
 
 
 def token_freq(sf_dir: str) -> rd.Dataset:

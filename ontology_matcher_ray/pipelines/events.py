@@ -655,9 +655,9 @@ def event_type_distinct_users(sf_dir: str, num_partitions: int = 16) -> rd.Datas
         )
         return f.groupby("event_type", sort=False).sum().reset_index()
 
-    return exchange.grouped_agg(
+    # 5 event types: bounded driver reduce of the count combiner
+    return exchange.small_grouped_agg(
         pairs.map_batches(combine, batch_format="pandas"),
         ["event_type"],
         lambda g: g.sum(),
-        num_partitions=4,
     )

@@ -155,8 +155,10 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
             "l_shipdate",
         ],
     ).map_batches(combine, batch_format="pandas")
-    return exchange.grouped_agg(
-        part, ["l_returnflag", "l_linestatus"], lambda g: g.sum(), num_partitions=8
+    # ~6 groups: bounded driver reduce of combiner output (see
+    # exchange.small_grouped_agg for the measured exchange-latency case)
+    return exchange.small_grouped_agg(
+        part, ["l_returnflag", "l_linestatus"], lambda g: g.sum()
     )
 
 
@@ -243,9 +245,7 @@ def revenue_by_nation(sf_dir: str, num_partitions=None, native=False) -> rd.Data
         return f.groupby("n_name", sort=False).sum().reset_index()
 
     part = j2.map_batches(tag_and_combine, batch_format="pandas")
-    return exchange.grouped_agg(
-        part, ["n_name"], lambda g: g.sum(), num_partitions=4
-    )
+    return exchange.small_grouped_agg(part, ["n_name"], lambda g: g.sum())
 
 
 def big_orders(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
@@ -342,11 +342,10 @@ def priority_semi_counts(sf_dir: str, num_partitions=None, native=False) -> rd.D
         )
         return f.groupby("o_orderpriority", sort=False).sum().reset_index()
 
-    return exchange.grouped_agg(
+    return exchange.small_grouped_agg(
         semi.map_batches(combine, batch_format="pandas"),
         ["o_orderpriority"],
         lambda g: g.sum(),
-        num_partitions=4,
     )
 
 

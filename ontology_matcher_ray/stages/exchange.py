@@ -321,6 +321,29 @@ def hash_join(
     return partitioned_apply(lt.union(rt), key_cols, per_partition, num_partitions)
 
 
+def small_grouped_agg(
+    ds: rd.Dataset,
+    key_cols: Sequence[str],
+    agg_fn: Callable[["pd.core.groupby.DataFrameGroupBy"], pd.DataFrame],
+) -> pd.DataFrame:
+    """Final aggregation for TINY group domains (|groups| ~ dozens):
+    collect the per-block COMBINER output (bounded by blocks x |groups|
+    rows — callers must pre-combine) and reduce once on the driver.
+
+    Rationale: Ray's sort-based exchange costs a ~2-6 s all-to-all even
+    when the payload is a few hundred rows (measured on the 25-group
+    revenue finalize); the consumer of these queries collects the small
+    result anyway, so a bounded driver reduce is strictly cheaper and
+    loses nothing.  NOT for unbounded domains: at 10^6 input blocks the
+    collect is blocks x |groups| rows — if |groups| is more than a few
+    dozen, or block count is extreme, use ``grouped_agg`` (the
+    distributed exchange) instead.
+    """
+    cols = list(key_cols)
+    parts = ds.to_pandas()
+    return agg_fn(parts.groupby(cols, sort=False)).reset_index()
+
+
 def grouped_agg(
     ds: rd.Dataset,
     key_cols: Sequence[str],
