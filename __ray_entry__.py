@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_meta_triples": docs_kg.doc_meta_triples,
         "entity_xref_triples": docs_kg.entity_xref_triples, # get_alias_ids (M7)
         "kg_triples": docs_kg.kg_triples,                   # flagship union
+        "kg_triples_nt": _kg_triples_nt,                    # N-Triples sink+source round trip
         "resolve_route": docs_kg.resolve_route,             # §2.8 routing tree
         "format_entities": docs_kg.formatted_entities,      # default_format (J1+rules)
         "format_entities_unique": docs_kg.formatted_entities_unique,  # Strategy.UNIQUE
@@ -109,6 +110,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     against the closed-form expected parquet, scale-coupled) ---
         "corpus_kg_triples": _corpus_kg_triples,
     }
+
+
+def _kg_triples_nt(sf_dir: str):
+    """kg_triples written to a distributed N-Triples sink and read back —
+    the sink/source pair sits inside the hash-checked gate under the SAME
+    SQL oracle as kg_triples (round trip must be lossless)."""
+    import hashlib
+    import os
+
+    from ontology_matcher_ray.pipelines import docs_kg
+    from ontology_matcher_ray.sources.io import read_ntriples, write_ntriples
+
+    out = "/tmp/onto_ray_entry/nt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if os.path.isdir(out):
+        import shutil
+
+        shutil.rmtree(out)
+    write_ntriples(docs_kg.kg_triples(sf_dir), out)
+    return read_ntriples(out)
 
 
 def _corpus_kg_triples(sf_dir: str):

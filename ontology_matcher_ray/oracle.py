@@ -936,6 +936,9 @@ FROM mentioned m, UNNEST(str_split(m.xrefs, '|')) AS u(x)
 WHERE m.status IN ('ok', 'ok_raw') AND u.x <> ''
 """
 
+    # the N-Triples round trip must be lossless: same oracle as kg_triples
+    sql["kg_triples_nt"] = sql["kg_triples"]
+
     # --- training-data prep family (pipelines/docs_train.py) ---
     from ontology_matcher_ray.pipelines.docs_train import (
         EMAIL_RE,

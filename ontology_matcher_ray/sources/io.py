@@ -101,3 +101,93 @@ def write_formatted_tsv(
 def write_dataset_parquet(ds: rd.Dataset, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples sink/source — the standard line-based KG exchange format.
+# Deterministic mapping: subj/pred are always IRIs under urn:graft:;
+# obj becomes an IRI when it is CURIE-shaped (prefix:local, e.g.
+# "MONDO:0005148", "doc:17"), otherwise a quoted literal (lang tags,
+# source names, free text).  The reader inverts the mapping exactly, so
+# write -> read round-trips bit-for-bit (the kg_triples_nt query runs the
+# round trip under the kg_triples SQL oracle).
+# ---------------------------------------------------------------------------
+
+_NT_URN = "urn:graft:"
+_CURIE_OBJ_RE = r"^[A-Za-z][A-Za-z0-9_.]*:[A-Za-z0-9_.:-]+$"
+
+
+def _nt_escape(s: pd.Series) -> pd.Series:
+    """N-Triples string escaping (backslash first, then quote/newlines)."""
+    return (
+        s.str.replace("\\", "\\\\", regex=False)
+        .str.replace('"', '\\"', regex=False)
+        .str.replace("\n", "\\n", regex=False)
+        .str.replace("\r", "\\r", regex=False)
+        .str.replace("\t", "\\t", regex=False)
+    )
+
+
+def triples_to_nt_lines(b: pd.DataFrame) -> pd.DataFrame:
+    """(subj, pred, obj) batch -> one N-Triples line per row (vectorized)."""
+    subj = "<" + _NT_URN + _nt_escape(b["subj"].astype(str)) + ">"
+    pred = "<" + _NT_URN + _nt_escape(b["pred"].astype(str)) + ">"
+    obj_s = b["obj"].astype(str)
+    is_iri = obj_s.str.match(_CURIE_OBJ_RE)
+    obj = ("<" + _NT_URN + _nt_escape(obj_s) + ">").where(
+        is_iri, '"' + _nt_escape(obj_s) + '"'
+    )
+    return pd.DataFrame({"line": subj + " " + pred + " " + obj + " ."})
+
+
+def nt_lines_to_triples(b: pd.DataFrame) -> pd.DataFrame:
+    """Inverse of ``triples_to_nt_lines`` (vectorized regex extract)."""
+    pat = (
+        r"^<" + _NT_URN + r"(?P<subj>[^>]*)> <" + _NT_URN
+        + r"(?P<pred>[^>]*)> (?:<" + _NT_URN
+        + r"(?P<obj_iri>[^>]*)>|\"(?P<obj_lit>.*)\") \.$"
+    )
+    m = b["text"].str.extract(pat)
+    obj = m["obj_iri"].fillna(m["obj_lit"])
+    out = pd.DataFrame({"subj": m["subj"], "pred": m["pred"], "obj": obj})
+    for c in out.columns:
+        out[c] = (
+            out[c]
+            .str.replace("\\t", "\t", regex=False)
+            .str.replace("\\r", "\r", regex=False)
+            .str.replace("\\n", "\n", regex=False)
+            .str.replace('\\"', '"', regex=False)
+            .str.replace("\\\\", "\\", regex=False)
+        )
+    return out
+
+
+def write_ntriples(ds: rd.Dataset, out_dir: str) -> None:
+    """Distributed .nt sink: each batch writes one content-addressed part
+    file (md5 of the payload), so re-runs are idempotent and a resumed
+    job never duplicates a finished part."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(b: pd.DataFrame) -> pd.DataFrame:
+        lines = triples_to_nt_lines(b)
+        payload = ("\n".join(lines["line"].tolist()) + "\n").encode()
+        name = f"part-{hashlib.md5(payload).hexdigest()[:20]}.nt"
+        path = os.path.join(out_dir, name)
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+        return pd.DataFrame({"part": [name], "rows": [len(b)]})
+
+    # consume: the sink IS the action (bounded one-row-per-part output)
+    ds.map_batches(write_part, batch_format="pandas").materialize()
+
+
+def read_ntriples(out_dir: str) -> rd.Dataset:
+    """Distributed .nt source: read_text over the part files, vectorized
+    line parse back to (subj, pred, obj)."""
+    ds = rd.read_text(os.path.join(out_dir))
+    return ds.map_batches(nt_lines_to_triples, batch_format="pandas")

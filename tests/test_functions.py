@@ -137,3 +137,26 @@ def test_doc_quality_hand_computed():
     assert (r1[["top_token_frac_micro"]] == 1_000_000 // 3).all()
     assert r1["repeat_ratio_micro"] == 0 and r1["bigram_repeat_micro"] == 0
     assert r1["quality_band"] == "low"          # top_frac 333333 > 140000
+
+
+def test_ntriples_escape_roundtrip():
+    """Sink->source must invert exactly, including quotes, newlines,
+    tabs and backslashes in literals and CURIE-shaped IRIs."""
+    import pandas as pd
+
+    from ontology_matcher_ray.sources.io import (
+        nt_lines_to_triples,
+        triples_to_nt_lines,
+    )
+
+    t = pd.DataFrame(
+        {
+            "subj": ["doc:1", "we\\ird:x"],
+            "pred": ["says", "says"],
+            "obj": ['line\nwith "quotes"\t\\slash', "MONDO:0001"],
+        }
+    )
+    lines = triples_to_nt_lines(t)
+    assert lines["line"].str.endswith(" .").all()
+    back = nt_lines_to_triples(pd.DataFrame({"text": lines["line"]}))
+    pd.testing.assert_frame_equal(t, back, check_dtype=False)
