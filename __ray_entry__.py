@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq": docs_text.token_freq,
         "top_tokens_per_lang": docs_text.top_tokens_per_lang,  # grouped top-k
         "lang_id": docs_text.lang_id,
+        "lang_id_jsonl": _lang_id_jsonl,                    # JSONL sink+source round trip
         "sample_docs": docs_text.sample_docs,               # hash-threshold sample
         "doc_embedding_join": docs_text.doc_embedding_join, # broadcast hash join
         "fingerprints": docs_text.fingerprints,             # SQL-recomputed oracle
@@ -110,6 +111,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     against the closed-form expected parquet, scale-coupled) ---
         "corpus_kg_triples": _corpus_kg_triples,
     }
+
+
+def _lang_id_jsonl(sf_dir: str):
+    """documents round-tripped through the distributed JSONL sink/source,
+    then the lang_id pipeline over the re-read table — hash-checked under
+    the SAME oracle as lang_id (the round trip must be lossless)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ontology_matcher_ray.pipelines.docs_text import lang_id, read_documents
+    from ontology_matcher_ray.sources.io import read_jsonl, write_jsonl
+
+    out = "/tmp/onto_ray_entry/jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    write_jsonl(read_documents(sf_dir), out)
+
+    import ray.data as rd
+
+    # run lang_id's own stage over the re-read docs: reuse the pipeline
+    # by pointing it at a directory shaped like an sf dir
+    tbl_dir = out + "_sf"
+    if os.path.isdir(tbl_dir):
+        shutil.rmtree(tbl_dir)
+    os.makedirs(tbl_dir)
+    read_jsonl(out).write_parquet(os.path.join(tbl_dir, "documents.parquet"))
+    return lang_id(tbl_dir)
 
 
 def _kg_triples_nt(sf_dir: str):

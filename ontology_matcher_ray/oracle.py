@@ -938,6 +938,8 @@ WHERE m.status IN ('ok', 'ok_raw') AND u.x <> ''
 
     # the N-Triples round trip must be lossless: same oracle as kg_triples
     sql["kg_triples_nt"] = sql["kg_triples"]
+    # likewise the JSONL documents round trip under the lang_id oracle
+    # (alias registered after lang_id is defined below)
 
     # --- training-data prep family (pipelines/docs_train.py) ---
     from ontology_matcher_ray.pipelines.docs_train import (
@@ -1264,6 +1266,7 @@ SELECT doc_id, lang AS declared_lang,
        THEN 'en' ELSE 'und' END AS guessed_lang
 FROM documents
 """
+    sql["lang_id_jsonl"] = sql["lang_id"]
 
     sql["dedup_jaccard_adjacent"] = """
 WITH sh AS (

@@ -191,3 +191,19 @@ def read_ntriples(out_dir: str) -> rd.Dataset:
     line parse back to (subj, pred, obj)."""
     ds = rd.read_text(os.path.join(out_dir))
     return ds.map_batches(nt_lines_to_triples, batch_format="pandas")
+
+
+def write_jsonl(ds: rd.Dataset, out_dir: str) -> None:
+    """Distributed JSONL sink (Ray's native line-delimited JSON writer)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_json(out_dir)
+
+
+def read_jsonl(out_dir: str, columns: Optional[List[str]] = None) -> rd.Dataset:
+    """Distributed JSONL source; optional column projection after parse
+    (JSON has no column pruning at the read — prefer Parquet for scans,
+    this exists for interop with line-JSON corpora)."""
+    ds = rd.read_json(out_dir)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
