@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_sketch": docs_train.lang_token_sketch,  # HLL registers
         "embedding_quantize": docs_train.embedding_quantize,  # int8 fixed-point
         "stratified_sample": docs_train.stratified_sample,  # per-lang rates
+        "decontaminate": docs_train.decontaminate,          # eval n-gram overlap flag
         # --- dedup family ---
         "dedup_exact": docs_text.dedup_exact,
         "dedup_jaccard_adjacent": docs_text.dedup_jaccard_adjacent,

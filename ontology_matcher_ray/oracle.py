@@ -1268,6 +1268,19 @@ FROM documents
 """
     sql["lang_id_jsonl"] = sql["lang_id"]
 
+    from ontology_matcher_ray.pipelines.docs_train import DECON_EVAL_MOD
+
+    sql["decontaminate"] = f"""
+WITH ev AS (
+  SELECT DISTINCT array_to_string(str_split(text, ' ')[1:3], ' ') AS ng
+  FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0 AND text <> ''
+)
+SELECT d.doc_id,
+       CAST(EXISTS (SELECT 1 FROM ev WHERE contains(d.text, ev.ng))
+            AS BIGINT) AS contaminated
+FROM documents d
+"""
+
     sql["dedup_jaccard_adjacent"] = """
 WITH sh AS (
   SELECT doc_id,

@@ -336,3 +336,66 @@ def lang_token_sketch(
         lambda gb: gb.agg(max_rho=("max_rho", "max")),
         num_partitions,
     )
+
+
+DECON_EVAL_MOD = 37  # every 37th doc stands in for the "benchmark" set
+
+
+def decontaminate(sf_dir: str) -> "rd.Dataset":
+    """Eval-set decontamination: flag training docs that contain any
+    benchmark n-gram (the substring-overlap rule used before LLM
+    training runs).
+
+    The "benchmark" here is the deterministic stand-in every
+    DECON_EVAL_MOD-th document; its leading 3-gram forms the eval n-gram
+    set.  That set is read once driver-side (pruned, filtered read —
+    n_docs/37 rows) and broadcast into the scan as a plain list; each
+    batch is scanned with one vectorized ``str.contains`` pass per
+    n-gram (|eval| passes per batch — for a real benchmark suite of
+    ~10^5 n-grams the scan swaps to the corpus token index /
+    Aho-Corasick used by stages/extract, same plumbing).  No shuffle at
+    all: flagging is embarrassingly parallel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ontology_matcher_ray.pipelines.docs_text import read_documents
+
+    import pyarrow as pa
+
+    def ev_filter(t: pa.Table) -> pa.Table:
+        # Arrow in/out: filtered-empty blocks keep their schema (pandas
+        # empties trip Ray's size estimator into log spam)
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % DECON_EVAL_MOD == 0))
+
+    ev_docs = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(ev_filter, batch_format="pyarrow")
+        .to_pandas()  # bounded: n_docs / DECON_EVAL_MOD rows
+    )
+    ngrams = sorted(
+        {
+            " ".join(t.split(" ")[:3])
+            for t in ev_docs["text"].astype(str)
+            if t
+        }
+    )
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].astype(str)
+        hit = np.zeros(len(b), dtype=bool)
+        for ng in ngrams:
+            hit |= text.str.contains(ng, regex=False).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "contaminated": hit.astype(np.int64),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        flag, batch_format="pandas"
+    )
