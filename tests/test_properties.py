@@ -192,3 +192,76 @@ def test_sketch_rho_bits(tok):
     if rest:
         assert rest % (1 << (rho - 1)) == 0      # rho-1 trailing zero bits
         assert (rest >> (rho - 1)) & 1 == 1      # then a one bit
+
+
+# --- N-Triples escape/parse round trip (pure kernels, no Ray) ---
+
+_nt_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+_nt_curie = st.from_regex(r"[A-Za-z][A-Za-z0-9_.]{0,8}:[A-Za-z0-9_.:-]{1,12}",
+                          fullmatch=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_nt_curie, _nt_curie, st.one_of(_nt_text, _nt_curie)),
+                min_size=1, max_size=8))
+def test_ntriples_roundtrip_property(rows):
+    import pandas as pd
+
+    from ontology_matcher_ray.sources.io import (
+        nt_lines_to_triples,
+        triples_to_nt_lines,
+    )
+
+    t = pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    lines = triples_to_nt_lines(t)
+    back = nt_lines_to_triples(pd.DataFrame({"text": lines["line"]}))
+    pd.testing.assert_frame_equal(
+        t.reset_index(drop=True), back.reset_index(drop=True), check_dtype=False
+    )
+
+
+# --- hash_join partition kernel vs pandas merge (pure kernel path) ---
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(-5, 5), st.integers(-1000, 1000)),
+             min_size=0, max_size=30),
+    st.lists(st.tuples(st.integers(-5, 5), st.integers(-1000, 1000)),
+             min_size=0, max_size=30),
+)
+def test_hash_join_kernel_matches_pandas_merge(lrows, rrows):
+    """The per-partition merge kernel (all rows in ONE partition) must
+    equal a pandas merge for inner/semi/anti on any key multiset."""
+    import numpy as np
+    import pandas as pd
+
+    l = pd.DataFrame(lrows, columns=["k", "v"]).astype("int64")
+    r = pd.DataFrame(rrows, columns=["k", "w"]).astype("int64")
+
+    def norm(df):
+        return (df.sort_values(list(df.columns), kind="mergesort")
+                  .reset_index(drop=True))
+
+    # mimic per_partition: sides tagged and split
+    inner_want = l.merge(r, on="k", how="inner")
+    keys = r["k"].unique()
+    semi_want = l[l["k"].isin(keys)]
+    anti_want = l[~l["k"].isin(keys)]
+
+    g = pd.concat(
+        [l.assign(w=np.int64(0), _side=np.int8(0)),
+         r.assign(v=np.int64(0), _side=np.int8(1))],
+        ignore_index=True,
+    )[["k", "v", "w", "_side"]]
+    side = g["_side"].to_numpy()
+    gl = g.loc[side == 0, ["k", "v"]]
+    gr = g.loc[side == 1, ["k", "w"]]
+    pd.testing.assert_frame_equal(
+        norm(gl.merge(gr, on="k", how="inner")), norm(inner_want),
+        check_dtype=False,
+    )
+    mask = gl["k"].isin(gr["k"].unique()).to_numpy()
+    pd.testing.assert_frame_equal(norm(gl[mask]), norm(semi_want), check_dtype=False)
+    pd.testing.assert_frame_equal(norm(gl[~mask]), norm(anti_want), check_dtype=False)
