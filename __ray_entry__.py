@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_orders": relational.big_orders,                # agg -> HAVING -> join back
         "priority_semi_counts": relational.priority_semi_counts,  # semi join (EXISTS)
         "customers_without_urgent": relational.customers_without_urgent,  # anti join
+        "order_discounted_revenue": relational.order_discounted_revenue,  # LEFT OUTER join
         "order_price_quantiles": relational.order_price_quantiles,  # exact dist. quantiles
         "top_revenue_customers": relational.top_revenue_customers,  # global top-N
         "customer_running_revenue": relational.customer_running_revenue,  # window fns

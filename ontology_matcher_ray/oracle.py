@@ -1530,6 +1530,18 @@ FROM po JOIN orders ON po.l_orderkey = o_orderkey
 WHERE po.sum_qty > {BIG_ORDER_MIN_QTY}
 """
 
+    from ontology_matcher_ray.pipelines.relational import DISC_FREE_MAX
+
+    sql["order_discounted_revenue"] = f"""
+WITH po AS (
+  SELECT l_orderkey, CAST(SUM({price_c}) AS BIGINT) AS revenue_cents
+  FROM lineitem WHERE l_discount < {DISC_FREE_MAX}
+  GROUP BY l_orderkey
+)
+SELECT o_orderkey, COALESCE(po.revenue_cents, -1) AS revenue_cents
+FROM orders LEFT JOIN po ON o_orderkey = po.l_orderkey
+"""
+
     sql["priority_semi_counts"] = f"""
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders

@@ -349,6 +349,60 @@ def priority_semi_counts(sf_dir: str, num_partitions=None, native=False) -> rd.D
     )
 
 
+DISC_FREE_MAX = 0.01  # "discount-free" line items (~18% of orders have one)
+
+
+def order_discounted_revenue(sf_dir: str, num_partitions=None) -> rd.Dataset:
+    """LEFT OUTER join: every order with its discount-free revenue, -1
+    when the order has no qualifying line item (~82% of orders — the
+    NULL side is the common case, exercising real outer-join semantics).
+
+    Plan: filter lineitem in the scan -> per-block combiner -> per-key
+    exchange aggregate (one row per orderkey — a left join against
+    PARTIAL sums would duplicate left rows) -> ``hash_join(how="left")``
+    -> COALESCE(-1) finalize, matching the oracle's LEFT JOIN +
+    COALESCE exactly.
+    """
+    num_partitions = _join_partitions(num_partitions)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_discount"].to_numpy() < DISC_FREE_MAX]
+        f = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "revenue_cents": _cents(b["l_extendedprice"].to_numpy()),
+            }
+        )
+        return f.groupby("l_orderkey", sort=False).sum().reset_index()
+
+    per_order = exchange.grouped_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(combine, batch_format="pandas"),
+        ["l_orderkey"],
+        lambda g: g.sum(),
+        num_partitions=num_partitions,
+    )
+    j = exchange.hash_join(
+        _read(sf_dir, "orders", ["o_orderkey"]),
+        per_order,
+        "o_orderkey", "l_orderkey",
+        {"o_orderkey": "int64"},
+        {"l_orderkey": "int64", "revenue_cents": "int64"},
+        how="left",
+        num_partitions=num_partitions,
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64").to_numpy(),
+                "revenue_cents": b["revenue_cents"].fillna(-1).astype("int64").to_numpy(),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
 TOP_CUSTOMERS = 10
 
 

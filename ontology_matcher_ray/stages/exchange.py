@@ -250,7 +250,7 @@ def hash_join(
     is identical for any salt (each left row still meets every matching
     right row exactly once; semi/anti see every replicated key).
     """
-    assert how in ("inner", "semi", "anti"), how
+    assert how in ("inner", "left", "semi", "anti"), how
     overlap = (set(left_schema) - {on}) & (set(right_schema) - {right_on})
     assert not overlap, f"non-key column names must be disjoint: {overlap}"
 
@@ -300,14 +300,17 @@ def hash_join(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         side = g["_side"].to_numpy()
-        if how == "inner":
+        if how in ("inner", "left"):
             # under salt, merge on (key, _salt): a partition can hold
             # several salt groups of the SAME key, and each left row must
-            # meet only its own salt's right copy
+            # meet only its own salt's right copy.  "left" keeps unmatched
+            # left rows with NaN/NaT right columns (int64 right columns
+            # upcast to float64, matching a SQL LEFT JOIN's NULLs —
+            # callers wanting integers COALESCE/fillna downstream).
             join_cols = [on, "_salt"] if salt > 1 else [on]
             l = g.loc[side == 0, l_cols + (["_salt"] if salt > 1 else [])]
             r = g.loc[side == 1, join_cols + r_out]
-            out = l.merge(r, on=join_cols, how="inner")
+            out = l.merge(r, on=join_cols, how=how)
             return out.drop(columns=["_salt"]) if salt > 1 else out
         # semi/anti: the left row's own (key, _salt) partition always
         # contains the right copy with that salt, so a key-presence mask
