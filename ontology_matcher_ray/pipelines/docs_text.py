@@ -188,7 +188,7 @@ def source_lang_matrix(sf_dir: str) -> rd.Dataset:
 ROLLUP_ALL = "*"  # sentinel for rolled-up levels; shared with the oracle
 
 
-def doc_rollup(sf_dir: str) -> rd.Dataset:
+def doc_rollup(sf_dir: str) -> pd.DataFrame:
     """GROUPING-SETS-shaped rollup in ONE pass: document counts at
     (lang, source), (lang, *) and (*, *) levels.  The per-block combiner
     emits all three levels (3 x |lang|x|source| rows per block max), so a

@@ -630,7 +630,7 @@ def funnel(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     return exchange.partitioned_apply(part, ["user_id"], per_user, num_partitions)
 
 
-def event_type_distinct_users(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+def event_type_distinct_users(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
     """EXACT distinct count per group (the exact counterpart of the HLL
     sketch in docs_train): distinct users per event_type.
 

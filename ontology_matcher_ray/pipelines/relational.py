@@ -77,7 +77,8 @@ def _join(
     semantics: left key name kept, right key consumed)."""
     num_partitions = _join_partitions(num_partitions)
     if native:
-        kind = {"inner": "inner", "semi": "left_semi", "anti": "left_anti"}[how]
+        kind = {"inner": "inner", "left": "left_outer",
+                "semi": "left_semi", "anti": "left_anti"}[how]
         return left.join(
             right, kind, num_partitions=num_partitions,
             on=(on,), right_on=(right_on,),
@@ -111,7 +112,7 @@ def _whole(x: np.ndarray) -> np.ndarray:
     return np.floor(x + 0.5).astype(np.int64)
 
 
-def pricing_summary(sf_dir: str) -> rd.Dataset:
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q1-shaped wide aggregate: per (returnflag, linestatus) sums
     over the shipped slice of lineitem.
 
@@ -183,7 +184,7 @@ def _lineitem_revenue_per_order(sf_dir: str) -> rd.Dataset:
     ).map_batches(combine, batch_format="pandas")
 
 
-def revenue_by_nation(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
+def revenue_by_nation(sf_dir: str, num_partitions=None, native=False) -> pd.DataFrame:
     """Revenue per customer nation: a two-hop shuffle-join chain over the
     fact tables plus a broadcast dimension lookup.
 
@@ -311,7 +312,7 @@ def big_orders(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
     return j.map_batches(finalize, batch_format="pandas")
 
 
-def priority_semi_counts(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
+def priority_semi_counts(sf_dir: str, num_partitions=None, native=False) -> pd.DataFrame:
     """Order count per priority for orders having >= 1 near-max-quantity
     line item — a semi join (EXISTS), so an order with five qualifying
     lines still counts once.
@@ -352,7 +353,7 @@ def priority_semi_counts(sf_dir: str, num_partitions=None, native=False) -> rd.D
 DISC_FREE_MAX = 0.01  # "discount-free" line items (~18% of orders have one)
 
 
-def order_discounted_revenue(sf_dir: str, num_partitions=None) -> rd.Dataset:
+def order_discounted_revenue(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
     """LEFT OUTER join: every order with its discount-free revenue, -1
     when the order has no qualifying line item (~82% of orders — the
     NULL side is the common case, exercising real outer-join semantics).
@@ -382,14 +383,14 @@ def order_discounted_revenue(sf_dir: str, num_partitions=None) -> rd.Dataset:
         lambda g: g.sum(),
         num_partitions=num_partitions,
     )
-    j = exchange.hash_join(
+    j = _join(
         _read(sf_dir, "orders", ["o_orderkey"]),
         per_order,
         "o_orderkey", "l_orderkey",
         {"o_orderkey": "int64"},
         {"l_orderkey": "int64", "revenue_cents": "int64"},
         how="left",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, native=native,
     )
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:

@@ -108,17 +108,39 @@ def write_dataset_parquet(ds: rd.Dataset, out_dir: str) -> None:
 # Deterministic mapping: subj/pred are always IRIs under urn:graft:;
 # obj becomes an IRI when it is CURIE-shaped (prefix:local, e.g.
 # "MONDO:0005148", "doc:17"), otherwise a quoted literal (lang tags,
-# source names, free text).  The reader inverts the mapping exactly, so
-# write -> read round-trips bit-for-bit (the kg_triples_nt query runs the
-# round trip under the kg_triples SQL oracle).
+# source names, free text).  IRI content is percent-encoded for the
+# characters that would break the <...> framing or the line format
+# (% > < space TAB CR LF); literal content uses backslash escapes with a
+# SINGLE-PASS regex unescape on read (sequential replaces corrupt
+# backslash-adjacent inputs, e.g. a literal backslash followed by "t").
+# The reader inverts the mapping exactly — write -> read round-trips
+# bit-for-bit for ARBITRARY strings (property-tested), and the
+# kg_triples_nt query runs the round trip under the kg_triples oracle.
 # ---------------------------------------------------------------------------
 
 _NT_URN = "urn:graft:"
 _CURIE_OBJ_RE = r"^[A-Za-z][A-Za-z0-9_.]*:[A-Za-z0-9_.:-]+$"
 
+# order matters: encode % first / decode it last
+_IRI_ENC = [("%", "%25"), (">", "%3E"), ("<", "%3C"), (" ", "%20"),
+            ("\t", "%09"), ("\r", "%0D"), ("\n", "%0A")]
+_LIT_UNESCAPE_RE = None  # compiled lazily (module import stays light)
 
-def _nt_escape(s: pd.Series) -> pd.Series:
-    """N-Triples string escaping (backslash first, then quote/newlines)."""
+
+def _nt_iri_encode(s: pd.Series) -> pd.Series:
+    for raw, enc in _IRI_ENC:
+        s = s.str.replace(raw, enc, regex=False)
+    return s
+
+
+def _nt_iri_decode(s: pd.Series) -> pd.Series:
+    for raw, enc in reversed(_IRI_ENC):
+        s = s.str.replace(enc, raw, regex=False)
+    return s
+
+
+def _nt_lit_escape(s: pd.Series) -> pd.Series:
+    """N-Triples literal escaping (backslash first, then quote/newlines)."""
     return (
         s.str.replace("\\", "\\\\", regex=False)
         .str.replace('"', '\\"', regex=False)
@@ -128,58 +150,85 @@ def _nt_escape(s: pd.Series) -> pd.Series:
     )
 
 
+def _nt_lit_unescape(s: pd.Series) -> pd.Series:
+    """Single-pass inverse of ``_nt_lit_escape``: each backslash consumes
+    exactly the next character, so escaped backslashes can never be
+    re-consumed by a later replacement pass."""
+    import re
+
+    global _LIT_UNESCAPE_RE
+    if _LIT_UNESCAPE_RE is None:
+        _LIT_UNESCAPE_RE = re.compile(r"\\(.)")
+    m = {"n": "\n", "r": "\r", "t": "\t"}
+    return s.str.replace(
+        _LIT_UNESCAPE_RE, lambda mo: m.get(mo.group(1), mo.group(1)), regex=True
+    )
+
+
 def triples_to_nt_lines(b: pd.DataFrame) -> pd.DataFrame:
     """(subj, pred, obj) batch -> one N-Triples line per row (vectorized)."""
-    subj = "<" + _NT_URN + _nt_escape(b["subj"].astype(str)) + ">"
-    pred = "<" + _NT_URN + _nt_escape(b["pred"].astype(str)) + ">"
+    subj = "<" + _NT_URN + _nt_iri_encode(b["subj"].astype(str)) + ">"
+    pred = "<" + _NT_URN + _nt_iri_encode(b["pred"].astype(str)) + ">"
     obj_s = b["obj"].astype(str)
     is_iri = obj_s.str.match(_CURIE_OBJ_RE)
-    obj = ("<" + _NT_URN + _nt_escape(obj_s) + ">").where(
-        is_iri, '"' + _nt_escape(obj_s) + '"'
+    obj = ("<" + _NT_URN + _nt_iri_encode(obj_s) + ">").where(
+        is_iri, '"' + _nt_lit_escape(obj_s) + '"'
     )
     return pd.DataFrame({"line": subj + " " + pred + " " + obj + " ."})
 
 
 def nt_lines_to_triples(b: pd.DataFrame) -> pd.DataFrame:
-    """Inverse of ``triples_to_nt_lines`` (vectorized regex extract)."""
+    """Inverse of ``triples_to_nt_lines`` (vectorized regex extract).
+    Raises on any line that does not parse — silent NaN rows would
+    corrupt downstream joins."""
     pat = (
         r"^<" + _NT_URN + r"(?P<subj>[^>]*)> <" + _NT_URN
         + r"(?P<pred>[^>]*)> (?:<" + _NT_URN
         + r"(?P<obj_iri>[^>]*)>|\"(?P<obj_lit>.*)\") \.$"
     )
     m = b["text"].str.extract(pat)
-    obj = m["obj_iri"].fillna(m["obj_lit"])
-    out = pd.DataFrame({"subj": m["subj"], "pred": m["pred"], "obj": obj})
-    for c in out.columns:
-        out[c] = (
-            out[c]
-            .str.replace("\\t", "\t", regex=False)
-            .str.replace("\\r", "\r", regex=False)
-            .str.replace("\\n", "\n", regex=False)
-            .str.replace('\\"', '"', regex=False)
-            .str.replace("\\\\", "\\", regex=False)
+    bad = m["subj"].isna()
+    if bad.any():
+        raise ValueError(
+            f"unparseable N-Triples line: {b['text'][bad].iloc[0]!r}"
         )
-    return out
+    is_lit = m["obj_iri"].isna()
+    obj = _nt_iri_decode(m["obj_iri"].fillna("")).where(
+        ~is_lit, _nt_lit_unescape(m["obj_lit"].fillna(""))
+    )
+    return pd.DataFrame(
+        {
+            "subj": _nt_iri_decode(m["subj"]),
+            "pred": _nt_iri_decode(m["pred"]),
+            "obj": obj,
+        }
+    )
 
 
 def write_ntriples(ds: rd.Dataset, out_dir: str) -> None:
-    """Distributed .nt sink: each batch writes one content-addressed part
-    file (md5 of the payload), so re-runs are idempotent and a resumed
-    job never duplicates a finished part."""
+    """Distributed .nt sink into an EMPTY directory: each batch writes one
+    part file named by content hash plus a unique suffix (two batches
+    with byte-identical payloads — duplicate rows split the same way —
+    must yield two parts, so pure content-addressing would silently drop
+    multiplicity).  Writes are tmp+rename; the reader globs ``*.nt`` so a
+    crash-leftover ``.tmp`` is never parsed as data."""
     import hashlib
+    import uuid
 
     os.makedirs(out_dir, exist_ok=True)
+    if any(f.endswith(".nt") for f in os.listdir(out_dir)):
+        raise ValueError(f"write_ntriples: {out_dir} already contains .nt parts")
 
     def write_part(b: pd.DataFrame) -> pd.DataFrame:
         lines = triples_to_nt_lines(b)
         payload = ("\n".join(lines["line"].tolist()) + "\n").encode()
-        name = f"part-{hashlib.md5(payload).hexdigest()[:20]}.nt"
+        name = (f"part-{hashlib.md5(payload).hexdigest()[:16]}"
+                f"-{uuid.uuid4().hex[:8]}.nt")
         path = os.path.join(out_dir, name)
-        if not os.path.exists(path):
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(payload)
-            os.replace(tmp, path)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
         return pd.DataFrame({"part": [name], "rows": [len(b)]})
 
     # consume: the sink IS the action (bounded one-row-per-part output)
@@ -187,9 +236,15 @@ def write_ntriples(ds: rd.Dataset, out_dir: str) -> None:
 
 
 def read_ntriples(out_dir: str) -> rd.Dataset:
-    """Distributed .nt source: read_text over the part files, vectorized
-    line parse back to (subj, pred, obj)."""
-    ds = rd.read_text(os.path.join(out_dir))
+    """Distributed .nt source: read_text over the ``*.nt`` part files
+    only (leftover ``.tmp`` files from a crashed writer are ignored),
+    vectorized line parse back to (subj, pred, obj)."""
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(out_dir, "*.nt")))
+    if not parts:
+        raise FileNotFoundError(f"no .nt part files under {out_dir}")
+    ds = rd.read_text(parts)
     return ds.map_batches(nt_lines_to_triples, batch_format="pandas")
 
 

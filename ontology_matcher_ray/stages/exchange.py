@@ -297,6 +297,18 @@ def hash_join(
     )
 
     r_out = [c for c in r_cols if c != on]
+    per_partition = join_partition_kernel(on, l_cols, r_out, how, salt)
+
+    key_cols = [on, "_salt"] if salt > 1 else [on]
+    return partitioned_apply(lt.union(rt), key_cols, per_partition, num_partitions)
+
+
+def join_partition_kernel(
+    on: str, l_cols: List[str], r_out: List[str], how: str, salt: int = 1
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """The per-partition merge kernel ``hash_join`` runs after the
+    exchange — module-level so tests exercise the REAL kernel (a
+    re-implemented copy in a test proves nothing)."""
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         side = g["_side"].to_numpy()
@@ -320,8 +332,7 @@ def hash_join(
         mask = l[on].isin(keys).to_numpy()
         return l[~mask] if how == "anti" else l[mask]
 
-    key_cols = [on, "_salt"] if salt > 1 else [on]
-    return partitioned_apply(lt.union(rt), key_cols, per_partition, num_partitions)
+    return per_partition
 
 
 def small_grouped_agg(

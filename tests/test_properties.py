@@ -222,7 +222,7 @@ def test_ntriples_roundtrip_property(rows):
     )
 
 
-# --- hash_join partition kernel vs pandas merge (pure kernel path) ---
+# --- hash_join partition kernel vs pandas merge (the REAL kernel) ---
 
 @settings(max_examples=100, deadline=None)
 @given(
@@ -232,10 +232,12 @@ def test_ntriples_roundtrip_property(rows):
              min_size=0, max_size=30),
 )
 def test_hash_join_kernel_matches_pandas_merge(lrows, rrows):
-    """The per-partition merge kernel (all rows in ONE partition) must
-    equal a pandas merge for inner/semi/anti on any key multiset."""
+    """exchange.join_partition_kernel (all rows in ONE partition) must
+    equal a pandas merge for inner/left/semi/anti on any key multiset."""
     import numpy as np
     import pandas as pd
+
+    from ontology_matcher_ray.stages.exchange import join_partition_kernel
 
     l = pd.DataFrame(lrows, columns=["k", "v"]).astype("int64")
     r = pd.DataFrame(rrows, columns=["k", "w"]).astype("int64")
@@ -244,24 +246,21 @@ def test_hash_join_kernel_matches_pandas_merge(lrows, rrows):
         return (df.sort_values(list(df.columns), kind="mergesort")
                   .reset_index(drop=True))
 
-    # mimic per_partition: sides tagged and split
-    inner_want = l.merge(r, on="k", how="inner")
-    keys = r["k"].unique()
-    semi_want = l[l["k"].isin(keys)]
-    anti_want = l[~l["k"].isin(keys)]
-
+    # one partition holding both padded sides, exactly as hash_join's
+    # _pad + union produce it (typed zero sentinels, _side tag)
     g = pd.concat(
         [l.assign(w=np.int64(0), _side=np.int8(0)),
          r.assign(v=np.int64(0), _side=np.int8(1))],
         ignore_index=True,
     )[["k", "v", "w", "_side"]]
-    side = g["_side"].to_numpy()
-    gl = g.loc[side == 0, ["k", "v"]]
-    gr = g.loc[side == 1, ["k", "w"]]
-    pd.testing.assert_frame_equal(
-        norm(gl.merge(gr, on="k", how="inner")), norm(inner_want),
-        check_dtype=False,
-    )
-    mask = gl["k"].isin(gr["k"].unique()).to_numpy()
-    pd.testing.assert_frame_equal(norm(gl[mask]), norm(semi_want), check_dtype=False)
-    pd.testing.assert_frame_equal(norm(gl[~mask]), norm(anti_want), check_dtype=False)
+
+    keys = r["k"].unique()
+    wants = {
+        "inner": l.merge(r, on="k", how="inner"),
+        "left": l.merge(r, on="k", how="left"),
+        "semi": l[l["k"].isin(keys)],
+        "anti": l[~l["k"].isin(keys)],
+    }
+    for how, want in wants.items():
+        got = join_partition_kernel("k", ["k", "v"], ["w"], how)(g)
+        pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
