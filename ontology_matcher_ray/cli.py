@@ -180,6 +180,8 @@ ANALYZE_OPS = {
                "row_number + running sum"),
     "top-customers": ("relational", "top_revenue_customers",
                       "global top-N by revenue"),
+    "left-join": ("relational", "order_discounted_revenue",
+                  "LEFT OUTER join: per-order discount-free revenue"),
     # documents / events analytics
     "pivot": ("docs_text", "source_lang_matrix",
               "source x language count matrix"),
