@@ -127,6 +127,9 @@ def run_bench() -> dict:
         "pricing_summary": lambda: relational.pricing_summary(sf_dir),
         "revenue_by_nation": lambda: relational.revenue_by_nation(sf_dir),
         "priority_semi_counts": lambda: relational.priority_semi_counts(sf_dir),
+        "order_price_quantiles": lambda: relational.order_price_quantiles(sf_dir),
+        "customer_running_revenue": lambda: relational.customer_running_revenue(sf_dir),
+        "events_funnel": lambda: events.funnel(sf_dir),
     }
     qtimes = {}
     for name, fn in query_fns.items():
