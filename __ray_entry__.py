@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_urgent": relational.customers_without_urgent,  # anti join
         "order_discounted_revenue": relational.order_discounted_revenue,  # LEFT OUTER join
         "order_price_quantiles": relational.order_price_quantiles,  # exact dist. quantiles
+        "order_price_quantiles_approx": relational.order_price_quantiles_approx,  # sketch
         "top_revenue_customers": relational.top_revenue_customers,  # global top-N
         "customer_running_revenue": relational.customer_running_revenue,  # window fns
         # --- stream-shaped ---

@@ -1622,6 +1622,29 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+    # approx-quantile sketch: the oracle recomputes the IDENTICAL
+    # top-5-bit bucketing in integer SQL, then quantile_disc over the
+    # bucketed values — the sketch is checked exactly
+    qcols_lb = ",\n       ".join(
+        f"quantile_disc(lb, {q}) AS q{int(q * 100)}_lb" for q in QUANTILES
+    )
+    sql["order_price_quantiles_approx"] = f"""
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+lbv AS (
+  SELECT o_orderpriority,
+         (cents >> greatest(length(bin(cents)) - 5, 0))
+           << greatest(length(bin(cents)) - 5, 0) AS lb
+  FROM c
+)
+SELECT o_orderpriority,
+       {qcols_lb}
+FROM lbv GROUP BY o_orderpriority
+"""
+
     sql["customer_running_revenue"] = """
 SELECT o_custkey, o_orderkey,
        CAST(row_number() OVER w AS BIGINT) AS rn,

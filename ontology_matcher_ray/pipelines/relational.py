@@ -499,6 +499,69 @@ def order_price_quantiles(sf_dir: str) -> rd.Dataset:
     )
 
 
+_POW2 = np.int64(2) ** np.arange(62, dtype=np.int64)
+
+
+def _bucket_lower_bound(c: np.ndarray) -> np.ndarray:
+    """Mergeable quantile-sketch bucket: keep the top 5 bits of each
+    value (relative error < 1/16).  Pure integer ops — bit length via
+    searchsorted over powers of two — bit-identical to the oracle's
+    ``(c >> greatest(length(bin(c))-5, 0)) << ...`` SQL."""
+    bl = np.searchsorted(_POW2, c, side="right").astype(np.int64)
+    shift = np.maximum(bl - 5, 0)
+    return (c >> shift) << shift
+
+
+def order_price_quantiles_approx(sf_dir: str) -> rd.Dataset:
+    """APPROXIMATE distributed quantiles (relative error < 1/16): the
+    mergeable-sketch counterpart of ``order_price_quantiles``.
+
+    Same count-based selection, but values collapse to top-5-bit buckets
+    in the combiner — the exchange moves at most |priorities| x ~64
+    bucket rows per block regardless of how many distinct prices exist
+    (the exact variant's shuffle grows with the distinct-value count; at
+    an unbounded domain this sketch is the scale path, exactly like
+    HLL vs exact COUNT DISTINCT).  The oracle recomputes quantile_disc
+    over the identically-bucketed values, so the gate checks the sketch
+    exactly, not approximately.
+    """
+    import math
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                "cents": _bucket_lower_bound(_cents(b["o_totalprice"].to_numpy())),
+                "cnt": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return f.groupby(["o_orderpriority", "cents"], sort=False).sum().reset_index()
+
+    part = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]).map_batches(
+        combine, batch_format="pandas"
+    )
+
+    def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for prio, grp in g.groupby("o_orderpriority", sort=False):
+            grp = grp.groupby("cents", sort=True)["cnt"].sum()
+            values = grp.index.to_numpy()
+            cum = grp.to_numpy().cumsum()
+            n = int(cum[-1])
+            row = {"o_orderpriority": prio}
+            for q in QUANTILES:
+                idx = max(0, math.ceil(q * n) - 1)
+                row[f"q{int(q * 100)}_lb"] = int(
+                    values[np.searchsorted(cum, idx + 1, side="left")]
+                )
+            out.append(row)
+        return pd.DataFrame(out)
+
+    return exchange.partitioned_apply(
+        part, ["o_orderpriority"], select_quantiles, num_partitions=8
+    )
+
+
 def customer_running_revenue(sf_dir: str, num_partitions=None) -> rd.Dataset:
     """Ordered window functions (row_number + running sum) per customer:
     one exchange on the window key, then a vectorized

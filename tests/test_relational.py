@@ -190,3 +190,25 @@ def test_anti_plus_semi_partition_customers():
     )
     assert len(anti) == n_cust - n_with
     assert anti["c_custkey"].is_unique
+
+
+def test_approx_quantiles_error_bound():
+    """The top-5-bit sketch must stay within its documented < 1/16
+    relative error of the exact distributed quantiles."""
+    from tests.util import run_oracle
+
+    import __ray_entry__ as em
+
+    a = (
+        to_pandas(relational.order_price_quantiles_approx(SF))
+        .set_index("o_orderpriority")
+        .sort_index()
+    )
+    e = (
+        run_oracle(em.oracle_sql()["order_price_quantiles"], SF)
+        .set_index("o_orderpriority")
+        .sort_index()
+    )
+    for q in (25, 50, 75, 95):
+        rel = (a[f"q{q}_lb"] - e[f"q{q}_cents"]).abs() / e[f"q{q}_cents"]
+        assert (rel < 1 / 16).all()
