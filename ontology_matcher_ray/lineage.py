@@ -81,6 +81,18 @@ def plan_shards(files: List[str], n_shards: int) -> List[List[str]]:
     return [files[i : i + per] for i in range(0, len(files), per)]
 
 
+def plan_shards_by_size(files: List[str], files_per_shard: int) -> List[List[str]]:
+    """Fixed-SIZE sharding for incremental ingest: chunk boundaries depend
+    only on sorted position, so APPENDING files (sorting after the
+    existing ones) leaves every full earlier shard's input list unchanged
+    — a rerun recomputes only the previously-partial last shard and the
+    new shards (``run_sharded`` validates input lists, so a shifted shard
+    can never silently reuse stale output)."""
+    files = sorted(files)
+    per = max(1, files_per_shard)
+    return [files[i : i + per] for i in range(0, len(files), per)]
+
+
 def run_sharded(
     stage: str,
     shards: List[List[str]],
@@ -93,14 +105,20 @@ def run_sharded(
 
     ``run_shard`` must return ``{"row_count": int, "content_sha256_agg":
     str, "triple_count": int}``.  Completed shards (lineage record present
-    AND output dir exists) are skipped — this is the resume path.
+    AND output dir exists AND the recorded input_files EQUAL this plan's)
+    are skipped — this is the resume path.  The input check matters: when
+    the corpus grows or the shard plan changes, boundaries shift, and a
+    bare (stage, shard) match would silently reuse output computed from
+    DIFFERENT inputs.  A recomputed shard appends a superseding lineage
+    record (``completed()`` keeps the last per key).
     """
     done = manifest.completed()
     records: List[LineageRecord] = []
     for shard_idx, input_files in enumerate(shards):
         final_dir = os.path.join(out_dir, f"shard={shard_idx:05d}")
         prior = done.get((stage, shard_idx))
-        if prior is not None and os.path.isdir(final_dir):
+        if (prior is not None and os.path.isdir(final_dir)
+                and list(prior.input_files) == list(input_files)):
             records.append(prior)
             continue
         tmp_dir = final_dir + ".tmp"

@@ -440,11 +440,17 @@ def build_kg(
     extract_concurrency=None,
     link_concurrency=None,
     unique_subjects: bool = False,
+    files_per_shard: int = None,
 ) -> List:
     """Run the full corpus KG build, sharded + resumable.
 
     Returns the lineage records (one per shard).  Rerunning after a crash
-    skips completed shards via the manifest.
+    skips completed shards via the manifest.  ``files_per_shard`` switches
+    to fixed-SIZE shard planning (``lineage.plan_shards_by_size``) for
+    INCREMENTAL ingest: appending corpus files and rerunning recomputes
+    only the previously-partial last shard plus the new shards — earlier
+    shards keep identical input lists and are skipped by the manifest's
+    input-validated resume.
     """
     from ontology_matcher_ray.corpus import token_lexicon_terms
 
@@ -476,7 +482,12 @@ def build_kg(
         ray.put(build_del1_index_parallel(sorted(term_map))) if term_map else None
     )
     manifest = Manifest(os.path.join(out_dir, "_manifest", "lineage.jsonl"))
-    shards = plan_shards(corpus_files(corpus_dir), n_shards)
+    if files_per_shard is not None:
+        from ontology_matcher_ray.lineage import plan_shards_by_size
+
+        shards = plan_shards_by_size(corpus_files(corpus_dir), files_per_shard)
+    else:
+        shards = plan_shards(corpus_files(corpus_dir), n_shards)
     return run_sharded(
         "kg_build",
         shards,

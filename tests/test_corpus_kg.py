@@ -201,3 +201,47 @@ def test_unique_subjects_fast_path_equals_exchange_path(corpus_env, tmp_path):
     trips = corpus_kg.read_triples(out_d_ex).to_pandas()
     # exchange path: globally exact (no duplicate triple rows)
     assert not trips.duplicated(["subj", "pred", "obj"]).any()
+
+
+def test_incremental_append_with_input_validated_resume(tmp_path):
+    """Fixed-size shard planning + input-validated resume = incremental
+    ingest: appending corpus files and rerunning recomputes ONLY the
+    previously-partial last shard and the new shards, and the result
+    equals a from-scratch build over the full file set (stale shard
+    output computed from different inputs must never be reused)."""
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=100, seed=42)
+    gen = tmp_path / "gen"
+    corpus_mod.generate_corpus(str(gen / "a"), 100, snap)
+    corpus_mod.generate_corpus(str(gen / "b"), 200, snap)
+    corpus_mod.generate_corpus(str(gen / "c"), 300, snap)
+
+    def pick_parquet(d, idx):
+        files = sorted(x for x in os.listdir(d) if x.endswith(".parquet"))
+        return os.path.join(d, files[idx])
+
+    work = tmp_path / "ingest"
+    work.mkdir()
+    for i in range(5):  # initial ingest units u0..u4 (same low-index rows)
+        shutil.copy(pick_parquet(str(gen / "a"), 0), str(work / f"u{i}.parquet"))
+
+    out = str(tmp_path / "kg")
+    rec1 = corpus_kg.build_kg(str(work), out, snap, files_per_shard=2)
+    assert [len(r.input_files) for r in rec1] == [2, 2, 1]
+
+    # append units with NOVEL rows (b: rows 0-199, c: rows 0-299) — they
+    # sort after u4, so shards 0/1 keep identical inputs
+    # last chunks carry the highest-index (novel) rows
+    shutil.copy(pick_parquet(str(gen / "b"), -1), str(work / "v5.parquet"))
+    shutil.copy(pick_parquet(str(gen / "c"), -1), str(work / "v6.parquet"))
+    rec2 = corpus_kg.build_kg(str(work), out, snap, files_per_shard=2)
+    assert [len(r.input_files) for r in rec2] == [2, 2, 2, 1]
+    # shards 0/1 skipped: the PRIOR lineage records come back verbatim
+    assert rec2[0].wall_time == rec1[0].wall_time
+    assert rec2[1].wall_time == rec1[1].wall_time
+    # shard 2's inputs changed (u4 -> u4+v5): recomputed, not stale-reused
+    assert rec2[2].wall_time != rec1[2].wall_time
+    assert rec2[2].input_files[-1].endswith("v5.parquet")
+
+    fresh = str(tmp_path / "kg_fresh")
+    corpus_kg.build_kg(str(work), fresh, snap, files_per_shard=2)
+    assert triple_set(out) == triple_set(fresh)
