@@ -142,7 +142,7 @@ def cmd_corpus_kg(args) -> int:
         corpus_mod.generate_corpus(args.corpus_dir, args.n_files, snap)
     records = corpus_kg.build_kg(
         args.corpus_dir, args.output_dir, snap, n_shards=args.shards,
-        strategy=strategy,
+        strategy=strategy, files_per_shard=args.files_per_shard,
     )
     triples = sum(r.triple_count for r in records)
     print(f"kg build: {len(records)} shards, {triples} triples -> {args.output_dir}")
@@ -265,6 +265,9 @@ def main(argv=None) -> int:
     pc.add_argument("--n-files", type=int, default=100000)
     pc.add_argument("--dict-size", type=int, default=100000)
     pc.add_argument("--shards", type=int, default=4)
+    pc.add_argument("--files-per-shard", type=int, default=None,
+                    help="fixed-size shard planning for incremental ingest "
+                         "(append files + rerun = only new/changed shards)")
     pc.add_argument("--strategy", choices=["mixture", "unique"], default="mixture")
     pc.set_defaults(fn=cmd_corpus_kg)
 
