@@ -137,11 +137,17 @@ def cmd_corpus_kg(args) -> int:
         Strategy.UNIQUE if getattr(args, "strategy", "mixture") == "unique"
         else Strategy.MIXTURE
     )
+    if args.shards is not None and args.files_per_shard is not None:
+        raise SystemExit(
+            "corpus-kg: --shards and --files-per-shard are mutually "
+            "exclusive (fixed-count vs fixed-size shard planning)"
+        )
     snap = build_snapshot(DISEASE_SPEC, n_synthetic=args.dict_size, seed=42)
     if args.generate:
         corpus_mod.generate_corpus(args.corpus_dir, args.n_files, snap)
     records = corpus_kg.build_kg(
-        args.corpus_dir, args.output_dir, snap, n_shards=args.shards,
+        args.corpus_dir, args.output_dir, snap,
+        n_shards=args.shards if args.shards is not None else 4,
         strategy=strategy, files_per_shard=args.files_per_shard,
     )
     triples = sum(r.triple_count for r in records)
@@ -264,7 +270,9 @@ def main(argv=None) -> int:
     pc.add_argument("--generate", action="store_true")
     pc.add_argument("--n-files", type=int, default=100000)
     pc.add_argument("--dict-size", type=int, default=100000)
-    pc.add_argument("--shards", type=int, default=4)
+    pc.add_argument("--shards", type=int, default=None,
+                    help="fixed shard COUNT (default 4); exclusive with "
+                         "--files-per-shard")
     pc.add_argument("--files-per-shard", type=int, default=None,
                     help="fixed-size shard planning for incremental ingest "
                          "(append files + rerun = only new/changed shards)")

@@ -78,7 +78,7 @@ def plan_shards(files: List[str], n_shards: int) -> List[List[str]]:
     files = sorted(files)
     n_shards = max(1, min(n_shards, len(files)))
     per = (len(files) + n_shards - 1) // n_shards
-    return [files[i : i + per] for i in range(0, len(files), per)]
+    return plan_shards_by_size(files, per)
 
 
 def plan_shards_by_size(files: List[str], files_per_shard: int) -> List[List[str]]:
@@ -112,6 +112,17 @@ def run_sharded(
     DIFFERENT inputs.  A recomputed shard appends a superseding lineage
     record (``completed()`` keeps the last per key).
     """
+    import glob as _glob
+    import re as _re
+
+    # prune orphans: shard dirs beyond the CURRENT plan's length (a
+    # shrinking plan — fewer/bigger shards — would otherwise leave stale
+    # outputs that any shard=*/ glob reader ingests as duplicates)
+    for d in _glob.glob(os.path.join(out_dir, "shard=*")):
+        m = _re.fullmatch(r"shard=(\d+)(?:\.tmp)?", os.path.basename(d))
+        if m and int(m.group(1)) >= len(shards):
+            shutil.rmtree(d)
+
     done = manifest.completed()
     records: List[LineageRecord] = []
     for shard_idx, input_files in enumerate(shards):

@@ -448,26 +448,23 @@ def top_revenue_customers(sf_dir: str, num_partitions=None) -> pd.DataFrame:
 QUANTILES = (0.25, 0.50, 0.75, 0.95)
 
 
-def order_price_quantiles(sf_dir: str) -> rd.Dataset:
-    """Exact distributed quantiles of order price per priority, via
-    count-based selection: the shuffle moves (group, value, count) rows —
-    volume bounded by the DISTINCT-value count of the domain (integer
-    cents), not the row count, so a 100-TB orders table exchanges at most
-    |domain| rows per group.
-
-    Per-block combiner collapses duplicate (priority, cents) pairs; one
-    exchange on priority; per group the kernel sorts the distinct values,
-    cumulative-sums the counts and selects index max(0, ceil(q*n) - 1) —
-    DuckDB's ``quantile_disc`` definition (verified empirically), so the
-    oracle recomputes the identical statistic.
-    """
+def _distributed_quantiles(sf_dir: str, transform, suffix: str) -> rd.Dataset:
+    """Shared core of the exact and sketch quantile operators:
+    (group, value, count) combiner -> group exchange -> cumulative-count
+    selection at index max(0, ceil(q*n) - 1) (DuckDB's ``quantile_disc``
+    definition, verified empirically).  ``transform`` optionally maps
+    values to sketch buckets BEFORE counting; ``suffix`` names the output
+    columns (q25_<suffix>, ...)."""
     import math
 
     def combine(b: pd.DataFrame) -> pd.DataFrame:
+        vals = _cents(b["o_totalprice"].to_numpy())
+        if transform is not None:
+            vals = transform(vals)
         f = pd.DataFrame(
             {
                 "o_orderpriority": b["o_orderpriority"].to_numpy(),
-                "cents": _cents(b["o_totalprice"].to_numpy()),
+                "cents": vals,
                 "cnt": np.ones(len(b), dtype=np.int64),
             }
         )
@@ -488,7 +485,7 @@ def order_price_quantiles(sf_dir: str) -> rd.Dataset:
             for q in QUANTILES:
                 idx = max(0, math.ceil(q * n) - 1)
                 # first distinct value whose cumulative count exceeds idx
-                row[f"q{int(q * 100)}_cents"] = int(
+                row[f"q{int(q * 100)}_{suffix}"] = int(
                     values[np.searchsorted(cum, idx + 1, side="left")]
                 )
             out.append(row)
@@ -499,7 +496,16 @@ def order_price_quantiles(sf_dir: str) -> rd.Dataset:
     )
 
 
-_POW2 = np.int64(2) ** np.arange(62, dtype=np.int64)
+def order_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact distributed quantiles of order price per priority, via
+    count-based selection: the shuffle moves (group, value, count) rows —
+    volume bounded by the DISTINCT-value count of the domain (integer
+    cents), not the row count, so a 100-TB orders table exchanges at most
+    |domain| rows per group."""
+    return _distributed_quantiles(sf_dir, None, "cents")
+
+
+_POW2 = np.int64(2) ** np.arange(63, dtype=np.int64)  # all int64 bit lengths
 
 
 def _bucket_lower_bound(c: np.ndarray) -> np.ndarray:
@@ -525,41 +531,7 @@ def order_price_quantiles_approx(sf_dir: str) -> rd.Dataset:
     over the identically-bucketed values, so the gate checks the sketch
     exactly, not approximately.
     """
-    import math
-
-    def combine(b: pd.DataFrame) -> pd.DataFrame:
-        f = pd.DataFrame(
-            {
-                "o_orderpriority": b["o_orderpriority"].to_numpy(),
-                "cents": _bucket_lower_bound(_cents(b["o_totalprice"].to_numpy())),
-                "cnt": np.ones(len(b), dtype=np.int64),
-            }
-        )
-        return f.groupby(["o_orderpriority", "cents"], sort=False).sum().reset_index()
-
-    part = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]).map_batches(
-        combine, batch_format="pandas"
-    )
-
-    def select_quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for prio, grp in g.groupby("o_orderpriority", sort=False):
-            grp = grp.groupby("cents", sort=True)["cnt"].sum()
-            values = grp.index.to_numpy()
-            cum = grp.to_numpy().cumsum()
-            n = int(cum[-1])
-            row = {"o_orderpriority": prio}
-            for q in QUANTILES:
-                idx = max(0, math.ceil(q * n) - 1)
-                row[f"q{int(q * 100)}_lb"] = int(
-                    values[np.searchsorted(cum, idx + 1, side="left")]
-                )
-            out.append(row)
-        return pd.DataFrame(out)
-
-    return exchange.partitioned_apply(
-        part, ["o_orderpriority"], select_quantiles, num_partitions=8
-    )
+    return _distributed_quantiles(sf_dir, _bucket_lower_bound, "lb")
 
 
 def customer_running_revenue(sf_dir: str, num_partitions=None) -> rd.Dataset:
