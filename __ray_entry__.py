@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_semi_counts": relational.priority_semi_counts,  # semi join (EXISTS)
         "customers_without_urgent": relational.customers_without_urgent,  # anti join
         "order_discounted_revenue": relational.order_discounted_revenue,  # LEFT OUTER join
+        "customer_order_profile": relational.customer_order_profile,  # FULL OUTER join
         "order_price_quantiles": relational.order_price_quantiles,  # exact dist. quantiles
         "order_price_quantiles_approx": relational.order_price_quantiles_approx,  # sketch
         "top_revenue_customers": relational.top_revenue_customers,  # global top-N

@@ -1542,6 +1542,23 @@ SELECT o_orderkey, COALESCE(po.revenue_cents, -1) AS revenue_cents
 FROM orders LEFT JOIN po ON o_orderkey = po.l_orderkey
 """
 
+    from ontology_matcher_ray.pipelines.relational import BIG_SPEND_MIN
+
+    sql["customer_order_profile"] = f"""
+WITH u AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big
+  FROM orders WHERE o_totalprice > {BIG_SPEND_MIN} GROUP BY o_custkey
+)
+SELECT COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+       COALESCE(u.n_urgent, 0) AS n_urgent,
+       COALESCE(b.n_big, 0) AS n_big
+FROM u FULL JOIN b ON u.o_custkey = b.o_custkey
+"""
+
     sql["priority_semi_counts"] = f"""
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders

@@ -445,6 +445,70 @@ def top_revenue_customers(sf_dir: str, num_partitions=None) -> pd.DataFrame:
     )
 
 
+BIG_SPEND_MIN = 350_000.0  # "big order" threshold for the outer-join profile
+
+
+def customer_order_profile(sf_dir: str, num_partitions=None) -> rd.Dataset:
+    """FULL OUTER join: per-customer urgent-order count vs big-spend
+    order count — customers appear if they have EITHER kind (only-urgent,
+    only-big and both are all populated at every sf), with 0 for the
+    missing side, matching the oracle's FULL JOIN + COALESCE.
+
+    Plan: two scan-filtered per-customer aggregates (grouped_agg, one
+    row per customer each) -> ``hash_join(how="outer")`` -> fillna(0)
+    finalize.  The key survives from whichever side is present.
+    """
+    num_partitions = _join_partitions(num_partitions)
+
+    def counts(pred_col, keep):
+        def combine(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[keep(b)]
+            f = pd.DataFrame(
+                {
+                    "o_custkey": b["o_custkey"].to_numpy(),
+                    "n": np.ones(len(b), dtype=np.int64),
+                }
+            )
+            return f.groupby("o_custkey", sort=False).sum().reset_index()
+
+        return exchange.grouped_agg(
+            _read(sf_dir, "orders", ["o_custkey", pred_col]).map_batches(
+                combine, batch_format="pandas"
+            ),
+            ["o_custkey"],
+            lambda g: g.sum(),
+            num_partitions=num_partitions,
+        )
+
+    urgent = counts(
+        "o_orderpriority",
+        lambda b: b["o_orderpriority"].to_numpy() == "1-URGENT",
+    ).map_batches(lambda b: b.rename(columns={"n": "n_urgent"}),
+                  batch_format="pandas")
+    big = counts(
+        "o_totalprice", lambda b: b["o_totalprice"].to_numpy() > BIG_SPEND_MIN
+    ).map_batches(lambda b: b.rename(columns={"n": "n_big"}),
+                  batch_format="pandas")
+
+    j = exchange.hash_join(
+        urgent, big, "o_custkey", "o_custkey",
+        {"o_custkey": "int64", "n_urgent": "int64"},
+        {"o_custkey": "int64", "n_big": "int64"},
+        how="outer", num_partitions=num_partitions,
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64").to_numpy(),
+                "n_urgent": b["n_urgent"].fillna(0).astype("int64").to_numpy(),
+                "n_big": b["n_big"].fillna(0).astype("int64").to_numpy(),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
 QUANTILES = (0.25, 0.50, 0.75, 0.95)
 
 

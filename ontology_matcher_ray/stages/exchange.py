@@ -250,7 +250,9 @@ def hash_join(
     is identical for any salt (each left row still meets every matching
     right row exactly once; semi/anti see every replicated key).
     """
-    assert how in ("inner", "left", "semi", "anti"), how
+    assert how in ("inner", "left", "outer", "semi", "anti"), how
+    # outer + salt would emit each right-only row once per salt replica
+    assert not (how == "outer" and salt > 1), "outer join does not support salt"
     overlap = (set(left_schema) - {on}) & (set(right_schema) - {right_on})
     assert not overlap, f"non-key column names must be disjoint: {overlap}"
 
@@ -312,13 +314,14 @@ def join_partition_kernel(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         side = g["_side"].to_numpy()
-        if how in ("inner", "left"):
+        if how in ("inner", "left", "outer"):
             # under salt, merge on (key, _salt): a partition can hold
             # several salt groups of the SAME key, and each left row must
-            # meet only its own salt's right copy.  "left" keeps unmatched
-            # left rows with NaN/NaT right columns (int64 right columns
-            # upcast to float64, matching a SQL LEFT JOIN's NULLs —
-            # callers wanting integers COALESCE/fillna downstream).
+            # meet only its own salt's right copy.  "left"/"outer" keep
+            # unmatched rows with NaN/NaT columns from the other side
+            # (int64 columns upcast to float64, matching a SQL OUTER
+            # JOIN's NULLs — callers wanting integers COALESCE/fillna
+            # downstream; the key survives from either side).
             join_cols = [on, "_salt"] if salt > 1 else [on]
             l = g.loc[side == 0, l_cols + (["_salt"] if salt > 1 else [])]
             r = g.loc[side == 1, join_cols + r_out]

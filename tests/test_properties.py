@@ -258,6 +258,7 @@ def test_hash_join_kernel_matches_pandas_merge(lrows, rrows):
     wants = {
         "inner": l.merge(r, on="k", how="inner"),
         "left": l.merge(r, on="k", how="left"),
+        "outer": l.merge(r, on="k", how="outer"),
         "semi": l[l["k"].isin(keys)],
         "anti": l[~l["k"].isin(keys)],
     }
