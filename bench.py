@@ -1,9 +1,15 @@
 """Benchmark harness: headline corpus-KG build + per-query timings.
 
 Prints ONE JSON line:
-  {"metric": "kg_build_sec", "value": <headline sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <dir>, "num_cpus": N,
-   "triples": T, "triples_per_sec": R}
+  {"metric": "kg_build_sec", "value": <min headline sec>, "unit": "sec",
+   "queries": {...per-query min sec...}, "sf": <dir>, "num_cpus": N,
+   "triples": T, "triples_per_sec": R, "repeats": N_reps,
+   "headline_samples": [...]}
+
+The headline and every per-query timing are MIN-OF-N over
+GRAFT_BENCH_REPEATS (default 2) fresh-Ray-session repeats — this host's
+shot-to-shot noise reaches ~3x (BASELINE.md), so single-shot numbers are
+not comparable across rounds.
 
 ``--scaling`` runs the headline job twice in FRESH processes (default
 num_cpus=4 then num_cpus=16; GRAFT_SCALING_CPUS overrides) on the same
@@ -27,6 +33,32 @@ import time
 
 
 def run_bench() -> dict:
+    """Min-of-N headline + per-query timings (N = GRAFT_BENCH_REPEATS,
+    default 2), each repeat in a FRESH Ray session.
+
+    This host's shot-to-shot noise is documented at up to ~3x for
+    identical code (BASELINE.md "Host-speed drift": 36.1 s vs 92.9 s
+    eleven minutes apart), so a single-shot bench number is mostly a
+    host-state sample; the per-repeat minimum is the standard
+    least-interference estimator for a deterministic workload.  The JSON
+    carries ``repeats`` plus all raw headline samples so cross-round
+    comparisons can see the spread.
+    """
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    runs = [_bench_once() for _ in range(repeats)]
+    best = min(runs, key=lambda r: r["value"])
+    out = dict(best)
+    out["repeats"] = repeats
+    out["headline_samples"] = [r["value"] for r in runs]
+    # per-query minima across repeats (queries are independent timings)
+    out["queries"] = {
+        q: min(r["queries"][q] for r in runs) for q in runs[0]["queries"]
+    }
+    out["triples_per_sec"] = round(out["triples"] / out["value"], 1)
+    return out
+
+
+def _bench_once() -> dict:
     import ray
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,6 +214,9 @@ def run_scaling() -> dict:
             GRAFT_KG_SHARDS="1",
             GRAFT_CORPUS_FILES=scaling_files,
             GRAFT_BODY_LINES=scaling_lines,
+            # min-of-N lives in THIS loop for scaling runs — keep each
+            # subprocess single-shot so repeats aren't multiplied
+            GRAFT_BENCH_REPEATS="1",
         )
         best = None
         for _rep in range(repeats):

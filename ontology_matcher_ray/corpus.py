@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import shutil
+import uuid
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
@@ -205,12 +207,12 @@ def generate_corpus(
     ``body_lines`` sizes file content (real source files are KBs, not a
     few hundred bytes; bench scaling runs use larger bodies so per-file
     compute dominates over exchange constants)."""
-    done_marker = os.path.join(
-        out_dir, "_DONE_v%d_%d_%d" % (CORPUS_VERSION, n_files, body_lines)
-    )
+    marker_name = "_DONE_v%d_%d_%d" % (CORPUS_VERSION, n_files, body_lines)
+    done_marker = os.path.join(out_dir, marker_name)
     if os.path.exists(done_marker) and not overwrite:
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    if overwrite and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     raw_ids = _raw_id_universe(snapshot)
     terms = token_lexicon_terms(snapshot)
     typo_pool = _typo_pool(terms)
@@ -222,9 +224,25 @@ def generate_corpus(
 
     ds = rd.range(n_files, override_num_blocks=max(8, n_files // 10_000))
     ds = ds.map_batches(gen, batch_format="pandas")
-    ds.write_parquet(out_dir)
-    with open(done_marker, "w") as f:
+    # build in a process-unique dir, then publish with one atomic rename:
+    # two concurrent callers can never interleave parquet parts into the
+    # same cache dir (the loser sees the winner's marker and discards)
+    build_dir = f"{out_dir}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(build_dir)
+    ds.write_parquet(build_dir)
+    with open(os.path.join(build_dir, marker_name), "w") as f:
         f.write(str(n_files))
+    try:
+        os.rename(build_dir, out_dir)
+    except OSError:
+        shutil.rmtree(build_dir)
+        if not os.path.exists(done_marker):
+            # out_dir exists but is not a finished corpus (stale partial
+            # from a pre-atomic build): fail loudly rather than read junk
+            raise RuntimeError(
+                f"corpus cache dir {out_dir} exists without {marker_name}; "
+                "remove it and retry"
+            )
     return out_dir
 
 

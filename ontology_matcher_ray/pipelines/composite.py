@@ -1,0 +1,301 @@
+"""Composite driver queries: tagged unions / key joins of verified operators.
+
+Round 3's driver artifact recorded exactly the FIRST 50 of 67 exposed
+queries (CORRECTNESS_r03.json), i.e. the correctness harness caps the
+per-round query list at 50.  Every operator still needs a driver-green
+value-hash row, so operators with union-compatible schemas (or a shared
+doc_id key) are verified TOGETHER in one composite query:
+
+- a tagged UNION keeps each component's full row set, distinguished by a
+  constant tag column — the hash check covers every component row
+  exactly as the standalone query did;
+- a doc_id JOIN of per-document operators emits one row per document
+  carrying every component's columns — the hash check covers each
+  component column-for-column (the oracle recomputes each component with
+  its own independent SQL and joins the same way).
+
+The component pipeline functions are unchanged (tests and bench.py keep
+exercising them individually); this module only composes them for the
+driver gate.  COVERAGE.md carries the query -> operator map.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ontology_matcher_ray.pipelines import (
+    docs_kg,
+    docs_text,
+    docs_train,
+    events,
+    relational,
+)
+
+
+def _tagged(ds: rd.Dataset, tag_col: str, tag: str, cols: list[str]) -> rd.Dataset:
+    """Prepend a constant tag column and pin column order (union-safe)."""
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out[tag_col] = tag
+        return out[[tag_col] + cols]
+
+    return ds.map_batches(stage, batch_format="pandas")
+
+
+def _scratch(prefix: str) -> str:
+    """Collision-free scratch dir under /tmp (unique per call: concurrent
+    runs over the same sf_dir must never share or rmtree each other's
+    output — see ADVICE r3 on the md5(sf_dir)-keyed scratch race)."""
+    return tempfile.mkdtemp(prefix=f"onto_ray_{prefix}_", dir="/tmp")
+
+
+# ---------------------------------------------------------------------------
+# Tagged unions
+# ---------------------------------------------------------------------------
+
+def knn_methods(sf_dir: str) -> pd.DataFrame:
+    """ANN family in one row set: brute-force / LSH / IVF top-k, tagged by
+    ``method``.  Identical schemas (query_id, vec_id, cos_sim_micro, rank)."""
+    parts = []
+    for method, fn in (
+        ("brute", docs_text.knn_brute),
+        ("lsh", docs_text.knn_lsh),
+        ("ivf", docs_text.knn_ivf),
+    ):
+        df = fn(sf_dir).copy()
+        df.insert(0, "method", method)
+        parts.append(df)
+    return pd.concat(parts, ignore_index=True)
+
+
+_TRIPLE_COLS = ["subj", "pred", "obj"]
+
+
+def kg_triples_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Flagship triples, twice: computed directly (via='direct') and
+    round-tripped through the distributed N-Triples sink/source
+    (via='nt').  The round trip must be lossless — both halves hash
+    against the SAME oracle SQL."""
+    triples = docs_kg.kg_triples(sf_dir).materialize()
+    out = _scratch("nt")
+    from ontology_matcher_ray.sources.io import read_ntriples, write_ntriples
+
+    write_ntriples(triples, out)
+    direct = _tagged(triples, "via", "direct", _TRIPLE_COLS)
+    back = _tagged(read_ntriples(out), "via", "nt", _TRIPLE_COLS)
+    return direct.union(back)
+
+
+_LANG_ID_COLS = ["doc_id", "declared_lang", "guessed_lang"]
+
+
+def lang_id_roundtrip(sf_dir: str) -> rd.Dataset:
+    """lang_id over the documents read directly (via='direct') and over
+    the same documents round-tripped through the distributed JSONL
+    sink/source (via='jsonl') — lossless round trip under one oracle."""
+    from ontology_matcher_ray.sources.io import read_jsonl, write_jsonl
+
+    out = _scratch("jsonl")
+    write_jsonl(docs_text.read_documents(sf_dir), out)
+    tbl_dir = _scratch("jsonl_sf")
+    read_jsonl(out).write_parquet(os.path.join(tbl_dir, "documents.parquet"))
+
+    direct = _tagged(docs_text.lang_id(sf_dir), "via", "direct", _LANG_ID_COLS)
+    back = _tagged(docs_text.lang_id(tbl_dir), "via", "jsonl", _LANG_ID_COLS)
+    return direct.union(back)
+
+
+_FMT_COLS = [
+    "id", "name", "label", "resource", "description",
+    "synonyms", "pmids", "taxid", "xrefs", "raw_id",
+]
+
+
+def format_entities_all(sf_dir: str) -> rd.Dataset:
+    """Formatted-output surface in one row set: MIXTURE formatted sink
+    (strategy='all'), UNIQUE formatted sink ('unique'), UNIQUE failed sink
+    with reasons ('failed_unique'; ``reason`` is '' for formatted rows)."""
+
+    def with_reason(ds: rd.Dataset) -> rd.Dataset:
+        def stage(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["reason"] = ""
+            return out
+
+        return ds.map_batches(stage, batch_format="pandas")
+
+    cols = _FMT_COLS + ["reason"]
+    parts = [
+        _tagged(with_reason(docs_kg.formatted_entities(sf_dir)),
+                "strategy", "all", cols),
+        _tagged(with_reason(docs_kg.formatted_entities_unique(sf_dir)),
+                "strategy", "unique", cols),
+        _tagged(docs_kg.failed_entities_unique(sf_dir),
+                "strategy", "failed_unique", cols),
+    ]
+    return parts[0].union(parts[1]).union(parts[2])
+
+
+_Q_COLS = ["o_orderpriority", "q25", "q50", "q75", "q95"]
+
+
+def order_price_quantiles_both(sf_dir: str) -> rd.Dataset:
+    """Exact distributed quantiles (method='exact') and the mergeable
+    sketch's lower bounds (method='approx') in one row set; quantile
+    columns renamed to the common q25..q95."""
+
+    def rename(ds: rd.Dataset, suffix: str) -> rd.Dataset:
+        mapping = {f"q{q}_{suffix}": f"q{q}" for q in (25, 50, 75, 95)}
+
+        def stage(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns=mapping)
+
+        return ds.map_batches(stage, batch_format="pandas")
+
+    exact = _tagged(rename(relational.order_price_quantiles(sf_dir), "cents"),
+                    "method", "exact", _Q_COLS)
+    approx = _tagged(rename(relational.order_price_quantiles_approx(sf_dir), "lb"),
+                     "method", "approx", _Q_COLS)
+    return exact.union(approx)
+
+
+_WIN_COLS = ["event_type", "window_start", "n_events", "value_cents"]
+
+
+def events_windows(sf_dir: str) -> rd.Dataset:
+    """Tumbling (kind='tumbling') and sliding (kind='sliding') window
+    aggregates in one row set — identical schemas."""
+    t = _tagged(events.hourly_windows(sf_dir), "kind", "tumbling", _WIN_COLS)
+    s = _tagged(events.sliding_windows(sf_dir), "kind", "sliding", _WIN_COLS)
+    return t.union(s)
+
+
+_PAIR_COLS = ["a", "b", "score"]
+
+
+def dedup_pairs(sf_dir: str) -> rd.Dataset:
+    """Near-dup pair family in one row set, tagged by ``method``:
+    exact 3-gram Jaccard on adjacent ids ('jaccard_adjacent'),
+    MinHash+LSH verified pairs ('minhash'), simhash hamming-verified
+    pairs ('simhash'), embedding-cosine LSH pairs ('embedding').
+    ``score`` carries each method's native integer metric
+    (jaccard_micro / jaccard_micro / hamming / cos_sim_micro)."""
+
+    def rescore(ds: rd.Dataset, src: str) -> rd.Dataset:
+        def stage(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.rename(columns={src: "score"})
+            out["score"] = out["score"].astype("int64")
+            return out
+
+        return ds.map_batches(stage, batch_format="pandas")
+
+    parts = [
+        _tagged(rescore(docs_text.dedup_jaccard_adjacent(sf_dir), "jaccard_micro"),
+                "method", "jaccard_adjacent", _PAIR_COLS),
+        _tagged(rescore(docs_text.dedup_minhash(sf_dir), "jaccard_micro"),
+                "method", "minhash", _PAIR_COLS),
+        _tagged(rescore(docs_text.dedup_simhash_pairs(sf_dir), "hamming"),
+                "method", "simhash", _PAIR_COLS),
+        _tagged(rescore(docs_text.dedup_embedding(sf_dir), "cos_sim_micro"),
+                "method", "embedding", _PAIR_COLS),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+_TOKFREQ_COLS = ["lang", "token", "n", "rank"]
+
+
+def token_freq_all(sf_dir: str) -> rd.Dataset:
+    """Global token frequencies (scope='global', lang='*', rank=0) and the
+    per-language top-k (scope='per_lang') in one row set."""
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["lang"] = "*"
+        out["rank"] = np.int64(0)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    g = _tagged(
+        docs_text.token_freq(sf_dir).map_batches(widen, batch_format="pandas"),
+        "scope", "global", _TOKFREQ_COLS,
+    )
+    p = _tagged(docs_text.top_tokens_per_lang(sf_dir), "scope", "per_lang",
+                _TOKFREQ_COLS)
+    return g.union(p)
+
+
+# ---------------------------------------------------------------------------
+# doc_id joins of per-document operators
+# ---------------------------------------------------------------------------
+
+def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """Per-document profile: doc_stats ⋈ doc_quality ⋈ fingerprints ⋈
+    decontaminate on doc_id (inner; all four emit exactly one row per
+    document) through the engine's own distributed hash-join exchange.
+    doc_quality's n_tokens duplicates doc_stats' (same tokenizer) and is
+    dropped before the join (hash_join requires disjoint non-key names)."""
+    from ontology_matcher_ray.stages import exchange
+
+    stats = docs_text.doc_stats(sf_dir)
+    quality = docs_text.doc_quality(sf_dir).map_batches(
+        lambda b: b.drop(columns=["n_tokens"]), batch_format="pandas"
+    )
+    fps = docs_text.fingerprints(sf_dir)
+    decon = docs_train.decontaminate(sf_dir)
+
+    stats_schema = {
+        "doc_id": "int64", "lang": "object", "n_tokens": "int64",
+        "n_distinct_tokens": "int64", "n_chars": "int64",
+        "stopword_ratio_micro": "int64", "avg_token_len_micro": "int64",
+        "quality_micro": "int64",
+    }
+    quality_schema = {
+        "doc_id": "int64", "top_token_frac_micro": "int64",
+        "repeat_ratio_micro": "int64", "bigram_repeat_micro": "int64",
+        "quality_band": "object",
+    }
+    j1_schema = {**stats_schema,
+                 **{k: v for k, v in quality_schema.items() if k != "doc_id"}}
+    j1 = exchange.hash_join(stats, quality, "doc_id", "doc_id",
+                            stats_schema, quality_schema,
+                            num_partitions=num_partitions)
+    fp_schema = {"doc_id": "int64", "fingerprint": "int64"}
+    j2_schema = {**j1_schema, "fingerprint": "int64"}
+    j2 = exchange.hash_join(j1, fps, "doc_id", "doc_id", j1_schema, fp_schema,
+                            num_partitions=num_partitions)
+    dc_schema = {"doc_id": "int64", "contaminated": "int64"}
+    return exchange.hash_join(j2, decon, "doc_id", "doc_id", j2_schema,
+                              dc_schema, num_partitions=num_partitions)
+
+
+def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """Per-document dedup state: exact content-hash groups ⋈ near-dup
+    cluster resolution ⋈ simhash bucket assignment on doc_id (inner;
+    one row per document from each component)."""
+    from ontology_matcher_ray.stages import exchange
+
+    exact = docs_text.dedup_exact(sf_dir)
+    clusters = docs_text.dedup_clusters(sf_dir)
+    sim = docs_text.dedup_simhash(sf_dir)
+
+    exact_schema = {"content_sha256": "object", "doc_id": "int64",
+                    "n_dups": "int64"}
+    cl_schema = {"doc_id": "int64", "cluster_id": "int64", "keep": "bool"}
+    j1_schema = {**exact_schema, "cluster_id": "int64", "keep": "bool"}
+    j1 = exchange.hash_join(exact, clusters, "doc_id", "doc_id",
+                            exact_schema, cl_schema,
+                            num_partitions=num_partitions)
+    sh_schema = {"doc_id": "int64", "simhash": "int64", "bucket": "int64"}
+    return exchange.hash_join(j1, sim, "doc_id", "doc_id", j1_schema,
+                              sh_schema, num_partitions=num_partitions)

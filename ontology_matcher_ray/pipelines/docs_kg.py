@@ -42,11 +42,13 @@ from ontology_matcher_ray.state.snapshot import DictionarySnapshot, get_snapshot
 
 SPEC = DISEASE_SPEC
 
-# Broadcast cache: one ray.put per snapshot identity; actors read the
-# object-store copy instead of re-shipping the dict with every task.  The
-# cache key is a token ATTACHED to the snapshot object (not id(): a GC'd
-# snapshot's address can be reused, which would silently serve a stale
-# object-store dictionary).
+# Broadcast cache: one ray.put per snapshot identity PER RAY SESSION;
+# actors read the object-store copy instead of re-shipping the dict with
+# every task.  The cache key is a token ATTACHED to the snapshot object
+# (not id(): a GC'd snapshot's address can be reused, which would
+# silently serve a stale object-store dictionary) plus the Ray job id —
+# a ref put in a previous session is dead after ray.shutdown()/init()
+# (e.g. bench.py's fresh-session repeats) and must never be served.
 _BROADCAST: Dict[str, "ray.ObjectRef"] = {}
 _BC_SEQ = [0]
 
@@ -57,7 +59,9 @@ def _broadcast_token(snap: DictionarySnapshot) -> str:
         _BC_SEQ[0] += 1
         tok = "snap-%d" % _BC_SEQ[0]
         object.__setattr__(snap, "_bc_token", tok)
-    return tok
+    # node id is unique per Ray session (job ids restart at 01000000 on
+    # every local ray.init, so they can NOT distinguish sessions)
+    return "%s@%s" % (tok, ray.get_runtime_context().get_node_id())
 
 
 def _snapshot_ref(snapshot: Optional[DictionarySnapshot] = None) -> "ray.ObjectRef":

@@ -427,26 +427,48 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
     )
 
 
-def doc_embedding_join(sf_dir: str) -> rd.Dataset:
-    """Broadcast hash join: documents ⋈ embeddings on doc_id = vec_id.
+# above this row count the "dimension" side is corpus-shaped, not a
+# dimension table: driver collect + per-actor probe arrays stop being
+# cheap, so the join falls back to the distributed hash exchange.
+# ~10^7 rows x 16B ≈ 160 MB per actor — the upper end of a sane
+# broadcast; a 100-TB corpus side (10^10 rows) routes to the exchange.
+BROADCAST_JOIN_MAX_ROWS = 10_000_000
 
-    The SMALL side (embeddings' vec_id -> label) ships once via
-    ``ray.put`` and every batch of the big side probes it with a
-    vectorized searchsorted — the standard scale pattern for joining a
-    corpus against a bounded dimension table (no shuffle of either side).
-    Emits (doc_id, lang, n_chars, label); inner-join semantics.
+
+def doc_embedding_join(
+    sf_dir: str, broadcast_max_rows: int = BROADCAST_JOIN_MAX_ROWS
+) -> rd.Dataset:
+    """documents ⋈ embeddings on doc_id = vec_id, size-gated.
+
+    The (vec_id -> label) side is COUNTED first (a metadata-cheap pruned
+    count).  Below ``broadcast_max_rows`` it ships once via ``ray.put``
+    and every batch of the big side probes it with a vectorized
+    searchsorted — the standard pattern for joining a corpus against a
+    bounded dimension table (no shuffle of either side).  Above the gate
+    — embeddings here are one row per document, i.e. corpus-cardinality
+    at scale — the join routes through the engine's distributed
+    ``exchange.hash_join`` instead, so neither side is ever collected to
+    the driver.  Emits (doc_id, lang, n_chars, label); inner semantics;
+    both paths produce identical rows (tested).
     """
     import ray
 
-    # the dimension side is SMALL by contract — driver collect + broadcast
-    # is the point of this join shape (vs shuffling the corpus side)
-    sm = read_embeddings(sf_dir, columns=["vec_id", "label"]).to_pandas()
-    sm = sm.sort_values("vec_id")
+    docs = read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    emb = read_embeddings(sf_dir, columns=["vec_id", "label"])
+
+    if emb.count() > broadcast_max_rows:
+        from ontology_matcher_ray.stages import exchange
+
+        return exchange.hash_join(
+            docs, emb, "doc_id", "vec_id",
+            {"doc_id": "int64", "lang": "object", "n_chars": "int64"},
+            {"vec_id": "int64", "label": "int64"},
+        )
+
+    sm = emb.to_pandas().sort_values("vec_id")
     keys = sm["vec_id"].to_numpy(dtype=np.int64)
     vals = sm["label"].to_numpy(dtype=np.int64)
     ref = ray.put((keys, vals))
-
-    docs = read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
 
     class Probe:
         def __init__(self):

@@ -32,6 +32,17 @@ Skew note: TPC-H keys are uniform; for a skewed fact⋈fact key the plan is
 the one already used by ``canonical_merge``/events — salt the hot key with
 a second column and merge in a cheap second pass.  ``Dataset.join`` keeps
 `num_partitions` blocks per side; callers size it to the fact volume.
+
+Overflow headroom: the cent-percent accumulators (``sum_disc_price_cp``,
+``revenue_cp``) add ~1e8–1e9 per lineitem row into int64 (max ~9.2e18),
+so a single group saturates only past ~1e10 rows per (returnflag,
+linestatus) group — roughly TPC-H sf30,000 (~30 TB of *lineitem alone*,
+with the sum concentrated in 6 groups).  Within this engine's tested and
+claimed envelope that bound holds; a deployment summing beyond it should
+drop the x100 percent factor (plain cents) or split hi/lo int64 pairs,
+both of which keep the order-independent integer-exactness property.
+(DuckDB's oracle SUM promotes to HUGEINT, so the oracle itself never
+wraps.)
 """
 
 from __future__ import annotations
@@ -77,8 +88,11 @@ def _join(
     semantics: left key name kept, right key consumed)."""
     num_partitions = _join_partitions(num_partitions)
     if native:
-        kind = {"inner": "inner", "left": "left_outer",
-                "semi": "left_semi", "anti": "left_anti"}[how]
+        kinds = {"inner": "inner", "left": "left_outer", "outer": "full_outer",
+                 "semi": "left_semi", "anti": "left_anti"}
+        if how not in kinds:
+            raise ValueError(f"native join does not support how={how!r}")
+        kind = kinds[how]
         return left.join(
             right, kind, num_partitions=num_partitions,
             on=(on,), right_on=(right_on,),

@@ -205,34 +205,46 @@ def nt_lines_to_triples(b: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def write_ntriples(ds: rd.Dataset, out_dir: str) -> None:
-    """Distributed .nt sink into an EMPTY directory: each batch writes one
-    part file named by content hash plus a unique suffix (two batches
-    with byte-identical payloads — duplicate rows split the same way —
-    must yield two parts, so pure content-addressing would silently drop
-    multiplicity).  Writes are tmp+rename; the reader globs ``*.nt`` so a
-    crash-leftover ``.tmp`` is never parsed as data."""
-    import hashlib
-    import uuid
+from ray.data import Datasink as _Datasink
 
-    os.makedirs(out_dir, exist_ok=True)
-    if any(f.endswith(".nt") for f in os.listdir(out_dir)):
-        raise ValueError(f"write_ntriples: {out_dir} already contains .nt parts")
 
-    def write_part(b: pd.DataFrame) -> pd.DataFrame:
-        lines = triples_to_nt_lines(b)
-        payload = ("\n".join(lines["line"].tolist()) + "\n").encode()
-        name = (f"part-{hashlib.md5(payload).hexdigest()[:16]}"
-                f"-{uuid.uuid4().hex[:8]}.nt")
-        path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
+class _NTriplesDatasink(_Datasink):
+    """Ray Datasink writing one ``part-{task_idx:06d}.nt`` file per write
+    task.  DETERMINISTIC per-task names + tmp-then-rename make a retried
+    or lineage-reconstructed task OVERWRITE its own part instead of
+    adding a duplicate (the Ray-native datasink convention) — the prior
+    content-hash+uuid naming duplicated rows under per-task retries."""
+
+    def __init__(self, out_dir: str):
+        self._out_dir = out_dir
+
+    def write(self, blocks, ctx) -> int:
+        from ray.data.block import BlockAccessor
+
+        frames = [BlockAccessor.for_block(b).to_pandas() for b in blocks]
+        parts = [triples_to_nt_lines(f)["line"] for f in frames if len(f)]
+        lines: List[str] = []
+        for p in parts:
+            lines.extend(p.tolist())
+        payload = ("\n".join(lines) + "\n").encode() if lines else b""
+        path = os.path.join(self._out_dir, f"part-{ctx.task_idx:06d}.nt")
+        tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)
-        return pd.DataFrame({"part": [name], "rows": [len(b)]})
+        return len(lines)
 
-    # consume: the sink IS the action (bounded one-row-per-part output)
-    ds.map_batches(write_part, batch_format="pandas").materialize()
+
+def write_ntriples(ds: rd.Dataset, out_dir: str) -> None:
+    """Distributed .nt sink into an EMPTY directory via Ray's Datasink
+    API: one part per write task, named deterministically by
+    ``TaskContext.task_idx`` so task retries overwrite rather than
+    duplicate (see ``_NTriplesDatasink``).  Writes are tmp+rename; the
+    reader globs ``*.nt`` so a crash-leftover tmp is never parsed."""
+    os.makedirs(out_dir, exist_ok=True)
+    if any(f.endswith(".nt") for f in os.listdir(out_dir)):
+        raise ValueError(f"write_ntriples: {out_dir} already contains .nt parts")
+    ds.write_datasink(_NTriplesDatasink(out_dir))
 
 
 def read_ntriples(out_dir: str) -> rd.Dataset:

@@ -250,11 +250,15 @@ def hash_join(
     is identical for any salt (each left row still meets every matching
     right row exactly once; semi/anti see every replicated key).
     """
-    assert how in ("inner", "left", "outer", "semi", "anti"), how
-    # outer + salt would emit each right-only row once per salt replica
-    assert not (how == "outer" and salt > 1), "outer join does not support salt"
+    # user-input validation must survive `python -O`: raise, never assert
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"unsupported join how={how!r}")
+    if how == "outer" and salt > 1:
+        # outer + salt would emit each right-only row once per salt replica
+        raise ValueError("outer join does not support salt > 1")
     overlap = (set(left_schema) - {on}) & (set(right_schema) - {right_on})
-    assert not overlap, f"non-key column names must be disjoint: {overlap}"
+    if overlap:
+        raise ValueError(f"non-key column names must be disjoint: {overlap}")
 
     l_cols = list(left_schema)
     r_cols = [on if c == right_on else c for c in right_schema]

@@ -204,11 +204,14 @@ def test_approx_quantiles_error_bound():
         .set_index("o_orderpriority")
         .sort_index()
     )
+    # the driver oracle is now the composite (exact UNION approx, common
+    # q25..q95 names) — take its exact half as the reference values
+    comp = run_oracle(em.oracle_sql()["order_price_quantiles"], SF)
     e = (
-        run_oracle(em.oracle_sql()["order_price_quantiles"], SF)
+        comp[comp["method"] == "exact"]
         .set_index("o_orderpriority")
         .sort_index()
     )
     for q in (25, 50, 75, 95):
-        rel = (a[f"q{q}_lb"] - e[f"q{q}_cents"]).abs() / e[f"q{q}_cents"]
+        rel = (a[f"q{q}_lb"] - e[f"q{q}"]).abs() / e[f"q{q}"]
         assert (rel < 1 / 16).all()
