@@ -7,10 +7,14 @@ implemented for real here:
 * ``P6`` binary PPM (Netpbm spec): ASCII header + raw RGB rows;
 * ``BM`` 24-bit uncompressed BMP (BITMAPINFOHEADER): bottom-up BGR rows,
   stride padded to 4 bytes;
-* ``RIFF/WAVE`` PCM16 (Microsoft RIFF spec): chunked fmt + data.
+* ``RIFF/WAVE`` PCM16 (Microsoft RIFF spec): chunked fmt + data;
+* ``PNG`` 8-bit gray/RGB/RGBA, non-interlaced (the one "compressed"
+  image format that needs NO codec library: its compression is stdlib
+  ``zlib`` and its five scanline filters are small numpy/byte math —
+  RFC 2083 / the W3C PNG spec).
 
-Compressed formats (PNG/JPEG/MP3/H.264) genuinely need codec libraries
-and stay behind the featurizer's documented stub
+The remaining compressed formats (JPEG/MP3/H.264) genuinely need codec
+libraries and stay behind the featurizer's documented stub
 (``stages/multimodal.MediaFeaturizer``).  Encoders exist so the
 deterministic synthetic media table carries REAL payloads the decoders
 round-trip bit-for-bit (tests/test_multimodal.py).
@@ -19,6 +23,7 @@ round-trip bit-for-bit (tests/test_multimodal.py).
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Tuple
 
 import numpy as np
@@ -188,12 +193,121 @@ def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit gray / RGB / RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: fixed zlib level so encode output is deterministic across runs
+_PNG_ZLIB_LEVEL = 6
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> PNG bytes: truecolor (color type 2), bit depth
+    8, no interlace, filter 0 on every scanline, one stdlib-zlib IDAT."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, _PNG_ZLIB_LEVEL))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3) uint8.
+
+    Real decode: chunk walk, stdlib ``zlib`` inflate of the concatenated
+    IDATs, then the five scanline filters (None/Sub/Up/Average/Paeth)
+    un-applied per row — Sub is a per-channel mod-256 prefix sum (numpy
+    cumsum); Average/Paeth carry a left-pixel dependency and run as a
+    per-byte loop within the (rare) rows that use them.  Supports bit
+    depth 8, color types 0 (gray, replicated to RGB), 2 (RGB) and 6
+    (RGBA, alpha dropped), no interlace; anything else raises."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    w = hh = ctype = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, hh, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or inter != 0 or ctype not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG shape: depth={depth} colortype={ctype} "
+                    f"interlace={inter} (8-bit gray/RGB/RGBA only)"
+                )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    buf = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(buf) != hh * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    buf = buf.reshape(hh, stride + 1)
+    out = np.empty((hh, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(hh):
+        f = int(buf[y, 0])
+        line = buf[y, 1:]
+        if f == 0:                                   # None
+            rec = line.copy()
+        elif f == 1:                                 # Sub: prefix sum
+            rec = (
+                line.reshape(w, ch).astype(np.uint32).cumsum(axis=0)
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:                                 # Up
+            rec = line + prev                        # uint8 wraps = mod 256
+        elif f == 3:                                 # Average
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:                                 # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(hh, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
+# ---------------------------------------------------------------------------
 # magic sniffing
 # ---------------------------------------------------------------------------
 
-#: compressed formats that genuinely require codec libraries
+#: compressed formats that genuinely require codec libraries (PNG does
+#: NOT belong here anymore: its inflate is stdlib zlib — decoded for real)
 COMPRESSED_MAGIC = {
-    b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
     b"ID3": "mp3",
     b"\x00\x00\x00\x18ftyp": "mp4",
@@ -202,14 +316,16 @@ COMPRESSED_MAGIC = {
 
 
 def sniff(payload: bytes) -> str:
-    """Container id for a payload: 'ppm' | 'bmp' | 'wav' | a compressed
-    format name | 'unknown'."""
+    """Container id for a payload: 'ppm' | 'bmp' | 'wav' | 'png' | a
+    compressed format name | 'unknown'."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     for magic, name in COMPRESSED_MAGIC.items():
         if payload[: len(magic)] == magic:
             return name

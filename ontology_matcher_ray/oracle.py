@@ -614,6 +614,33 @@ def _oracle_encode_bmp(i: int, w: int, h: int) -> bytes:
             + bytes(body))
 
 
+def _oracle_encode_png(i: int, w: int, h: int) -> bytes:
+    """Independent PNG encoder from the pixel-pattern closed form:
+    filter-0 scanlines built with a bytearray loop, stdlib zlib IDAT at
+    the same fixed level the engine pins (the DEFLATE stream is the
+    codec's spec'd representation, so stdlib zlib is shared by contract;
+    everything around it — scanlines, chunk framing, CRCs — is restated
+    here independently)."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)                                  # filter 0
+        for x in range(w):
+            for c in range(3):
+                raw.append((i * 31 + y * 7 + x * 3 + c * 11) % 256)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
 def _oracle_encode_wav(i: int, duration_ms: int) -> bytes:
     """Independent RIFF/PCM16 encoder from the sawtooth closed form."""
     import struct
@@ -752,7 +779,7 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
 
     out_dir = "/tmp/onto_ray_oracle"
     path = os.path.join(
-        out_dir, f"expected_media_v3_{n_rows}_{dim}_{seed}.parquet"
+        out_dir, f"expected_media_v4_{n_rows}_{dim}_{seed}.parquet"
     )
     if os.path.exists(path):
         return path
@@ -765,10 +792,9 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
         height = 64 + (i % 5) * 32
         duration_ms = (i % 30) * 1000
         if kind == "image":
-            if (i // 3) % 2 == 0:
-                payload = _oracle_encode_ppm(i, width, height)
-            else:
-                payload = _oracle_encode_bmp(i, width, height)
+            enc = (_oracle_encode_ppm, _oracle_encode_bmp,
+                   _oracle_encode_png)[(i // 3) % 3]
+            payload = enc(i, width, height)
             duration_ms = 0
             feat = _oracle_image_feat(i, width, height)
         elif kind == "audio":

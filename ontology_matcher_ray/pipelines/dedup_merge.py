@@ -49,26 +49,28 @@ class OfficialIndex:
 
     def __init__(self, official: pd.DataFrame):
         self.rows = official.reset_index(drop=True)
-        self.by_xref: Dict[str, List[int]] = {}
-        self.by_synonym: Dict[str, List[int]] = {}
-        self.by_name: Dict[str, List[int]] = {}
-        for i, row in self.rows.iterrows():
-            for x in str(row.get("xrefs", "")).split("|"):
-                x = x.strip().lower()
-                if x:
-                    self.by_xref.setdefault(x, []).append(i)
-            for s_ in str(row.get("synonyms", "")).split("|"):
-                s_ = s_.strip().lower()
-                if s_:
-                    self.by_synonym.setdefault(s_, []).append(i)
-            nm = str(row.get("name", "")).strip().lower()
-            if nm:
-                self.by_name.setdefault(nm, []).append(i)
+        # vectorized build: split|explode|strip frame ops (no per-row
+        # Python loop — the index is rebuilt once per actor, and official
+        # tables reach 10^5-10^6 rows at reference scale)
+        self.by_xref = self._keyed(self.rows.get("xrefs"), multi=True)
+        self.by_synonym = self._keyed(self.rows.get("synonyms"), multi=True)
+        self.by_name = self._keyed(self.rows.get("name"), multi=False)
         # vectorized probe tables: key -> (n_hits, first_idx); batch
         # probing is then three hash-join .map calls, no per-row cascade
         self.xref_map = self._as_series(self.by_xref)
         self.syn_map = self._as_series(self.by_synonym)
         self.name_map = self._as_series(self.by_name)
+
+    def _keyed(self, col: Optional[pd.Series], multi: bool) -> Dict[str, List[int]]:
+        if col is None or not len(self.rows):
+            return {}
+        s = col.fillna("").astype(str).str.lower()
+        if multi:
+            s = s.str.split("|").explode()
+        s = s.str.strip()
+        s = s[s != ""]
+        frame = pd.DataFrame({"key": s.to_numpy(), "idx": s.index.to_numpy()})
+        return frame.groupby("key", sort=False)["idx"].agg(list).to_dict()
 
     @staticmethod
     def _as_series(d: Dict[str, List[int]]) -> pd.Series:

@@ -305,7 +305,8 @@ def mentions(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(
         MentionExtractor,
         fn_constructor_kwargs=dict(lexicon_ref=_lexicon_ref()),
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         concurrency=(1, 8),
         batch_size=2048,
     )

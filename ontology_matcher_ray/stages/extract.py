@@ -28,96 +28,184 @@ import ray
 from ontology_matcher_ray.schemas import OntologySpec
 
 
+def _one_chunk(a):
+    import pyarrow as pa
+
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
 class MentionExtractor:
     """map_batches stage: (id_col, text_col) -> (id_col, term, raw_id) rows.
 
     One output row per DISTINCT (document, term) pair, matching the
     "mention set" semantics the downstream linker needs (duplicate
     occurrences carry no extra signal for entity linking).
+
+    Arrow-native hot path: tokenization via ``pc.split_pattern`` on
+    zero-copy string arrays, lexicon membership via ``pc.is_in`` against
+    the per-actor term dictionary (built once in ``__init__``), phrase
+    n-grams via shifted-slice ``binary_join_element_wise`` with a
+    same-document parent mask — no pandas string copy, no Python loop
+    over rows or tokens.  Accepts a pandas batch too (tests / ad-hoc
+    callers) and mirrors the input format on output.
     """
 
     def __init__(self, lexicon_ref, id_col: str = "doc_id", text_col: str = "text",
-                 fuzzy: bool = False):
+                 fuzzy: bool = False, typo: bool = False):
+        import pyarrow as pa
+
         lexicon: Dict[str, str] = (
             ray.get(lexicon_ref) if isinstance(lexicon_ref, ray.ObjectRef) else lexicon_ref
         )
         self.id_col = id_col
         self.text_col = text_col
-        self.fuzzy = fuzzy
-        # split lexicon into single-token terms and n-gram phrase terms
-        self.word_terms: Dict[str, str] = {}
-        self.phrase_terms: Dict[int, Dict[str, str]] = {}   # n -> {phrase: raw_id}
+        self.fuzzy = fuzzy or typo   # the typo tier sits BEHIND fold/strip
+        self.typo = typo
+        # split lexicon into single-token terms and n-gram phrase terms,
+        # stored as PARALLEL Arrow arrays: membership = is_in(term_arr),
+        # term -> raw_id = take(raw_arr, index_in(hits, term_arr))
+        word_terms: Dict[str, str] = {}
+        phrase_terms: Dict[int, Dict[str, str]] = {}   # n -> {phrase: raw_id}
         for term, raw_id in lexicon.items():
             parts = term.split(" ")
             if len(parts) == 1:
-                self.word_terms[term] = raw_id
+                word_terms[term] = raw_id
             else:
-                self.phrase_terms.setdefault(len(parts), {})[term] = raw_id
-        self.word_frame = pd.DataFrame(
-            {"term": list(self.word_terms), "raw_id": list(self.word_terms.values())}
-        )
-        self.phrase_frames = {
-            n: pd.DataFrame({"term": list(d), "raw_id": list(d.values())})
-            for n, d in self.phrase_terms.items()
+                phrase_terms.setdefault(len(parts), {})[term] = raw_id
+        self.word_arr = pa.array(list(word_terms), pa.string())
+        self.word_raw = pa.array(list(word_terms.values()), pa.string())
+        self.phrase_arrs = {
+            n: (pa.array(list(d), pa.string()),
+                pa.array(list(d.values()), pa.string()))
+            for n, d in phrase_terms.items()
         }
+        # bounded DL<=1 typo tier (same deletion-neighborhood index +
+        # ambiguous-drop semantics as the corpus pipeline's fused actor,
+        # pipelines/corpus_kg.py) — built once per actor, memoized probes
+        if typo:
+            from ontology_matcher_ray.functions.fuzzy import build_del1_index
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[self.id_col].reset_index(drop=True)
-        toks = batch[self.text_col].astype(str).str.split(" ").reset_index(drop=True)
+            self.del1 = build_del1_index(sorted(word_terms))
+            self._typo_memo: Dict[str, Optional[str]] = {}
+        else:
+            self.del1 = None
 
-        outs: List[pd.DataFrame] = []
+    def __call__(self, batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        # single-word terms: explode tokens, inner-merge with the lexicon
-        exploded = pd.DataFrame({"_id": ids, "term": toks}).explode("term")
-        hits = exploded.merge(self.word_frame, on="term", how="inner")
-        if len(hits):
-            outs.append(hits.drop_duplicates(["_id", "term"]))
+        was_pandas = isinstance(batch, pd.DataFrame)
+        t = (
+            pa.Table.from_pandas(batch, preserve_index=False)
+            if was_pandas else batch
+        )
+        ids = _one_chunk(t[self.id_col])
+        text = _one_chunk(pc.cast(t[self.text_col], pa.string()))
+        toks = _one_chunk(pc.split_pattern(text, " "))
+        flat = _one_chunk(pc.list_flatten(toks))
+        parent = _one_chunk(pc.list_parent_indices(toks))
+
+        outs: List[pa.Table] = []
+
+        def emit(hit_terms, hit_parents, term_arr, raw_arr):
+            idx = pc.index_in(hit_terms, value_set=term_arr)
+            outs.append(pa.table({
+                "_id": pc.take(ids, hit_parents),
+                "term": hit_terms,
+                "raw_id": pc.take(raw_arr, idx),
+            }))
+
+        # single-word terms: one vectorized membership pass
+        exact_mask = pc.is_in(flat, value_set=self.word_arr)
+        emit(pc.filter(flat, exact_mask), pc.filter(parent, exact_mask),
+             self.word_arr, self.word_raw)
 
         if self.fuzzy:
             # exact-then-fuzzy tier (north-star): tokens that are not
             # exact keys fall back to lowercase fold + single plural
             # strip; the match is reported under the CANONICAL lexicon
-            # surface form, vectorized as two extra merges
-            tok = exploded["term"].astype(str)
-            low = tok.str.lower()
-            stripped = np.where(
-                (low.str.len() > 3) & low.str.endswith("s"),
-                low.str[:-1], low,
+            # surface form — all Arrow kernels on the miss subset
+            miss = pc.invert(exact_mask)
+            m_tok = pc.filter(flat, miss)
+            m_par = pc.filter(parent, miss)
+            low = pc.utf8_lower(m_tok)
+            low_in = pc.is_in(low, value_set=self.word_arr)
+            strip_ok = pc.and_(
+                pc.greater(pc.utf8_length(low), 3),
+                pc.ends_with(low, pattern="s"),
             )
-            exact = tok.isin(self.word_terms)
-            cand = exploded.loc[~exact, ["_id"]].copy()
-            cand["term"] = low[~exact].to_numpy()
-            miss_low = ~cand["term"].isin(self.word_terms)
-            cand.loc[miss_low, "term"] = stripped[(~exact).to_numpy()][
-                miss_low.to_numpy()
-            ]
-            fhits = cand.merge(self.word_frame, on="term", how="inner")
-            if len(fhits):
-                outs.append(fhits.drop_duplicates(["_id", "term"]))
+            stripped = pc.utf8_replace_slice(
+                low, start=-1, stop=1 << 30, replacement=""
+            )
+            cand = pc.if_else(
+                low_in, low, pc.if_else(strip_ok, stripped, low)
+            )
+            fmask = pc.is_in(cand, value_set=self.word_arr)
+            emit(pc.filter(cand, fmask), pc.filter(m_par, fmask),
+                 self.word_arr, self.word_raw)
 
-        # phrase terms: consecutive n-grams within each doc, then merge
-        for n, frame in self.phrase_frames.items():
-            grams_col = toks.map(
-                lambda t, n=n: [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
-            )
-            grams = pd.DataFrame({"_id": ids, "term": grams_col}).explode("term")
-            phits = grams.merge(frame, on="term", how="inner")
-            if len(phits):
-                outs.append(phits.drop_duplicates(["_id", "term"]))
+            if self.del1 is not None:
+                # DL<=1 typo tier over the still-missing tokens: unique
+                # tokens only (heavy repetition across docs), memoized per
+                # actor; ambiguous candidates drop (del1_lookup contract)
+                from ontology_matcher_ray.functions.fuzzy import (
+                    del1_lookup,
+                    eligible_token,
+                )
 
-        if not outs:
-            return pd.DataFrame(
-                {self.id_col: pd.Series([], dtype=ids.dtype),
-                 "term": pd.Series([], dtype=str),
-                 "raw_id": pd.Series([], dtype=str)}
+                rmask = pc.invert(fmask)
+                rem_tok = pc.filter(cand, rmask)
+                rem_par = pc.filter(m_par, rmask)
+                memo = self._typo_memo
+                mapping: Dict[str, str] = {}
+                for u in pc.unique(rem_tok).to_pylist():
+                    if u not in memo:
+                        memo[u] = (
+                            del1_lookup(u, *self.del1)
+                            if eligible_token(u) else None
+                        )
+                    if memo[u] is not None:
+                        mapping[u] = memo[u]
+                if mapping:
+                    keys = pa.array(list(mapping), pa.string())
+                    canon = pa.array(list(mapping.values()), pa.string())
+                    tmask = pc.is_in(rem_tok, value_set=keys)
+                    canon_terms = pc.take(
+                        canon,
+                        pc.index_in(pc.filter(rem_tok, tmask), value_set=keys),
+                    )
+                    emit(canon_terms, pc.filter(rem_par, tmask),
+                         self.word_arr, self.word_raw)
+
+        # phrase terms: consecutive n-grams via n shifted slices joined
+        # element-wise, masked to same-document runs
+        nf = len(flat)
+        for n, (term_arr, raw_arr) in self.phrase_arrs.items():
+            m = nf - n + 1
+            if m <= 0:
+                continue
+            gram = pc.binary_join_element_wise(
+                *[flat.slice(k, m) for k in range(n)], " "
             )
-        out = pd.concat(outs, ignore_index=True)
-        out = out.rename(columns={"_id": self.id_col})
-        out = out[[self.id_col, "term", "raw_id"]]
-        if self.fuzzy:
-            # a doc with both "Spark" and "spark" reports (doc, spark) once
-            out = out.drop_duplicates([self.id_col, "term"])
-        return out
+            same_doc = pc.equal(parent.slice(0, m), parent.slice(n - 1, m))
+            pmask = pc.and_(same_doc, pc.is_in(gram, value_set=term_arr))
+            emit(pc.filter(gram, pmask),
+                 pc.filter(parent.slice(0, m), pmask), term_arr, raw_arr)
+
+        cat = pa.concat_tables(outs) if outs else pa.table({
+            "_id": pa.array([], ids.type),
+            "term": pa.array([], pa.string()),
+            "raw_id": pa.array([], pa.string()),
+        })
+        # DISTINCT (doc, term): raw_id is functionally determined by term,
+        # so min() just picks the single value present
+        dedup = cat.group_by(["_id", "term"]).aggregate([("raw_id", "min")])
+        out = pa.table({
+            self.id_col: dedup["_id"],
+            "term": dedup["term"],
+            "raw_id": dedup["raw_id_min"],
+        })
+        return out.to_pandas() if was_pandas else out
 
 
 class CurieExtractor:

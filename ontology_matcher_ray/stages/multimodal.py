@@ -4,14 +4,15 @@ decode for uncompressed containers.
 Images/audio/video ride Ray Data as ``binary`` columns with metadata
 columns alongside (SURVEY's training-data extensions).  Decoding:
 
-* ``P6`` PPM / 24-bit BMP / RIFF PCM16 WAV / PPM-stream (concatenated P6
-  frames — the uncompressed video analogue) payloads are decoded FOR
-  REAL (pure-numpy parsers, ``functions/codecs.py``) and reduced to a
-  deterministic 16-dim feature vector (channel stats + quadrant
-  luminance for images; RMS / zero-crossings / segment energies for
-  audio; per-frame luminance for video);
-* compressed formats (PNG/JPEG/MP3/MP4) genuinely need codec libraries
-  absent from this container: ``decode_stub="raise"`` raises
+* ``P6`` PPM / 24-bit BMP / 8-bit PNG / RIFF PCM16 WAV / PPM-stream
+  (concatenated P6 frames — the uncompressed video analogue) payloads
+  are decoded FOR REAL (pure-numpy parsers incl. a zlib+5-filter PNG
+  decoder, ``functions/codecs.py``) and reduced to a deterministic
+  16-dim feature vector (channel stats + quadrant luminance for images;
+  RMS / zero-crossings / segment energies for audio; per-frame
+  luminance for video);
+* the remaining compressed formats (JPEG/MP3/MP4) genuinely need codec
+  libraries absent from this container: ``decode_stub="raise"`` raises
   ``NotImplementedError`` at the exact call site a real
   ``PIL.Image.open``/``av.open`` would occupy, ``"deterministic"``
   (default) substitutes a seeded fake vector so pipelines stay runnable;
@@ -34,9 +35,11 @@ import ray.data as rd
 from ontology_matcher_ray.functions.codecs import (
     COMPRESSED_MAGIC,
     decode_bmp24,
+    decode_png,
     decode_ppm,
     decode_ppm_stream,
     decode_wav,
+    encode_png,
     encode_ppm,
     encode_ppm_stream,
     encode_bmp24,
@@ -103,8 +106,9 @@ def synthesize_media_table(
     """Deterministic media table with REAL payloads: (media_id, kind,
     payload, width, height, duration_ms).
 
-    Image rows alternate P6 PPM / 24-bit BMP encodings of a closed-form
-    pixel pattern; audio rows are PCM16 WAV of an integer sawtooth (8 kHz
+    Image rows rotate P6 PPM / 24-bit BMP / PNG encodings of a
+    closed-form pixel pattern; audio rows are PCM16 WAV of an integer
+    sawtooth (8 kHz
     mono — integer arithmetic only, so bit-stable without libm); video
     rows are PPM STREAMS (concatenated P6 frames, the uncompressed
     analogue of an MJPEG stream) of 4-8 closed-form frames — a compressed
@@ -121,7 +125,8 @@ def synthesize_media_table(
         duration_ms = (i % 30) * 1000
         if kind == "image":
             arr = media_image_pattern(i, width, height)
-            payload = encode_ppm(arr) if (i // 3) % 2 == 0 else encode_bmp24(arr)
+            enc = (encode_ppm, encode_bmp24, encode_png)[(i // 3) % 3]
+            payload = enc(arr)
             duration_ms = 0
         elif kind == "audio":
             payload = encode_wav(media_audio_pattern(i, duration_ms), 8000)
@@ -212,6 +217,8 @@ class MediaFeaturizer:
             return video_features(frames)
         if container == "bmp":
             return image_features(decode_bmp24(payload))
+        if container == "png":
+            return image_features(decode_png(payload))
         if container == "wav":
             return audio_features(*decode_wav(payload))
         if container in COMPRESSED_MAGIC.values():
@@ -307,6 +314,9 @@ class MediaTransformer:
                     self.out_w, self.out_h, 0)
         if container == "bmp":
             out = encode_ppm(self._resize(decode_bmp24(payload)))
+            return "resize", out, self.out_w, self.out_h, 0
+        if container == "png":
+            out = encode_ppm(self._resize(decode_png(payload)))
             return "resize", out, self.out_w, self.out_h, 0
         if container == "wav":
             samples, sr = decode_wav(payload)

@@ -147,3 +147,42 @@ def test_corpus_typo_tier_non_vacuous():
             if corpus_mod._resolve_token(v, stl, d1) is not None:
                 tier4 += 1
     assert tier4 >= 20
+
+
+def test_mention_extractor_typo_tier():
+    """DL<=1 typo tier in the shared extractor: transposed/edited tokens
+    resolve to the unique lexicon term; ambiguous candidates drop; the
+    tier sits BEHIND exact/fold/strip (same semantics as the corpus
+    pipeline's fused actor)."""
+    lexicon = {
+        "windowing": "MESH:D2",
+        "streaming": "MESH:D3",
+        # ambiguous pair at DL 1 from "boath": both drop it
+        "boast": "MESH:D4",
+        "boath": None,  # placeholder replaced below
+    }
+    del lexicon["boath"]
+    lexicon["board"] = "MESH:D5"  # "boars" is DL1 from boast AND board
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "wnidowing starts",      # adjacent transposition -> windowing
+                "streamin here",         # one deletion -> streaming
+                "boars ambiguous",       # DL1 from boast and board -> drop
+                "windowing exact",       # exact tier still wins
+            ],
+        }
+    )
+    from ontology_matcher_ray.stages.extract import MentionExtractor
+
+    out = MentionExtractor(lexicon, typo=True)(batch)
+    got = set(map(tuple, out[["doc_id", "term", "raw_id"]].values))
+    assert got == {
+        (1, "windowing", "MESH:D2"),
+        (2, "streaming", "MESH:D3"),
+        (4, "windowing", "MESH:D2"),
+    }
+    # typo off: only the exact row survives
+    out0 = MentionExtractor(lexicon, fuzzy=True)(batch)
+    assert set(out0["doc_id"]) == {4}

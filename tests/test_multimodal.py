@@ -85,11 +85,16 @@ def test_real_decode_reaches_image_and_audio_features():
 
 def test_decode_stub_raises_where_real_codec_goes():
     f = MediaFeaturizer(decode_stub="raise")
+    # JPEG is the remaining genuinely-library-bound format (PNG now
+    # decodes for real via stdlib zlib — see codecs.decode_png)
     with pytest.raises(NotImplementedError, match="codec"):
-        f._decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
-    # uncompressed containers decode fine even in raise mode
+        f._decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    # locally-decodable containers work even in raise mode
     arr = media_image_pattern(0, 8, 8)
     assert f._decode(encode_ppm(arr)).shape == (FEAT_DIM,)
+    from ontology_matcher_ray.functions.codecs import encode_png
+
+    assert f._decode(encode_png(arr)).shape == (FEAT_DIM,)
 
 
 def test_payload_sha_matches_independent_hash():
@@ -177,3 +182,79 @@ def test_video_ppm_stream_roundtrip_and_frame_sample():
     assert len(kept) == (n_frames + 1) // 2
     np.testing.assert_array_equal(kept[1], frames[2])
     assert dur == int(row["duration_ms"]) * len(kept) // n_frames
+
+
+def test_png_roundtrip_and_filters():
+    """encode_png -> decode_png is bit-exact; decode handles all five
+    scanline filters (crafted streams), gray and RGBA color types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ontology_matcher_ray.functions.codecs import (
+        decode_png,
+        encode_png,
+        sniff,
+    )
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (21, 13, 3), dtype=np.uint8)
+    payload = encode_png(arr)
+    assert sniff(payload) == "png"
+    np.testing.assert_array_equal(decode_png(payload), arr)
+
+    def craft(img: np.ndarray, ctype: int, filters):
+        """Build a PNG whose row y uses filters[y % len(filters)],
+        filtering with independent reference code."""
+        h, w, ch = img.shape if img.ndim == 3 else (*img.shape, 1)
+        flat = img.reshape(h, w * ch).astype(np.int32)
+        raw = bytearray()
+        prev = np.zeros(w * ch, np.int32)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            raw.append(f)
+            line = flat[y]
+            for x in range(w * ch):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] - a
+                elif f == 2:
+                    v = line[x] - b
+                elif f == 3:
+                    v = line[x] - (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    v = line[x] - pred
+                raw.append(v & 0xFF)
+            prev = line
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    # RGB with every filter type exercised across rows
+    got = decode_png(craft(arr, 2, [0, 1, 2, 3, 4]))
+    np.testing.assert_array_equal(got, arr)
+
+    # grayscale -> replicated RGB
+    g = rng.randint(0, 256, (9, 5), dtype=np.uint8)
+    got_g = decode_png(craft(g.reshape(9, 5, 1), 0, [4, 3, 1]))
+    np.testing.assert_array_equal(got_g, np.repeat(g[:, :, None], 3, axis=2))
+
+    # RGBA -> alpha dropped
+    a4 = rng.randint(0, 256, (7, 6, 4), dtype=np.uint8)
+    got_a = decode_png(craft(a4, 6, [2, 4, 0]))
+    np.testing.assert_array_equal(got_a, a4[:, :, :3])
