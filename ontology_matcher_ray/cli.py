@@ -56,7 +56,12 @@ def render_template(ontology_type: str) -> str:
 
     spec = SPECS[ontology_type]
     lines = ["\t".join(REQUIRED_COLUMNS)]
-    for rid, name in TEMPLATE_SAMPLES[ontology_type]:
+    # a type registered without literal samples still gets a spec-derived
+    # row, so extension types (schemas.py §2.9) need no table entry here
+    samples = TEMPLATE_SAMPLES.get(ontology_type) or [
+        (f"{spec.default}:0000001", f"example {spec.type.lower()}")
+    ]
+    for rid, name in samples:
         row = {
             "id": rid,
             "name": name,
@@ -82,7 +87,27 @@ def cmd_ontology(args) -> int:
         batch_size=getattr(args, "batch_size", 4096),
     )
     print(f"formatted={len(formatted)} failed={len(failed)} -> {args.output_file}")
+    print_ontology_links(spec)
     return 0
+
+
+def print_ontology_links(spec) -> None:
+    """The reference's post-conversion links notice
+    (``print_ontology_links``, ontology_formatter.py:346-356), including
+    its every-database-has-a-link check."""
+    missed = set(spec.choices) - set(spec.ontology_links)
+    if missed:
+        raise SystemExit(
+            "Links of the following databases are missed: %s" % sorted(missed)
+        )
+    print(
+        "NOTICE:\nYou can find more details on the following websites "
+        "(NOTICE: We don't check whether an ID is valid; we simply attempt "
+        "to map it to the default ontology database we have chosen):"
+    )
+    for key, value in spec.ontology_links.items():
+        print(f"{key}: {value}")
+    print()
 
 
 def cmd_dedup(args) -> int:
@@ -113,7 +138,12 @@ def cmd_dedup(args) -> int:
 def cmd_idtypes(args) -> int:
     from ontology_matcher_ray.schemas import SPECS
 
-    print("\n".join(SPECS[args.ontology_type].choices))
+    spec = SPECS[args.ontology_type]
+    if getattr(args, "links", False):
+        print_ontology_links(spec)
+        print(f"database_url: {spec.database_url}")
+    else:
+        print("\n".join(spec.choices))
     return 0
 
 
@@ -256,6 +286,9 @@ def main(argv=None) -> int:
     pi = sub.add_parser("idtypes", help="Which ID types are supported.")
     pi.add_argument("--ontology-type", "-O", required=True,
                     choices=["disease", "gene", "compound", "metabolite", "symptom"])
+    pi.add_argument("--links", action="store_true",
+                    help="print per-database ontology URLs + the upstream "
+                         "database_url instead of the bare prefixes")
     pi.set_defaults(fn=cmd_idtypes)
 
     pt = sub.add_parser("template", help="Generate input file template.")

@@ -44,6 +44,15 @@ class OntologySpec:
     choices: List[str] = field(default_factory=list)
     gene_style_metadata: bool = False
     batch_cap: int = 500
+    #: per-database reference websites, printed after a conversion
+    #: (``print_ontology_links``, ontology_formatter.py:346-356) and by
+    #: ``idtypes --links``; every choice must have one (checked there)
+    ontology_links: Dict[str, str] = field(default_factory=dict)
+    #: the upstream API the reference's converter would call
+    #: (``ConversionResult.database_url``, ontology_formatter.py:220) —
+    #: informational here: this engine resolves against the offline
+    #: dictionary snapshot instead of the live service
+    database_url: str = ""
 
     @property
     def curie_regex(self) -> "re.Pattern[str]":
@@ -59,6 +68,19 @@ DISEASE_SPEC = OntologySpec(
     type="Disease",
     default="MONDO",
     choices=["MONDO", "DOID", "MESH", "OMIM", "ICD-9", "HP", "ICD10CM", "Orphanet", "UMLS"],
+    # disease/__init__.py:68-82 (SNOMED stays excluded there too)
+    ontology_links={
+        "MONDO": "https://www.ebi.ac.uk/ols4/ontologies/mondo",
+        "DOID": "https://www.ebi.ac.uk/ols4/ontologies/doid",
+        "MESH": "https://meshb.nlm.nih.gov/search",
+        "OMIM": "https://www.omim.org/",
+        "ICD-9": "https://www.cdc.gov/nchs/icd/icd9.htm",
+        "HP": "https://hpo.jax.org/app/",
+        "ICD10CM": "https://www.cdc.gov/nchs/icd/icd-10-cm.htm",
+        "Orphanet": "https://www.orpha.net/consor/cgi-bin/index.php",
+        "UMLS": "https://www.nlm.nih.gov/research/umls/",
+    },
+    database_url="https://www.ebi.ac.uk/spot/oxo/api/search",
 )
 
 GENE_SPEC = OntologySpec(
@@ -67,24 +89,64 @@ GENE_SPEC = OntologySpec(
     choices=["ENTREZ", "ENSEMBL", "HGNC", "MGI", "SYMBOL", "UNIPROT"],
     gene_style_metadata=True,
     batch_cap=1000,
+    # gene/__init__.py:79-88
+    ontology_links={
+        "ENTREZ": "https://www.ncbi.nlm.nih.gov/gene/",
+        "ENSEMBL": "http://useast.ensembl.org/index.html",
+        "HGNC": "https://www.genenames.org",
+        "SYMBOL": "https://www.genenames.org",
+        "MGI": "http://www.informatics.jax.org",
+        "UNIPROT": "https://www.uniprot.org/uniprot/",
+    },
+    database_url="https://mygene.info",
 )
 
 COMPOUND_SPEC = OntologySpec(
     type="Compound",
     default="DrugBank",
     choices=["DrugBank", "PUBCHEM", "CHEBI", "MESH", "UMLS", "CHEMBL", "HMDB"],
+    # compound/__init__.py:55-65
+    ontology_links={
+        "DrugBank": "https://go.drugbank.com/drugs",
+        "PUBCHEM": "https://pubchem.ncbi.nlm.nih.gov/",
+        "CHEBI": "https://www.ebi.ac.uk/chebi/init.do",
+        "MESH": "https://meshb.nlm.nih.gov/search",
+        "UMLS": "https://www.nlm.nih.gov/research/umls/",
+        "CHEMBL": "https://www.ebi.ac.uk/chembl/",
+        "HMDB": "https://hmdb.ca/",
+    },
+    database_url="https://mychem.info",
 )
 
 METABOLITE_SPEC = OntologySpec(
     type="Metabolite",
     default="HMDB",
     choices=["HMDB", "DrugBank", "PUBCHEM", "CHEBI", "MESH", "UMLS", "CHEMBL"],
+    # metabolite/__init__.py:55-65
+    ontology_links={
+        "HMDB": "https://hmdb.ca/metabolites/",
+        "DrugBank": "https://go.drugbank.com/drugs",
+        "PUBCHEM": "https://pubchem.ncbi.nlm.nih.gov/",
+        "CHEBI": "https://www.ebi.ac.uk/chebi/init.do",
+        "MESH": "https://meshb.nlm.nih.gov/search",
+        "UMLS": "https://www.nlm.nih.gov/research/umls/",
+        "CHEMBL": "https://www.ebi.ac.uk/chembl/",
+    },
+    database_url="https://mychem.info",
 )
 
 SYMPTOM_SPEC = OntologySpec(
     type="Symptom",
     default="UMLS",
     choices=["SYMP", "MESH", "UMLS", "HP"],
+    # symptom/__init__.py:62-69
+    ontology_links={
+        "UMLS": "https://www.nlm.nih.gov/research/umls/",
+        "MESH": "https://www.nlm.nih.gov/mesh/",
+        "SYMP": "https://bioportal.bioontology.org/ontologies/SYMP",
+        "HP": "https://hpo.jax.org/app/",
+    },
+    database_url="https://www.ebi.ac.uk/spot/oxo/api/search",
 )
 
 SPECS: Dict[str, OntologySpec] = {

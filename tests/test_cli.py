@@ -71,3 +71,20 @@ def test_analyze_command(tmp_path):
         "--output-dir", str(out2), "--op", "sketch",
     ]) == 0
     assert set(pd.read_parquet(out2).columns) == {"lang", "reg", "max_rho"}
+
+
+def test_idtypes_links_notice(capsys):
+    """idtypes --links prints the reference's ontology-links notice
+    (ontology_formatter.py:346-356) with one URL per supported database,
+    plus the converter's upstream database_url."""
+    assert main(["idtypes", "-O", "disease", "--links"]) == 0
+    got = capsys.readouterr().out
+    assert "NOTICE:" in got
+    assert "MONDO: https://www.ebi.ac.uk/ols4/ontologies/mondo" in got
+    assert "database_url: https://www.ebi.ac.uk/spot/oxo/api/search" in got
+    # every choice of every type has a link (the notice's own check)
+    from ontology_matcher_ray.schemas import SPECS
+
+    for spec in SPECS.values():
+        assert set(spec.choices) <= set(spec.ontology_links), spec.type
+        assert spec.database_url
