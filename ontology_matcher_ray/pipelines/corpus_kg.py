@@ -239,6 +239,7 @@ class ExtractLinkEmit(ExtractEmit):
         self.del1 = (
             ray.get(del1_ref) if isinstance(del1_ref, ray.ObjectRef) else del1_ref
         )
+        # full-decision token memo (exact/fold/strip/typo chain result)
         self._del1_memo: Dict[str, Optional[str]] = {}
 
     def _term_rows(self, batch: pd.DataFrame) -> Optional[pd.DataFrame]:
@@ -252,36 +253,43 @@ class ExtractLinkEmit(ExtractEmit):
         del1 = self.del1
         memo = self._del1_memo
         from ontology_matcher_ray.functions.fuzzy import del1_lookup, eligible_token
-        for k, text in enumerate(batch["content"].to_numpy()):
+
+        def resolve_token(t: str) -> Optional[str]:
             # exact-then-fuzzy (north-star): exact token hit wins; misses
             # fall back to lowercase fold + single plural strip
             # (corpus.normalize_term contract), then the bounded
             # edit-distance typo tier (DL<=1 over the deletion index,
-            # ambiguous-drop; tokens repeat heavily across files so
-            # results are memoized per actor).  The fallbacks are gated on
-            # cheap non-allocating checks (islower / last-char / len +
-            # isalnum) so the overwhelmingly common lowercase-miss token
-            # costs ONE dict probe plus a few C predicates — this loop
-            # touches every token of the corpus.
+            # ambiguous-drop)
+            out = get(t)
+            if out is None:
+                if not t.islower():
+                    t = t.lower()
+                    out = get(t)
+                if out is None and t[-1] == "s" and len(t) > 3:
+                    out = get(t[:-1])
+                if out is None and del1 is not None and eligible_token(t):
+                    m = del1_lookup(t, *del1)
+                    if m is not None:
+                        out = get(m)
+            return out
+
+        # ONE memo for the WHOLE decision chain: corpus tokens repeat
+        # across virtually every file, so after warmup a token costs a
+        # single dict probe instead of probe + fold/strip/typo predicates
+        # (profiled: eligible_token alone was ~25% of the loop before).
+        # The clear() bound caps a pathological unbounded-vocabulary
+        # corpus; losing the memo only costs recomputation, never answers.
+        memo_get = memo.get
+        _MISS = resolve_token                 # unique sentinel, never a value
+        for k, text in enumerate(batch["content"].to_numpy()):
             hits = set()
             for t in set(TOKEN_RX.findall(text)):
-                out = get(t)
-                if out is None:
-                    if not t.islower():
-                        t = t.lower()
-                        out = get(t)
-                    if out is None and t[-1] == "s" and len(t) > 3:
-                        out = get(t[:-1])
-                    if out is None and del1 is not None and eligible_token(t):
-                        if t in memo:
-                            m = memo[t]
-                        else:
-                            m = del1_lookup(t, *del1)
-                            if len(memo) > 200_000:       # pathological-
-                                memo.clear()              # corpus bound
-                            memo[t] = m
-                        if m is not None:
-                            out = get(m)
+                out = memo_get(t, _MISS)
+                if out is _MISS:
+                    out = resolve_token(t)
+                    if len(memo) > 1_000_000:
+                        memo.clear()
+                    memo[t] = out
                 if out is not None:
                     hits.add(out)
             hits = sorted(hits)

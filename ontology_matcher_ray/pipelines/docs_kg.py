@@ -47,8 +47,8 @@ SPEC = DISEASE_SPEC
 # every task.  The cache key is a token ATTACHED to the snapshot object
 # (not id(): a GC'd snapshot's address can be reused, which would
 # silently serve a stale object-store dictionary) plus the Ray job id —
-# a ref put in a previous session is dead after ray.shutdown()/init()
-# (e.g. bench.py's fresh-session repeats) and must never be served.
+# a ref put in a previous session is dead once that session ends (e.g.
+# bench.py's fresh-session repeats) and must never be served.
 _BROADCAST: Dict[str, "ray.ObjectRef"] = {}
 _BC_SEQ = [0]
 
