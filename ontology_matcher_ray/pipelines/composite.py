@@ -17,6 +17,14 @@ doc_id key) are verified TOGETHER in one composite query:
 The component pipeline functions are unchanged (tests and bench.py keep
 exercising them individually); this module only composes them for the
 driver gate.  COVERAGE.md carries the query -> operator map.
+
+Scale note: these composites are VERIFICATION GLUE, run at the gate's
+sf0.01, not production pipelines — e.g. ``kg_triples_roundtrip``
+materializes the triples once so the write and the union read the same
+computation (at production scale the flagship is consumed streaming via
+``docs_kg.kg_triples`` / ``corpus_kg.build_kg``), and the doc_id joins
+deliberately route through the engine's own distributed
+``exchange.hash_join`` so the composition itself stays shuffle-clean.
 """
 
 from __future__ import annotations
