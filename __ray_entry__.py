@@ -116,6 +116,7 @@ def _corpus_kg_triples(sf_dir: str):
     """End-to-end corpus KG build at a scale derived from sf_dir: generate
     the deterministic source-code corpus under /tmp, run the sharded
     extract->link->dedup pipeline with lineage, return the triples."""
+    import shutil
     import tempfile
 
     from ontology_matcher_ray import corpus as corpus_mod
@@ -129,12 +130,15 @@ def _corpus_kg_triples(sf_dir: str):
     snap = build_snapshot(DISEASE_SPEC, n_synthetic=2000, seed=42)
     # the corpus cache dir is shared (atomic publish inside
     # generate_corpus); the KG OUTPUT dir is process-unique so two
-    # concurrent runs over the same sf_dir can never race
+    # concurrent runs over the same sf_dir can never race, and it is
+    # removed after the triples are materialized (no /tmp accumulation)
     base = f"/tmp/onto_ray_entry/corpus_v{corpus_mod.CORPUS_VERSION}_{n_files}"
     corpus_mod.generate_corpus(base, n_files, snap)
     out = tempfile.mkdtemp(prefix=f"onto_ray_kg_{n_files}_", dir="/tmp")
     corpus_kg.build_kg(base, out, snap, n_shards=2)
-    return corpus_kg.read_triples(out)
+    triples = corpus_kg.read_triples(out).materialize()
+    shutil.rmtree(out, ignore_errors=True)
+    return triples
 
 
 def _code_token_stats(sf_dir: str):

@@ -45,6 +45,8 @@ def run_bench() -> dict:
     comparisons can see the spread.
     """
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    if repeats < 1:
+        raise SystemExit(f"GRAFT_BENCH_REPEATS must be >= 1, got {repeats}")
     runs = [_bench_once() for _ in range(repeats)]
     best = min(runs, key=lambda r: r["value"])
     out = dict(best)

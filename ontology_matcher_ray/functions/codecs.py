@@ -36,7 +36,8 @@ import numpy as np
 def encode_ppm(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 -> binary P6 PPM bytes."""
     h, w, c = arr.shape
-    assert c == 3 and arr.dtype == np.uint8
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape} {arr.dtype}")
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
@@ -120,7 +121,8 @@ def encode_bmp24(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes (bottom-up
     BGR rows, stride padded to 4)."""
     h, w, c = arr.shape
-    assert c == 3 and arr.dtype == np.uint8
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape} {arr.dtype}")
     stride = (w * 3 + 3) & ~3
     rows = np.zeros((h, stride), dtype=np.uint8)
     rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)   # flip + BGR
@@ -157,7 +159,10 @@ def decode_bmp24(payload: bytes) -> np.ndarray:
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """1-D int16 mono samples -> RIFF/WAVE PCM16 bytes."""
-    assert samples.dtype == np.int16 and samples.ndim == 1
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError(
+            f"expected 1-D int16 samples, got {samples.shape} {samples.dtype}"
+        )
     data = samples.tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
@@ -210,7 +215,8 @@ def encode_png(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 -> PNG bytes: truecolor (color type 2), bit depth
     8, no interlace, filter 0 on every scanline, one stdlib-zlib IDAT."""
     h, w, c = arr.shape
-    assert c == 3 and arr.dtype == np.uint8
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape} {arr.dtype}")
     raw = np.concatenate(
         [np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1
     ).tobytes()

@@ -91,13 +91,19 @@ def kg_triples_roundtrip(sf_dir: str) -> rd.Dataset:
     round-tripped through the distributed N-Triples sink/source
     (via='nt').  The round trip must be lossless — both halves hash
     against the SAME oracle SQL."""
+    import shutil
+
     triples = docs_kg.kg_triples(sf_dir).materialize()
     out = _scratch("nt")
     from ontology_matcher_ray.sources.io import read_ntriples, write_ntriples
 
     write_ntriples(triples, out)
     direct = _tagged(triples, "via", "direct", _TRIPLE_COLS)
-    back = _tagged(read_ntriples(out), "via", "nt", _TRIPLE_COLS)
+    # materialize the read-back so the scratch dir can be removed NOW —
+    # a lazy reader would pin the /tmp dump until the caller consumes it
+    # (and leak it forever if they never do)
+    back = _tagged(read_ntriples(out), "via", "nt", _TRIPLE_COLS).materialize()
+    shutil.rmtree(out, ignore_errors=True)
     return direct.union(back)
 
 
@@ -108,15 +114,22 @@ def lang_id_roundtrip(sf_dir: str) -> rd.Dataset:
     """lang_id over the documents read directly (via='direct') and over
     the same documents round-tripped through the distributed JSONL
     sink/source (via='jsonl') — lossless round trip under one oracle."""
+    import shutil
+
     from ontology_matcher_ray.sources.io import read_jsonl, write_jsonl
 
     out = _scratch("jsonl")
     write_jsonl(docs_text.read_documents(sf_dir), out)
     tbl_dir = _scratch("jsonl_sf")
     read_jsonl(out).write_parquet(os.path.join(tbl_dir, "documents.parquet"))
+    shutil.rmtree(out, ignore_errors=True)       # parquet copy supersedes it
 
     direct = _tagged(docs_text.lang_id(sf_dir), "via", "direct", _LANG_ID_COLS)
-    back = _tagged(docs_text.lang_id(tbl_dir), "via", "jsonl", _LANG_ID_COLS)
+    # materialize before removing the re-read table (see kg_triples note)
+    back = _tagged(
+        docs_text.lang_id(tbl_dir), "via", "jsonl", _LANG_ID_COLS
+    ).materialize()
+    shutil.rmtree(tbl_dir, ignore_errors=True)
     return direct.union(back)
 
 

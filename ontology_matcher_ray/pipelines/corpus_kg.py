@@ -440,25 +440,35 @@ def _shard_pipeline(
 
 # typo-index cache: the deletion-neighborhood index is a pure function of
 # the lexicon SURFACE FORMS (term_map keys — routing/strategy only changes
-# the values), so one process building several KGs from the same snapshot
-# (bench repeats, multi-output drivers) pays the O(lexicon x avg_len)
-# variant hashing once.  Plain numpy arrays, so they survive Ray session
-# restarts; only the per-session ray.put is repeated by the caller.
+# the values), so one process building several KGs from the same
+# dictionary (bench repeats, repeated driver corpus queries — which build
+# a FRESH snapshot object each call, hence a CONTENT key, not object
+# identity) pays the O(lexicon x avg_len) variant hashing once.  Plain
+# numpy arrays, so they survive Ray session restarts; only the per-session
+# ray.put is repeated by the caller.  Bounded: an index is tens of MB at a
+# 200k-term dictionary, so only the most recent few distinct dictionaries
+# stay resident (insertion-order eviction).
 _DEL1_CACHE: Dict[str, tuple] = {}
+_DEL1_CACHE_MAX = 3
 
 
-def _del1_index_for(snapshot: DictionarySnapshot, term_map: Dict[str, str]):
+def _del1_index_for(term_map: Dict[str, str]):
+    import hashlib
+
     from ontology_matcher_ray.functions.fuzzy import build_del1_index_parallel
 
-    tok = getattr(snapshot, "_bc_token", None)
-    if tok is None:
-        # same attach-a-token trick as docs_kg's broadcast cache (id()
-        # reuse after GC would silently serve a stale index)
-        tok = "snap-ck-%d" % len(_DEL1_CACHE)
-        object.__setattr__(snapshot, "_bc_token", tok)
-    if tok not in _DEL1_CACHE:
-        _DEL1_CACHE[tok] = build_del1_index_parallel(sorted(term_map))
-    return _DEL1_CACHE[tok]
+    terms = sorted(term_map)
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str(len(terms)).encode())
+    for t in terms:
+        h.update(b"\x00")
+        h.update(t.encode())
+    key = h.hexdigest()
+    if key not in _DEL1_CACHE:
+        while len(_DEL1_CACHE) >= _DEL1_CACHE_MAX:
+            _DEL1_CACHE.pop(next(iter(_DEL1_CACHE)))
+        _DEL1_CACHE[key] = build_del1_index_parallel(terms)
+    return _DEL1_CACHE[key]
 
 
 def build_kg(
@@ -507,7 +517,7 @@ def build_kg(
     # typo-tier deletion index over the same single-token lexicon surface
     # forms: built ONCE driver-side, broadcast as numpy arrays (zero-copy
     # plasma reads per actor)
-    del1_ref = ray.put(_del1_index_for(snapshot, term_map)) if term_map else None
+    del1_ref = ray.put(_del1_index_for(term_map)) if term_map else None
     manifest = Manifest(os.path.join(out_dir, "_manifest", "lineage.jsonl"))
     if files_per_shard is not None:
         from ontology_matcher_ray.lineage import plan_shards_by_size

@@ -145,21 +145,28 @@ class MentionExtractor:
                  self.word_arr, self.word_raw)
 
             if self.del1 is not None:
-                # DL<=1 typo tier over the still-missing tokens: unique
-                # tokens only (heavy repetition across docs), memoized per
-                # actor; ambiguous candidates drop (del1_lookup contract)
+                # DL<=1 typo tier over the still-missing tokens: probes
+                # the LOWERED form (same as the corpus fused actor's
+                # resolve_token — the plural-stripped candidate is only a
+                # lexicon probe, never the typo query, so both tiers see
+                # the identical DL1 neighborhood); unique tokens only
+                # (heavy repetition across docs), memoized per actor with
+                # the same 1M-entry pathological-corpus bound; ambiguous
+                # candidates drop (del1_lookup contract)
                 from ontology_matcher_ray.functions.fuzzy import (
                     del1_lookup,
                     eligible_token,
                 )
 
                 rmask = pc.invert(fmask)
-                rem_tok = pc.filter(cand, rmask)
+                rem_tok = pc.filter(low, rmask)
                 rem_par = pc.filter(m_par, rmask)
                 memo = self._typo_memo
                 mapping: Dict[str, str] = {}
                 for u in pc.unique(rem_tok).to_pylist():
                     if u not in memo:
+                        if len(memo) > 1_000_000:
+                            memo.clear()
                         memo[u] = (
                             del1_lookup(u, *self.del1)
                             if eligible_token(u) else None

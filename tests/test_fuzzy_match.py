@@ -157,20 +157,19 @@ def test_mention_extractor_typo_tier():
     lexicon = {
         "windowing": "MESH:D2",
         "streaming": "MESH:D3",
-        # ambiguous pair at DL 1 from "boath": both drop it
         "boast": "MESH:D4",
-        "boath": None,  # placeholder replaced below
+        "board": "MESH:D5",
     }
-    del lexicon["boath"]
-    lexicon["board"] = "MESH:D5"  # "boars" is DL1 from boast AND board
     batch = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3, 4],
+            "doc_id": [1, 2, 3, 4, 5],
             "text": [
                 "wnidowing starts",      # adjacent transposition -> windowing
                 "streamin here",         # one deletion -> streaming
-                "boars ambiguous",       # DL1 from boast and board -> drop
+                "boasd ambiguous",       # DL1 from boast AND board -> drop
                 "windowing exact",       # exact tier still wins
+                "boars here",            # DL1 from board only (lowered
+                                         # probe, NOT stripped 'boar')
             ],
         }
     )
@@ -182,7 +181,26 @@ def test_mention_extractor_typo_tier():
         (1, "windowing", "MESH:D2"),
         (2, "streaming", "MESH:D3"),
         (4, "windowing", "MESH:D2"),
+        (5, "board", "MESH:D5"),
     }
     # typo off: only the exact row survives
     out0 = MentionExtractor(lexicon, fuzzy=True)(batch)
     assert set(out0["doc_id"]) == {4}
+
+
+def test_typo_tier_probes_lowered_token_like_corpus_chain():
+    """Regression (review finding): the typo tier must probe the LOWERED
+    token, not the plural-stripped candidate — a 5-letter s-ending typo
+    ('cures' for lexicon term 'curex') strips to 'cure', which fails the
+    eligible_token len>=5 gate; the corpus fused actor resolves it, so the
+    extractor must too."""
+    import pandas as pd
+
+    from ontology_matcher_ray.stages.extract import MentionExtractor
+
+    lexicon = {"curex": "MESH:X"}
+    batch = pd.DataFrame({"doc_id": [1], "text": ["cures everything"]})
+    out = MentionExtractor(lexicon, typo=True)(batch)
+    assert set(map(tuple, out[["doc_id", "term", "raw_id"]].values)) == {
+        (1, "curex", "MESH:X")
+    }
