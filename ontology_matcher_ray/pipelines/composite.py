@@ -112,16 +112,20 @@ _LANG_ID_COLS = ["doc_id", "declared_lang", "guessed_lang"]
 
 def lang_id_roundtrip(sf_dir: str) -> rd.Dataset:
     """lang_id over the documents read directly (via='direct') and over
-    the same documents round-tripped through the distributed JSONL
-    sink/source (via='jsonl') — lossless round trip under one oracle."""
+    the same documents round-tripped through the distributed
+    gzip-compressed JSONL sink/source (via='jsonl') — lossless round
+    trip under one oracle, covering the compressed interop path the way
+    real ``.jsonl.gz`` corpora ship."""
     import shutil
 
     from ontology_matcher_ray.sources.io import read_jsonl, write_jsonl
 
     out = _scratch("jsonl")
-    write_jsonl(docs_text.read_documents(sf_dir), out)
+    write_jsonl(docs_text.read_documents(sf_dir), out, codec="gzip")
     tbl_dir = _scratch("jsonl_sf")
-    read_jsonl(out).write_parquet(os.path.join(tbl_dir, "documents.parquet"))
+    read_jsonl(out, codec="gzip").write_parquet(
+        os.path.join(tbl_dir, "documents.parquet")
+    )
     shutil.rmtree(out, ignore_errors=True)       # parquet copy supersedes it
 
     direct = _tagged(docs_text.lang_id(sf_dir), "via", "direct", _LANG_ID_COLS)

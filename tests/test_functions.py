@@ -184,3 +184,43 @@ def test_doc_embedding_join_size_gate_paths_identical():
         bcast, exch[bcast.columns], check_dtype=False
     )
     assert len(bcast) > 0
+
+
+def test_jsonl_codec_roundtrip():
+    """Compressed JSONL sink/source: every codec round-trips losslessly,
+    part files carry the codec suffix (independently decompressible =
+    one file per read task), and unknown codecs fail loudly."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ontology_matcher_ray.sources.io import read_jsonl, write_jsonl
+
+    df = pd.DataFrame(
+        {"doc_id": range(50), "text": [f"doc {i} é☃" for i in range(50)]}
+    )
+    ds = rd.from_pandas(df)
+    for codec in ["gzip", "zstd"]:
+        if not pa.Codec.is_available(codec):
+            continue
+        out = tempfile.mkdtemp(prefix=f"jsonl_{codec}_", dir="/tmp")
+        try:
+            write_jsonl(ds, out, codec=codec)
+            parts = glob.glob(f"{out}/*.jsonl.*")
+            assert parts, f"no compressed parts for {codec}"
+            back = (
+                read_jsonl(out, codec=codec)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(df, back[df.columns], check_dtype=False)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    with pytest.raises(ValueError, match="unsupported jsonl codec"):
+        write_jsonl(ds, "/tmp/never_created_jsonl", codec="xz")
