@@ -13,11 +13,13 @@ implemented for real here:
   ``zlib`` and its five scanline filters are small numpy/byte math —
   RFC 2083 / the W3C PNG spec).
 
-The remaining compressed formats (JPEG/MP3/H.264) genuinely need codec
-libraries and stay behind the featurizer's documented stub
-(``stages/multimodal.MediaFeaturizer``).  Encoders exist so the
-deterministic synthetic media table carries REAL payloads the decoders
-round-trip bit-for-bit (tests/test_multimodal.py).
+Baseline JPEG is also decoded for real — in its own module
+(``functions/jpeg.py``: 8x8 DCT + the public Annex K tables, pure
+numpy + stdlib).  The remaining compressed formats (MP3/H.264)
+genuinely need codec libraries and stay behind the featurizer's
+documented stub (``stages/multimodal.MediaFeaturizer``).  Encoders
+exist so the deterministic synthetic media table carries REAL payloads
+the decoders round-trip bit-for-bit (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -311,10 +313,11 @@ def decode_png(payload: bytes) -> np.ndarray:
 # magic sniffing
 # ---------------------------------------------------------------------------
 
-#: compressed formats that genuinely require codec libraries (PNG does
-#: NOT belong here anymore: its inflate is stdlib zlib — decoded for real)
+#: compressed formats that genuinely require codec libraries (PNG and
+#: JPEG do NOT belong here anymore: PNG's inflate is stdlib zlib and
+#: baseline JPEG is an 8x8 DCT + Annex K Huffman tables — both decoded
+#: for real; JPEG lives in ``functions/jpeg.py``)
 COMPRESSED_MAGIC = {
-    b"\xff\xd8\xff": "jpeg",
     b"ID3": "mp3",
     b"\x00\x00\x00\x18ftyp": "mp4",
     b"\x00\x00\x00\x20ftyp": "mp4",
@@ -322,8 +325,8 @@ COMPRESSED_MAGIC = {
 
 
 def sniff(payload: bytes) -> str:
-    """Container id for a payload: 'ppm' | 'bmp' | 'wav' | 'png' | a
-    compressed format name | 'unknown'."""
+    """Container id for a payload: 'ppm' | 'bmp' | 'wav' | 'png' |
+    'jpeg' | a compressed format name | 'unknown'."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
@@ -332,6 +335,8 @@ def sniff(payload: bytes) -> str:
         return "wav"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     for magic, name in COMPRESSED_MAGIC.items():
         if payload[: len(magic)] == magic:
             return name

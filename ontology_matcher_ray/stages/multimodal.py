@@ -4,17 +4,18 @@ decode for uncompressed containers.
 Images/audio/video ride Ray Data as ``binary`` columns with metadata
 columns alongside (SURVEY's training-data extensions).  Decoding:
 
-* ``P6`` PPM / 24-bit BMP / 8-bit PNG / RIFF PCM16 WAV / PPM-stream
-  (concatenated P6 frames — the uncompressed video analogue) payloads
-  are decoded FOR REAL (pure-numpy parsers incl. a zlib+5-filter PNG
-  decoder, ``functions/codecs.py``) and reduced to a deterministic
-  16-dim feature vector (channel stats + quadrant luminance for images;
-  RMS / zero-crossings / segment energies for audio; per-frame
-  luminance for video);
-* the remaining compressed formats (JPEG/MP3/MP4) genuinely need codec
+* ``P6`` PPM / 24-bit BMP / 8-bit PNG / baseline JPEG / RIFF PCM16 WAV
+  / PPM-stream (concatenated P6 frames — the uncompressed video
+  analogue) payloads are decoded FOR REAL (pure-numpy parsers incl. a
+  zlib+5-filter PNG decoder in ``functions/codecs.py`` and an 8x8-DCT +
+  Annex-K-Huffman baseline JPEG codec in ``functions/jpeg.py``) and
+  reduced to a deterministic 16-dim feature vector (channel stats +
+  quadrant luminance for images; RMS / zero-crossings / segment
+  energies for audio; per-frame luminance for video);
+* the remaining compressed formats (MP3/MP4) genuinely need codec
   libraries absent from this container: ``decode_stub="raise"`` raises
   ``NotImplementedError`` at the exact call site a real
-  ``PIL.Image.open``/``av.open`` would occupy, ``"deterministic"``
+  ``soundfile.read``/``av.open`` would occupy, ``"deterministic"``
   (default) substitutes a seeded fake vector so pipelines stay runnable;
 * unknown containers take the deterministic-fake path too.
 
@@ -46,6 +47,7 @@ from ontology_matcher_ray.functions.codecs import (
     encode_wav,
     sniff,
 )
+from ontology_matcher_ray.functions.jpeg import decode_jpeg
 
 FEAT_DIM = 16
 
@@ -219,13 +221,15 @@ class MediaFeaturizer:
             return image_features(decode_bmp24(payload))
         if container == "png":
             return image_features(decode_png(payload))
+        if container == "jpeg":
+            return image_features(decode_jpeg(payload))
         if container == "wav":
             return audio_features(*decode_wav(payload))
         if container in COMPRESSED_MAGIC.values():
             if self.decode_stub == "raise":
                 raise NotImplementedError(
                     f"decoding {container} requires a codec library not "
-                    "present in this environment (PIL/soundfile/av)"
+                    "present in this environment (soundfile/av)"
                 )
             return self._fake(payload)
         return self._fake(payload)        # unknown container
@@ -269,9 +273,10 @@ class MediaTransformer:
 
     The transform family a training-data pipeline runs before featurizing:
 
-    * image: nearest-neighbor resize to ``(out_w, out_h)`` (integer index
-      maps — ``src_y = y*H // out_h`` — so the result is bit-exact and
-      closed-form recomputable), re-encoded as P6 PPM whatever the input
+    * image (PPM/BMP/PNG/JPEG): nearest-neighbor resize to
+      ``(out_w, out_h)`` (integer index maps — ``src_y = y*H // out_h``
+      — so the result is bit-exact and closed-form recomputable given
+      the decoded pixels), re-encoded as P6 PPM whatever the input
       container;
     * audio: clip to the first ``clip_ms`` milliseconds, re-encoded as
       PCM16 WAV at the source rate;
@@ -317,6 +322,9 @@ class MediaTransformer:
             return "resize", out, self.out_w, self.out_h, 0
         if container == "png":
             out = encode_ppm(self._resize(decode_png(payload)))
+            return "resize", out, self.out_w, self.out_h, 0
+        if container == "jpeg":
+            out = encode_ppm(self._resize(decode_jpeg(payload)))
             return "resize", out, self.out_w, self.out_h, 0
         if container == "wav":
             samples, sr = decode_wav(payload)

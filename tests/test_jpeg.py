@@ -1,0 +1,188 @@
+"""Baseline JPEG codec (functions/jpeg.py): spec-level fixture +
+round-trip error bounds + multimodal-stage integration.
+
+The decoder is pinned against a HAND-ASSEMBLED stream (every marker and
+entropy bit written out from T.81 by hand, never through our encoder),
+so encoder and decoder cannot share a compensating bug.
+"""
+
+import numpy as np
+import pytest
+
+from ontology_matcher_ray.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    quality_scaled_tables,
+    QUANT_LUMA,
+)
+from ontology_matcher_ray.functions.codecs import sniff
+from ontology_matcher_ray.stages.multimodal import (
+    MediaFeaturizer,
+    MediaTransformer,
+    image_features,
+)
+
+
+def _chroma_gradient(h=40, w=56):
+    """Smooth image whose CHROMA varies spatially (r/g/b gradients with
+    different slopes), exercising the color transform and 4:2:0 path."""
+    y, x = np.indices((h, w))
+    r = (30 + 2 * y + x // 2).clip(0, 255)
+    g = (200 - y - x // 3).clip(0, 255)
+    b = (60 + y // 2 + x).clip(0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# spec-level fixture: hand-assembled single-block grayscale stream
+# ---------------------------------------------------------------------------
+
+def test_hand_assembled_stream_decodes_to_closed_form_pixels():
+    """8x8 grayscale, quant table all 16s, minimal 1-symbol Huffman
+    tables declared IN the stream, DC=4, no ACs.
+
+    Expected pixels by hand: dequantized DC = 4*16 = 64; the orthonormal
+    IDCT of a DC-only block is flat 64/8 = 8; level shift +128 -> 136.
+    Entropy bits: DC code '0' (1-bit table), value bits '100' (=4),
+    EOB code '0' -> 01000 + 3 pad ones = 0x47."""
+    dqt = b"\xff\xdb\x00\x43\x00" + bytes([16] * 64)
+    sof = b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    dht_dc = (b"\xff\xc4\x00\x14\x00"
+              + bytes([1] + [0] * 15)      # one 1-bit code
+              + bytes([3]))                # -> symbol: DC size 3
+    dht_ac = (b"\xff\xc4\x00\x14\x10"
+              + bytes([1] + [0] * 15)      # one 1-bit code
+              + bytes([0x00]))             # -> symbol: EOB
+    sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    stream = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+              + bytes([0x47]) + b"\xff\xd9")
+    out = decode_jpeg(stream)
+    assert out.shape == (8, 8, 3)
+    assert (out == 136).all()
+
+
+def test_hand_assembled_stream_with_ac_coefficient():
+    """Same stream but with one AC coefficient: AC table gains symbol
+    0x01 (run 0, size 1) as a second 2-bit code.
+
+    Tables: DC size-3 -> '0' (1 bit); AC: EOB -> '10', (0,1) -> '11'
+    (both AC symbols at length 2; canonical codes are 00 and 01).
+    So AC EOB='00', (0,1)='01'.  Entropy: DC '0' + '100' (=4), AC(0,1)
+    '01' + value bit '1' (= +1), EOB '00' -> bits 0 100 01 1 00 =
+    010001100, pad 7 ones -> 0x46 0x7F.
+
+    Expected pixels: dequant DC=64, AC[0,1]=1*16=16 (zigzag index 1 =
+    raster (0,1) — the first horizontal frequency).  IDCT by hand:
+    B[x,w] = 64*(1/8) + 16*(1/sqrt8)*(0.5*cos((2w+1)pi/16)), rounded and
+    shifted; recompute the same closed form here in the test."""
+    dqt = b"\xff\xdb\x00\x43\x00" + bytes([16] * 64)
+    sof = b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    dht_dc = (b"\xff\xc4\x00\x14\x00" + bytes([1] + [0] * 15) + bytes([3]))
+    dht_ac = (b"\xff\xc4\x00\x15\x10"
+              + bytes([0, 2] + [0] * 14)   # two 2-bit codes
+              + bytes([0x00, 0x01]))       # EOB='00', (run0,size1)='01'
+    sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    stream = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+              + bytes([0x46, 0x7F]) + b"\xff\xd9")
+    out = decode_jpeg(stream)
+    w = np.arange(8)
+    expected_row = np.clip(np.round(
+        64.0 / 8.0
+        + 16.0 * np.sqrt(1.0 / 8.0) * 0.5 * np.cos((2 * w + 1) * np.pi / 16.0)
+        + 128.0), 0, 255).astype(np.uint8)
+    assert (out[:, :, 0] == expected_row[None, :]).all()
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+def test_flat_image_roundtrips_exactly():
+    flat = np.full((16, 24, 3), 136, np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(flat, quality=90, subsampling=sub))
+        assert (out == flat).all(), sub
+
+
+def test_smooth_gradient_error_bounds():
+    img = _chroma_gradient()
+    for sub, q, max_tol, mae_tol in [("444", 90, 4, 1.0), ("444", 100, 2, 0.5),
+                                     ("420", 90, 6, 1.5), ("420", 100, 4, 1.0)]:
+        dec = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= max_tol, (sub, q, err.max())
+        assert err.mean() <= mae_tol, (sub, q, err.mean())
+
+
+def test_odd_sizes_and_restart_markers():
+    img = _chroma_gradient(37, 45)
+    enc = encode_jpeg(img, quality=95, subsampling="420", restart_interval=2)
+    assert b"\xff\xdd" in enc          # DRI present
+    assert b"\xff\xd0" in enc          # at least one RST0
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_encode_is_deterministic():
+    img = _chroma_gradient(24, 24)
+    assert encode_jpeg(img) == encode_jpeg(img)
+    assert encode_jpeg(img, quality=50) != encode_jpeg(img, quality=90)
+
+
+def test_quality_scaling_matches_public_formula():
+    qy50, _ = quality_scaled_tables(50)
+    assert (qy50 == QUANT_LUMA).all()            # scale 100 = identity
+    qy100, qc100 = quality_scaled_tables(100)
+    assert (qy100 == 1).all() and (qc100 == 1).all()
+    with pytest.raises(ValueError):
+        quality_scaled_tables(0)
+
+
+def test_progressive_and_malformed_rejected():
+    img = _chroma_gradient(16, 16)
+    enc = encode_jpeg(img)
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+# ---------------------------------------------------------------------------
+# multimodal-stage integration
+# ---------------------------------------------------------------------------
+
+def test_sniff_and_featurizer_decode_jpeg_for_real():
+    img = _chroma_gradient(32, 48)
+    payload = encode_jpeg(img, quality=90)
+    assert sniff(payload) == "jpeg"
+    feat = MediaFeaturizer()._decode(payload)
+    expected = image_features(decode_jpeg(payload))
+    assert np.array_equal(feat, expected)
+    # the features describe the actual pixels, not a hash-seeded fake:
+    # channel means must be within quantization error of the source's
+    src = image_features(img)
+    assert np.abs(feat[:3] - src[:3]).max() < 2.0
+
+
+def test_transformer_resizes_jpeg_to_ppm():
+    import pandas as pd
+    img = _chroma_gradient(64, 64)
+    payload = encode_jpeg(img, quality=100)
+    tr = MediaTransformer(out_w=16, out_h=16)
+    out = tr(pd.DataFrame({
+        "media_id": [0], "kind": ["image"], "payload": [payload],
+        "width": [64], "height": [64], "duration_ms": [0],
+    }))
+    assert list(out["op"]) == ["resize"]
+    assert out["payload"][0][:2] == b"P6"
+    from ontology_matcher_ray.functions.codecs import decode_ppm
+    resized = decode_ppm(out["payload"][0])
+    assert resized.shape == (16, 16, 3)
+    # nearest-neighbor of the decoded (near-lossless q100) pixels
+    yidx = np.arange(16) * 64 // 16
+    ref = decode_jpeg(payload)[yidx][:, yidx]
+    assert np.array_equal(resized, ref)

@@ -85,16 +85,20 @@ def test_real_decode_reaches_image_and_audio_features():
 
 def test_decode_stub_raises_where_real_codec_goes():
     f = MediaFeaturizer(decode_stub="raise")
-    # JPEG is the remaining genuinely-library-bound format (PNG now
-    # decodes for real via stdlib zlib — see codecs.decode_png)
+    # MP3/MP4 are the remaining genuinely-library-bound formats (PNG
+    # decodes via stdlib zlib, baseline JPEG via functions/jpeg.py)
     with pytest.raises(NotImplementedError, match="codec"):
-        f._decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        f._decode(b"ID3" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="codec"):
+        f._decode(b"\x00\x00\x00\x18ftyp" + b"\x00" * 16)
     # locally-decodable containers work even in raise mode
     arr = media_image_pattern(0, 8, 8)
     assert f._decode(encode_ppm(arr)).shape == (FEAT_DIM,)
     from ontology_matcher_ray.functions.codecs import encode_png
+    from ontology_matcher_ray.functions.jpeg import encode_jpeg
 
     assert f._decode(encode_png(arr)).shape == (FEAT_DIM,)
+    assert f._decode(encode_jpeg(arr)).shape == (FEAT_DIM,)
 
 
 def test_payload_sha_matches_independent_hash():
