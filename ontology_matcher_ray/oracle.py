@@ -204,6 +204,32 @@ SELECT a, b, jaccard_micro FROM pairs
 """
 
 
+def substring_pairs_sql(k: int = 8, max_df: int = 8,
+                        min_shared: int = 2) -> str:
+    """Independent recomputation of ``docs_text.dedup_substring``: every
+    k-token window hashed md5-low-half mod 2^61-1 (BIGINT-exact on both
+    sides), distinct per doc, document frequency capped at ``max_df``
+    (stop-spans), pairs counted by distinct shared spans."""
+    m61 = (1 << 61) - 1
+    return f"""
+WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+gr AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(0, greatest(len(t) - {k - 1}, 0)),
+      i -> CAST(md5_number_lower(array_to_string(t[i+1:i+{k}], ' '))
+                % {m61} AS BIGINT))) AS hs
+  FROM tk),
+hv AS (SELECT doc_id, unnest(hs) AS h FROM gr),
+keep AS (SELECT h FROM hv GROUP BY h HAVING count(*) BETWEEN 2 AND {max_df}),
+pr AS (
+  SELECT x.h, x.doc_id AS a, y.doc_id AS b
+  FROM hv x JOIN hv y ON x.h = y.h AND x.doc_id < y.doc_id
+  JOIN keep kk ON kk.h = x.h)
+SELECT a, b, CAST(count(*) AS BIGINT) AS shared_spans
+FROM pr GROUP BY a, b HAVING count(*) >= {min_shared}
+"""
+
+
 def clusters_sql(threshold_micro: int = 800_000) -> str:
     """Connected components over the verified MinHash pairs, as a
     recursive min-label propagation: cc(doc, label) holds every label
@@ -1347,6 +1373,7 @@ WHERE n_rows = (SELECT least(count(*), 256) FROM documents)
 """
 
     sql["dedup_minhash"] = minhash_sql()
+    sql["dedup_substring"] = substring_pairs_sql()
     sql["dedup_clusters"] = clusters_sql()
     sql["dedup_simhash"] = SIMHASH_SQL
     sql["dedup_simhash_pairs"] = simhash_pairs_sql()
@@ -1787,6 +1814,7 @@ SELECT 'sliding', {win_cols} FROM ({s})
     # --- near-dup pair family, native integer score per method -----------
     ja, mh = take("dedup_jaccard_adjacent"), take("dedup_minhash")
     sp, em = take("dedup_simhash_pairs"), take("dedup_embedding")
+    ss = take("dedup_substring")
     sql["dedup_pairs"] = f"""
 SELECT 'jaccard_adjacent' AS method, a, b, jaccard_micro AS score FROM ({ja})
 UNION ALL
@@ -1795,6 +1823,8 @@ UNION ALL
 SELECT 'simhash', a, b, hamming FROM ({sp})
 UNION ALL
 SELECT 'embedding', a, b, cos_sim_micro FROM ({em})
+UNION ALL
+SELECT 'substring', a, b, shared_spans FROM ({ss})
 """
 
     # --- global + per-language token frequencies -------------------------

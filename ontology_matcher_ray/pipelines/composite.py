@@ -209,9 +209,11 @@ def dedup_pairs(sf_dir: str) -> rd.Dataset:
     """Near-dup pair family in one row set, tagged by ``method``:
     exact 3-gram Jaccard on adjacent ids ('jaccard_adjacent'),
     MinHash+LSH verified pairs ('minhash'), simhash hamming-verified
-    pairs ('simhash'), embedding-cosine LSH pairs ('embedding').
+    pairs ('simhash'), embedding-cosine LSH pairs ('embedding'),
+    exact duplicated-span pairs ('substring', Lee-et-al-style).
     ``score`` carries each method's native integer metric
-    (jaccard_micro / jaccard_micro / hamming / cos_sim_micro)."""
+    (jaccard_micro / jaccard_micro / hamming / cos_sim_micro /
+    shared_spans)."""
 
     def rescore(ds: rd.Dataset, src: str) -> rd.Dataset:
         def stage(b: pd.DataFrame) -> pd.DataFrame:
@@ -230,6 +232,8 @@ def dedup_pairs(sf_dir: str) -> rd.Dataset:
                 "method", "simhash", _PAIR_COLS),
         _tagged(rescore(docs_text.dedup_embedding(sf_dir), "cos_sim_micro"),
                 "method", "embedding", _PAIR_COLS),
+        _tagged(rescore(docs_text.dedup_substring(sf_dir), "shared_spans"),
+                "method", "substring", _PAIR_COLS),
     ]
     out = parts[0]
     for p in parts[1:]:

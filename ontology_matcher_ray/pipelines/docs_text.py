@@ -390,6 +390,89 @@ def dedup_jaccard_adjacent(sf_dir: str, k: int = 3) -> rd.Dataset:
     return exchange.partitioned_apply(pairsrc, ["pair_id"], per_partition, 16)
 
 
+#: 61-bit Mersenne modulus: md5half % M61 fits BIGINT exactly on both
+#: sides (DuckDB: md5_number_lower(g) % M61 in UBIGINT, then CAST)
+_M61 = (1 << 61) - 1
+
+
+def dedup_substring(sf_dir: str, k: int = 8, max_df: int = 8,
+                    min_shared: int = 2, num_partitions: int = 16) -> rd.Dataset:
+    """Exact duplicated-SPAN detection ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022 — substring-level
+    dedup, complementing the whole-document minhash/simhash family),
+    re-expressed Ray-Data-first:
+
+    1. every k-token window of every document is hashed (md5-low-half
+       mod 2^61-1, DuckDB-recomputable), DISTINCT per doc — one
+       map_batches pass, document text never leaves it;
+    2. a span-hash exchange groups occurrences; spans seen in more than
+       ``max_df`` docs are dropped as stop-spans (boilerplate headers
+       would otherwise explode pairs quadratically — the cap bounds
+       per-span pair fan-out at max_df^2/2 no matter how hot the span);
+    3. surviving spans seen in 2+ docs emit candidate pairs, and a
+       second (a, b)-keyed exchange counts DISTINCT shared spans per
+       pair (each span contributes exactly one row from its hash
+       partition, so the count needs no global dedup);
+    4. pairs sharing >= ``min_shared`` spans are emitted as
+       (a, b, shared_spans).
+
+    Both exchanges move only integer triples; the shuffle volume is the
+    number of (span, doc) incidences, never the corpus text."""
+    from ontology_matcher_ray.functions.hashing import md5half
+    from ontology_matcher_ray.stages import exchange
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def span_rows(b: pd.DataFrame) -> pd.DataFrame:
+        doc_out: list = []
+        h_out: list = []
+        for doc_id, t in zip(b["doc_id"].astype("int64"), b["text"].astype(str)):
+            toks = t.split(" ")
+            hs = {
+                md5half(" ".join(toks[i:i + k])) % _M61
+                for i in range(len(toks) - k + 1)
+            }
+            doc_out.extend([doc_id] * len(hs))
+            h_out.extend(hs)
+        return pd.DataFrame({
+            "h": np.array(h_out, dtype=np.int64),
+            "doc_id": np.array(doc_out, dtype=np.int64),
+        })
+
+    spans = ds.map_batches(span_rows, batch_format="pandas")
+
+    def pairs_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                              for c in ("a", "b")})
+        if g.empty:
+            return empty
+        df = g.groupby("h", sort=False)["doc_id"].transform("size")
+        g = g[(df >= 2) & (df <= max_df)]
+        if g.empty:
+            return empty
+        parts = []
+        for _, grp in g.groupby("h", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy(dtype=np.int64))
+            ia, ib = np.triu_indices(len(ids), k=1)
+            parts.append(pd.DataFrame({"a": ids[ia], "b": ids[ib]}))
+        return pd.concat(parts, ignore_index=True)
+
+    cand = exchange.partitioned_apply(spans, ["h"], pairs_per_partition,
+                                      num_partitions)
+
+    def count_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("a", "b", "shared_spans")})
+        out = (g.groupby(["a", "b"], sort=False).size()
+               .reset_index(name="shared_spans"))
+        out["shared_spans"] = out["shared_spans"].astype("int64")
+        return out[out["shared_spans"] >= min_shared]
+
+    return exchange.partitioned_apply(cand, ["a", "b"], count_per_partition,
+                                      num_partitions)
+
+
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     return dedup_stages.minhash_near_dups(
         read_documents(sf_dir, columns=["doc_id", "text"]), threshold=threshold
