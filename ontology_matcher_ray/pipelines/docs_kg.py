@@ -355,17 +355,36 @@ def mention_triples(sf_dir: str) -> rd.Dataset:
     return _dedup_triples(ds.map_batches(emit, batch_format="pandas"))
 
 
+def _meta_emit_arrow(b):
+    """(doc, in_lang, lang) + (doc, from_source, source) rows, zero-copy
+    Arrow: the subj column is built with a compute kernel and the string
+    payload columns pass through without a pandas round trip."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    subj = pc.binary_join_element_wise(
+        pa.scalar("doc:"),
+        pc.cast(b.column("doc_id"), pa.string()),
+        pa.scalar(""),
+    )
+    n = b.num_rows
+    lang = pa.table({
+        "subj": subj,
+        "pred": pa.repeat(pa.scalar("in_lang"), n),
+        "obj": pc.cast(b.column("lang"), pa.string()),
+    })
+    src = pa.table({
+        "subj": subj,
+        "pred": pa.repeat(pa.scalar("from_source"), n),
+        "obj": pc.cast(b.column("source"), pa.string()),
+    })
+    return pa.concat_tables([lang, src])
+
+
 def doc_meta_triples(sf_dir: str) -> rd.Dataset:
     """(doc, in_lang, lang) and (doc, from_source, source) triples."""
     ds = read_documents(sf_dir, columns=["doc_id", "lang", "source"])
-
-    def emit(b: pd.DataFrame) -> pd.DataFrame:
-        subj = "doc:" + b["doc_id"].astype("int64").astype(str)
-        lang = pd.DataFrame({"subj": subj, "pred": "in_lang", "obj": b["lang"].astype(str)})
-        src = pd.DataFrame({"subj": subj, "pred": "from_source", "obj": b["source"].astype(str)})
-        return pd.concat([lang, src], ignore_index=True)
-
-    return _dedup_triples(ds.map_batches(emit, batch_format="pandas"))
+    return _dedup_triples(ds.map_batches(_meta_emit_arrow, batch_format="pyarrow"))
 
 
 def entity_xref_triples(sf_dir: str) -> rd.Dataset:
@@ -425,17 +444,8 @@ def kg_triples(sf_dir: str) -> rd.Dataset:
 
     body = _dedup_triples(linked.map_batches(emit_both, batch_format="pandas"))
     # doc-metadata triples are distinct per doc by construction: no actor
-    # pool, no dedup shuffle needed
+    # pool, no dedup shuffle needed; Arrow-native emit (zero-copy strings)
     meta = read_documents(sf_dir, columns=["doc_id", "lang", "source"]).map_batches(
-        lambda b: pd.concat(
-            [
-                pd.DataFrame({"subj": "doc:" + b["doc_id"].astype("int64").astype(str),
-                              "pred": "in_lang", "obj": b["lang"].astype(str)}),
-                pd.DataFrame({"subj": "doc:" + b["doc_id"].astype("int64").astype(str),
-                              "pred": "from_source", "obj": b["source"].astype(str)}),
-            ],
-            ignore_index=True,
-        ),
-        batch_format="pandas",
+        _meta_emit_arrow, batch_format="pyarrow"
     )
     return body.union(meta)
