@@ -81,7 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": docs_train.tfidf_top_terms,      # int tf-idf top-k
         "code_token_stats": _code_token_stats,              # BPE-ish regex counting
         # --- dedup family ---
-        "dedup_pairs": composite.dedup_pairs,               # jaccard+minhash+simhash+embedding
+        "dedup_pairs": composite.dedup_pairs,               # jaccard+minhash+simhash+embedding+substring
         "dedup_assignments": composite.dedup_assignments,   # exact ⋈ clusters ⋈ simhash
         "doc_profile": composite.doc_profile,               # stats ⋈ quality ⋈ fp ⋈ decontam
         # --- graph analytics over the constructed KG ---

@@ -6,10 +6,10 @@ needs no codec library — baseline sequential JPEG is an 8x8 DCT, the
 public Annex K quantization/Huffman tables, and a bit-packed entropy
 stream, all expressible in numpy + stdlib.  This module implements
 
-* ``encode_jpeg``: 8-bit RGB -> baseline JFIF bytes (4:4:4, no
-  subsampling, standard Annex K tables scaled by the libjpeg quality
-  formula, optional restart intervals).  Deterministic: same pixels +
-  quality -> same bytes.
+* ``encode_jpeg``: 8-bit RGB -> baseline JFIF bytes (4:4:4 or 4:2:0,
+  standard Annex K tables scaled by the libjpeg quality formula,
+  optional restart intervals).  Deterministic: same pixels + options ->
+  same bytes.
 * ``decode_jpeg``: baseline JFIF/EXIF bytes -> 8-bit RGB.  Handles
   grayscale and 3-component scans, arbitrary 1-2x sampling factors
   (4:4:4 / 4:2:2 / 4:2:0), multi-segment DQT/DHT, restart markers,
@@ -21,7 +21,7 @@ C[u,x] = c(u) cos((2x+1)u pi/16), c(0)=sqrt(1/8) else 1/2), applied to
 all blocks at once with ``einsum``; the per-coefficient entropy coding
 walks only the nonzero coefficients of each quantized block.
 
-Correctness is pinned two independent ways in tests/test_multimodal.py:
+Correctness is pinned two independent ways in tests/test_jpeg.py:
 a HAND-ASSEMBLED spec-level stream (markers and bits written out
 byte-by-byte from T.81, never through this encoder) must decode to its
 closed-form pixels, and encode->decode round trips must reconstruct
@@ -456,6 +456,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:             # EOI before SOS: malformed
             break
@@ -502,6 +505,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame[2]):
+                # legal baseline multi-scan (non-interleaved) layouts put
+                # each component in its own SOS; this decoder reads one
+                # interleaved scan only — fail loudly, never chroma-less
+                raise ValueError(
+                    "only single interleaved-scan JPEG supported "
+                    f"(scan has {ns} of {len(frame[2])} components)"
+                )
             scan = []
             cids = [c[0] for c in frame[2]]
             for si in range(ns):
@@ -558,7 +569,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for mx in range(mcux):
             if (restart_interval and mcu_index
                     and mcu_index % restart_interval == 0):
-                reader = _BitReader(next(seg_iter))
+                try:
+                    reader = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError(
+                        "JPEG stream is missing a restart segment its DRI "
+                        "interval requires"
+                    ) from None
                 prev_dc = [0] * len(comps)
             for (ci, dct_id, act_id) in scan:
                 _, hs, vs, _ = comps[ci]

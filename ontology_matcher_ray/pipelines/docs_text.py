@@ -450,12 +450,15 @@ def dedup_substring(sf_dir: str, k: int = 8, max_df: int = 8,
         g = g[(df >= 2) & (df <= max_df)]
         if g.empty:
             return empty
-        parts = []
+        a_parts: list = []
+        b_parts: list = []
         for _, grp in g.groupby("h", sort=False):
             ids = np.sort(grp["doc_id"].to_numpy(dtype=np.int64))
             ia, ib = np.triu_indices(len(ids), k=1)
-            parts.append(pd.DataFrame({"a": ids[ia], "b": ids[ib]}))
-        return pd.concat(parts, ignore_index=True)
+            a_parts.append(ids[ia])
+            b_parts.append(ids[ib])
+        return pd.DataFrame({"a": np.concatenate(a_parts),
+                             "b": np.concatenate(b_parts)})
 
     cand = exchange.partitioned_apply(spans, ["h"], pairs_per_partition,
                                       num_partitions)

@@ -222,7 +222,19 @@ class MediaFeaturizer:
         if container == "png":
             return image_features(decode_png(payload))
         if container == "jpeg":
-            return image_features(decode_jpeg(payload))
+            try:
+                return image_features(decode_jpeg(payload))
+            except ValueError:
+                # recognized-but-undecodable jpeg (progressive SOF2,
+                # arithmetic coding, 16-bit DQT, corrupt stream): same
+                # policy as the library-bound formats — pipelines stay
+                # runnable in default mode, loud in raise mode
+                if self.decode_stub == "raise":
+                    raise NotImplementedError(
+                        "decoding non-baseline jpeg requires a codec "
+                        "library not present in this environment (PIL)"
+                    )
+                return self._fake(payload)
         if container == "wav":
             return audio_features(*decode_wav(payload))
         if container in COMPRESSED_MAGIC.values():
@@ -324,8 +336,14 @@ class MediaTransformer:
             out = encode_ppm(self._resize(decode_png(payload)))
             return "resize", out, self.out_w, self.out_h, 0
         if container == "jpeg":
-            out = encode_ppm(self._resize(decode_jpeg(payload)))
-            return "resize", out, self.out_w, self.out_h, 0
+            try:
+                arr = decode_jpeg(payload)
+            except ValueError:
+                # non-baseline jpeg: pass through untouched, like the
+                # library-bound compressed containers
+                return "passthrough", payload, 0, 0, 0
+            return ("resize", encode_ppm(self._resize(arr)),
+                    self.out_w, self.out_h, 0)
         if container == "wav":
             samples, sr = decode_wav(payload)
             n_out = min(len(samples), sr * self.clip_ms // 1000)

@@ -151,6 +151,57 @@ def test_progressive_and_malformed_rejected():
         decode_jpeg(b"not a jpeg")
 
 
+def test_multiscan_rejected_loudly_not_chromaless():
+    """A scan header declaring fewer components than the frame (legal
+    baseline multi-scan layout this decoder does not implement) must
+    raise, never return a silently chroma-less image."""
+    img = _chroma_gradient(16, 16)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.index(b"\xff\xda")
+    # SOS: len(2) ns(1) [cid Td/Ta]*ns ss se ah/al — rewrite to ns=1
+    one_comp = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    del enc[i:i + 14]                      # original 3-component SOS
+    enc[i:i] = one_comp
+    with pytest.raises(ValueError, match="interleaved"):
+        decode_jpeg(bytes(enc))
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker."""
+    img = _chroma_gradient(16, 16)
+    enc = encode_jpeg(img)
+    padded = enc[:2] + b"\xff\xff" + enc[2:]        # fill before APP0
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
+
+
+def test_missing_restart_segment_raises_valueerror():
+    """A DRI interval the entropy stream cannot honor must surface as
+    ValueError, not a leaked StopIteration."""
+    img = _chroma_gradient(16, 16)
+    enc = encode_jpeg(img)                          # no restart markers
+    i = enc.index(b"\xff\xc0")
+    dri = b"\xff\xdd\x00\x04\x00\x01"               # interval = 1 MCU
+    patched = enc[:i] + dri + enc[i:]
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(patched)
+
+
+def test_featurizer_falls_back_on_non_baseline_jpeg():
+    """Progressive/corrupt jpeg payloads keep pipelines runnable in
+    default mode (seeded fake) and raise in raise mode — the same policy
+    as library-bound formats."""
+    img = _chroma_gradient(16, 16)
+    prog = encode_jpeg(img).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    f = MediaFeaturizer()
+    feat = f._decode(prog)
+    assert feat.shape == (16,) and np.array_equal(feat, f._fake(prog))
+    with pytest.raises(NotImplementedError, match="codec"):
+        MediaFeaturizer(decode_stub="raise")._decode(prog)
+    # transformer passes the payload through untouched
+    tr = MediaTransformer()
+    assert tr._one(prog, 0)[0] == "passthrough"
+
+
 # ---------------------------------------------------------------------------
 # multimodal-stage integration
 # ---------------------------------------------------------------------------
