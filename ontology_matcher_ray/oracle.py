@@ -1380,6 +1380,14 @@ WHERE n_rows = (SELECT least(count(*), 256) FROM documents)
     sql["fingerprints"] = FINGERPRINTS_SQL
     sql["dedup_embedding"] = embedding_sql()
 
+    sql["dedup_incremental"] = """
+SELECT d.doc_id,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM documents p
+                              WHERE p.doc_id % 2 = 0 AND p.text = d.text)
+            THEN 1 ELSE 0 END AS BIGINT) AS in_prior
+FROM documents d
+"""
+
     sql["dedup_exact"] = """
 SELECT sha256(text) AS content_sha256,
        CAST(min(doc_id) AS BIGINT) AS doc_id,
@@ -1852,10 +1860,12 @@ JOIN ({dc}) d ON s.doc_id = d.doc_id
 
     # --- per-document dedup state -----------------------------------------
     de, cl, sh = take("dedup_exact"), take("dedup_clusters"), take("dedup_simhash")
+    inc = take("dedup_incremental")
     sql["dedup_assignments"] = f"""
 SELECT e.doc_id, e.content_sha256, e.n_dups,
-       c.cluster_id, c.keep, h.simhash, h.bucket
+       c.cluster_id, c.keep, h.simhash, h.bucket, i.in_prior
 FROM ({de}) e
 JOIN ({cl}) c ON e.doc_id = c.doc_id
 JOIN ({sh}) h ON e.doc_id = h.doc_id
+JOIN ({inc}) i ON e.doc_id = i.doc_id
 """

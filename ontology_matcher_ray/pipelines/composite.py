@@ -310,13 +310,15 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
 
 def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """Per-document dedup state: exact content-hash groups ⋈ near-dup
-    cluster resolution ⋈ simhash bucket assignment on doc_id (inner;
-    one row per document from each component)."""
+    cluster resolution ⋈ simhash bucket assignment ⋈ incremental
+    prior-snapshot flag on doc_id (inner; one row per document from
+    each component)."""
     from ontology_matcher_ray.stages import exchange
 
     exact = docs_text.dedup_exact(sf_dir)
     clusters = docs_text.dedup_clusters(sf_dir)
     sim = docs_text.dedup_simhash(sf_dir)
+    inc = docs_text.dedup_incremental(sf_dir)
 
     exact_schema = {"content_sha256": "object", "doc_id": "int64",
                     "n_dups": "int64"}
@@ -326,5 +328,9 @@ def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
                             exact_schema, cl_schema,
                             num_partitions=num_partitions)
     sh_schema = {"doc_id": "int64", "simhash": "int64", "bucket": "int64"}
-    return exchange.hash_join(j1, sim, "doc_id", "doc_id", j1_schema,
-                              sh_schema, num_partitions=num_partitions)
+    j2_schema = {**j1_schema, "simhash": "int64", "bucket": "int64"}
+    j2 = exchange.hash_join(j1, sim, "doc_id", "doc_id", j1_schema,
+                            sh_schema, num_partitions=num_partitions)
+    inc_schema = {"doc_id": "int64", "in_prior": "int64"}
+    return exchange.hash_join(j2, inc, "doc_id", "doc_id", j2_schema,
+                              inc_schema, num_partitions=num_partitions)

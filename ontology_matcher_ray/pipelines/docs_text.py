@@ -476,6 +476,64 @@ def dedup_substring(sf_dir: str, k: int = 8, max_df: int = 8,
                                       num_partitions)
 
 
+def dedup_incremental(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """Continuous-ingestion exact dedup: flag each document whose content
+    already exists in a PRIOR corpus snapshot.
+
+    The 100-TB shape: a training corpus re-ingests daily; new documents
+    must be deduped against yesterday's snapshot WITHOUT recomputing it.
+    Both sides are corpus-scale, so no broadcast is possible — the prior
+    side is reduced to DISTINCT content hashes (one exchange) and the
+    incoming side LEFT-joins it on the hash through the distributed
+    ``exchange.hash_join``; only (hash, flag) pairs ever shuffle, never
+    document text.  Here the prior snapshot is the even-``doc_id`` half
+    of the table (a deterministic stand-in — production passes a real
+    prior manifest/table); output is one row per document:
+    (doc_id, in_prior) with in_prior=1 iff its exact text occurs among
+    the prior half (even docs trivially 1 via themselves)."""
+    from ontology_matcher_ray.functions.hashing import sha256_hex
+    from ontology_matcher_ray.stages import exchange
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def hash_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "h": sha256_hex(b["text"].astype(str)).to_numpy(),
+        })
+
+    hashed = docs.map_batches(hash_rows, batch_format="pandas")
+
+    def prior_rows(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"].astype("int64") % 2 == 0]
+        return pd.DataFrame({
+            "ph": sha256_hex(keep["text"].astype(str)).to_numpy(),
+            "in_prior": np.ones(len(keep), dtype=np.int64),
+        })
+
+    # DISTINCT prior hashes: a duplicated prior hash would fan out the
+    # left join (one output row per matching right row)
+    prior = exchange.distinct(
+        docs.map_batches(prior_rows, batch_format="pandas"),
+        ["ph"], num_partitions,
+    )
+
+    joined = exchange.hash_join(
+        hashed, prior, "h", "ph",
+        {"doc_id": "int64", "h": "object"},
+        {"ph": "object", "in_prior": "int64"},
+        how="left", num_partitions=num_partitions,
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "in_prior": b["in_prior"].fillna(0).astype("int64").to_numpy(),
+        })
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     return dedup_stages.minhash_near_dups(
         read_documents(sf_dir, columns=["doc_id", "text"]), threshold=threshold
