@@ -198,6 +198,10 @@ ANALYZE_OPS = {
                  "int8 embedding quantization"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
+    "substring-dups": ("docs_text", "dedup_substring",
+                       "exact duplicated-span pairs (Lee-et-al-style)"),
+    "incremental-dups": ("docs_text", "dedup_incremental",
+                         "flag docs already in the prior snapshot"),
     # graph analytics
     "cooccur": ("graph", "entity_cooccurrence", "entity co-occurrence pairs"),
     "degrees": ("graph", "kg_degrees", "node in/out degrees"),
