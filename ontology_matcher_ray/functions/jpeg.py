@@ -464,10 +464,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4:pos + 2 + seglen]
+        if seglen < 2 or len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
         pos += 2 + seglen
         if marker == 0xDB:             # DQT (possibly several tables)
             bp = 0
             while bp < len(body):
+                if bp + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 pq, tq = body[bp] >> 4, body[bp] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quant tables not supported")
@@ -479,18 +483,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:           # DHT (possibly several tables)
             bp = 0
             while bp < len(body):
+                if bp + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[bp] >> 4, body[bp] & 0x0F
                 bits = list(body[bp + 1:bp + 17])
                 cnt = sum(bits)
+                if bp + 17 + cnt > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[bp + 17:bp + 17 + cnt])
                 htabs[(tc, th)] = _DecodeTable(bits, vals)
                 bp += 17 + cnt
         elif marker == 0xC0 or marker == 0xC1:    # SOF0/1 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
             precision = body[0]
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
             h, w = struct.unpack_from(">HH", body, 1)
             nf = body[5]
+            if len(body) < 6 + 3 * nf:
+                raise ValueError("truncated SOF segment")
             comps = []
             for ci in range(nf):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -500,10 +512,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential JPEG (SOF0) supported")
         elif marker == 0xDD:           # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:           # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             if ns != len(frame[2]):
                 # legal baseline multi-scan (non-interleaved) layouts put
@@ -513,10 +529,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "only single interleaved-scan JPEG supported "
                     f"(scan has {ns} of {len(frame[2])} components)"
                 )
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS segment")
             scan = []
             cids = [c[0] for c in frame[2]]
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                if cid not in cids:
+                    raise ValueError("SOS references an undeclared component")
                 scan.append((cids.index(cid), tabs >> 4, tabs & 0x0F))
             entropy_start = pos
             break
@@ -548,8 +568,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         p += 1
     segments.append(bytes(cur))
 
+    for (_ci, dct_id, act_id) in scan:
+        if (0, dct_id) not in htabs or (1, act_id) not in htabs:
+            raise ValueError("scan references an undeclared Huffman table")
+    for (_cid, _hs, _vs, tq_) in comps:
+        if tq_ not in qtabs:
+            raise ValueError("frame references an undeclared quant table")
+
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("component sampling factor must be >= 1")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
@@ -585,6 +614,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     for bx_ in range(hs):
                         zz = np.zeros(64, dtype=np.int64)
                         size = reader.decode_symbol(dtab)
+                        if size > 15:
+                            # a DC size category above 15 can only come
+                            # from a corrupt DHT (spec max is 11)
+                            raise ValueError("invalid DC size category")
                         if size:
                             prev_dc[ci] += _extend(reader.read_bits(size), size)
                         zz[0] = prev_dc[ci]

