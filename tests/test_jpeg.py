@@ -241,6 +241,33 @@ def test_sniff_and_featurizer_decode_jpeg_for_real():
     assert np.abs(feat[:3] - src[:3]).max() < 2.0
 
 
+def test_jpeg_media_through_ray_actor_pool(ray_session):
+    """End-to-end: a media table with JPEG payloads runs through the
+    featurize_media actor-pool pipeline and yields real decoded
+    features."""
+    import pandas as pd
+    import ray.data as rd
+    from ontology_matcher_ray.stages.multimodal import featurize_media
+
+    rows = []
+    for i in range(6):
+        img = _chroma_gradient(16 + 8 * (i % 3), 24)
+        rows.append({
+            "media_id": i, "kind": "image",
+            "payload": encode_jpeg(img, quality=90,
+                                   subsampling="420" if i % 2 else "444"),
+            "width": 24, "height": 16 + 8 * (i % 3), "duration_ms": 0,
+        })
+    out = featurize_media(rd.from_pandas(pd.DataFrame(rows)),
+                          concurrency=(1, 1), batch_size=4).to_pandas()
+    assert len(out) == 6
+    for _, r in out.iterrows():
+        img = _chroma_gradient(int(r["height"]), 24)
+        # decoded-feature means sit within quantization error of source
+        assert abs(r["feat"][0] - image_features(img)[0]) < 2.0
+        assert r["feat"][10] == 24 and r["feat"][11] == r["height"]
+
+
 def test_transformer_resizes_jpeg_to_ppm():
     import pandas as pd
     img = _chroma_gradient(64, 64)
