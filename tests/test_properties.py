@@ -265,3 +265,38 @@ def test_hash_join_kernel_matches_pandas_merge(lrows, rrows):
     for how, want in wants.items():
         got = join_partition_kernel("k", ["k", "v"], ["w"], how)(g)
         pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec: encode->decode over arbitrary uint8 images
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=41),
+    st.integers(min_value=1, max_value=41),
+    st.integers(min_value=0, max_value=2 ** 31 - 1),
+    st.sampled_from(["444", "420"]),
+)
+def test_jpeg_q100_roundtrip_error_bound(h, w, seed, subsampling):
+    """At quality 100 every quantizer is 1, so the only losses are DCT
+    coefficient rounding and the color-transform round trip —
+    empirically <= 2 even on uniform noise; assert <= 4.  The 4:2:0 case
+    uses GRAY noise (r=g=b): chroma is then exactly constant 128, so the
+    2x2 averaging is lossless and the same bound applies (colored noise
+    through 4:2:0 is lossy by design — chroma averaging + RGB clipping —
+    and admits no tight invariant)."""
+    import numpy as np
+
+    from ontology_matcher_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    if subsampling == "420":
+        gray = rng.randint(0, 256, (h, w, 1), dtype=np.uint8)
+        img = np.repeat(gray, 3, axis=2)
+    else:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=100, subsampling=subsampling))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= 4, err
