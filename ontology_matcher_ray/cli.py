@@ -207,6 +207,8 @@ ANALYZE_OPS = {
     "degrees": ("graph", "kg_degrees", "node in/out degrees"),
     "pagerank": ("graph", "kg_pagerank",
                  "integer PageRank over the entity graph"),
+    "pagerank-pinned": ("graph", "kg_pagerank_pinned",
+                        "same ranks via pinned-partition Pregel actors"),
     # relational
     "pricing": ("relational", "pricing_summary", "wide aggregate over lineitem"),
     "revenue": ("relational", "revenue_by_nation",

@@ -284,3 +284,171 @@ def pagerank_from_edges(
     return ranks.map_batches(
         lambda b: b[["node", "rank"]], batch_format="pandas"
     )
+
+
+def kg_pagerank_pinned(
+    sf_dir: str, iterations: int = 5, num_partitions: int = 32
+) -> rd.Dataset:
+    """`kg_pagerank` on the pinned-partition (Pregel-actor) engine —
+    bit-identical ranks (tests/test_graph.py parity suite), edges
+    shuffled once instead of once per iteration."""
+    return pagerank_from_edges_pinned(
+        _cooc_edges(sf_dir, num_partitions), iterations, num_partitions
+    )
+
+
+def _owner_partition(nodes: pd.Series, p: int) -> np.ndarray:
+    """Process-stable owner partition per node — the SAME string hash the
+    exchange uses (`exchange.add_partition_column` string path), so the
+    two PageRank engines partition identically."""
+    h = pd.util.hash_pandas_object(nodes.astype(str), index=False).to_numpy()
+    return (h % np.uint64(p)).astype("int64")
+
+
+def pagerank_from_edges_pinned(
+    edge_ds: rd.Dataset,
+    iterations: int = 5,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Pregel-style PINNED-PARTITION PageRank: bit-identical output to
+    ``pagerank_from_edges`` (same int64 recurrence), different
+    distribution shape.
+
+    The exchange engine re-shuffles the FULL edge list every iteration
+    (2 exchanges x `iterations`); at 100 TB the edge volume dominates,
+    so this variant partitions edges by ``hash(src)`` ONCE (a single
+    exchange pass writing one parquet per partition — at cluster scale,
+    shared storage), loads each partition into a long-lived Ray ACTOR,
+    and iterates by shipping only per-destination AGGREGATED
+    contributions between actors (``num_returns=P`` routes each payload
+    to exactly one peer — nothing else crosses the wire).  This is the
+    documented raw-actor escape hatch: the Dataset API cannot pin a
+    partitioning across iterations, a stateful shard can.
+
+    Partitioning assumption (document per the custom-operator contract):
+    node ownership is ``hash(node) % P`` with the exchange's own string
+    hash, srcs are complete within their owner (so local out-degrees are
+    global), and message payloads are per-(owner, dst) pre-summed int64
+    — commutative, so arrival order cannot change a bit.  The final
+    (node, rank) table is collected once (bounded by entity-vocabulary
+    size, same bound the exchange engine materializes every round)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    edges = edge_ds.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype=str),
+            "rank": pd.Series([], dtype="int64"),
+        }))
+    p = max(1, min(num_partitions, (n_edges + 65535) // 65536))
+
+    # one-time exchange: co-locate edges by owner(src), one parquet each
+    part_dir = tempfile.mkdtemp(prefix="onto_ray_pregel_", dir="/tmp")
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(_owner_partition(g["src"].iloc[:1], p)[0])
+        g[["src", "dst"]].to_parquet(
+            os.path.join(part_dir, f"part-{pid:05d}.parquet"), index=False
+        )
+        return pd.DataFrame({"pid": np.array([pid], dtype=np.int64),
+                             "n_src": np.array([g["src"].nunique()], np.int64)})
+
+    tagged = edges.map_batches(
+        lambda b: b.assign(_owner=_owner_partition(b["src"], p)),
+        batch_format="pandas",
+    )
+    counts = (tagged.groupby("_owner")
+              .map_groups(lambda g: write_part(g.drop(columns=["_owner"])),
+                          batch_format="pandas")
+              .to_pandas())
+    n = int(counts["n_src"].sum())
+    base = TOTAL_MASS // n
+
+    @ray.remote(num_cpus=1)
+    class _Shard:
+        """One pinned graph partition: its srcs' edges + owned ranks."""
+
+        def __init__(self, path: str, pid: int, nparts: int, base_: int):
+            self.pid = pid
+            self.p = nparts
+            if os.path.exists(path):
+                e = pd.read_parquet(path)
+            else:                       # owner got no edges (hash gap)
+                e = pd.DataFrame({"src": pd.Series([], dtype=str),
+                                  "dst": pd.Series([], dtype=str)})
+            e = e.sort_values(["src", "dst"], ignore_index=True)
+            self.src = e["src"].to_numpy()
+            self.dst = e["dst"].to_numpy()
+            self.dst_owner = _owner_partition(e["dst"], nparts)
+            deg = e.groupby("src", sort=True).size()
+            self.nodes = deg.index.to_numpy()            # sorted, owned
+            self.deg = deg.to_numpy(dtype=np.int64)
+            self.rank = np.full(len(deg), base_, dtype=np.int64)
+            # src row -> owned-node index, for the contribution gather
+            self.src_idx = np.searchsorted(self.nodes, self.src)
+
+        def messages(self):
+            """Per-destination pre-summed contributions, split by owner.
+            Returns a list of (dst_nodes, contrib_sums) — slot j goes to
+            actor j and ONLY actor j (num_returns routing)."""
+            contrib = (self.rank // self.deg)[self.src_idx]
+            out = []
+            for j in range(self.p):
+                m = self.dst_owner == j
+                if not m.any():
+                    out.append((np.array([], dtype=self.dst.dtype),
+                                np.array([], dtype=np.int64)))
+                    continue
+                f = pd.DataFrame({"dst": self.dst[m], "c": contrib[m]})
+                g = f.groupby("dst", sort=True)["c"].sum()
+                out.append((g.index.to_numpy(),
+                            g.to_numpy(dtype=np.int64)))
+            return out if self.p > 1 else out[0]
+
+        def apply(self, base_: int, *payloads):
+            """Sum arrived contributions into owned ranks (int64 adds —
+            arrival order immaterial)."""
+            insum = np.zeros(len(self.nodes), dtype=np.int64)
+            for nodes, sums in payloads:
+                if len(nodes) == 0:
+                    continue
+                idx = np.searchsorted(self.nodes, nodes)
+                # messages to non-owned/deg-0 nodes are dropped (same
+                # contract as the exchange engine's reduce_)
+                ok = (idx < len(self.nodes)) & (self.nodes[np.minimum(
+                    idx, len(self.nodes) - 1)] == nodes)
+                np.add.at(insum, idx[ok], sums[ok])
+            self.rank = ((15 * base_) // 100
+                         + (85 * insum) // 100).astype(np.int64)
+
+        def result(self) -> pd.DataFrame:
+            return pd.DataFrame({"node": self.nodes, "rank": self.rank})
+
+    actors = [
+        _Shard.remote(os.path.join(part_dir, f"part-{j:05d}.parquet"),
+                      j, p, base)
+        for j in range(p)
+    ]
+    try:
+        for _round in range(iterations):
+            if p == 1:
+                ray.get(actors[0].apply.remote(
+                    base, actors[0].messages.remote()))
+                continue
+            outs = [a.messages.options(num_returns=p).remote()
+                    for a in actors]
+            ray.get([
+                actors[j].apply.remote(base, *[outs[i][j] for i in range(p)])
+                for j in range(p)
+            ])
+        frames = ray.get([a.result.remote() for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+        shutil.rmtree(part_dir, ignore_errors=True)
+    return rd.from_pandas(pd.concat(frames, ignore_index=True))

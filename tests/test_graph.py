@@ -109,3 +109,66 @@ def test_pagerank_empty_string_node_name():
     )
     assert got == reference_pagerank(edges, iterations=4)
     assert "" in got
+
+
+# ---------------------------------------------------------------------------
+# pinned-partition (Pregel-actor) engine: bit parity with the exchange
+# engine on every graph shape the exchange tests cover
+# ---------------------------------------------------------------------------
+
+def _random_edges(n_nodes: int = 40, n_edges: int = 300, seed: int = 3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, n_nodes, n_edges)
+    b = rng.randint(0, n_nodes, n_edges)
+    keep = a != b
+    e = pd.DataFrame({
+        "src": [f"n{v:03d}" for v in a[keep]],
+        "dst": [f"n{v:03d}" for v in b[keep]],
+    }).drop_duplicates(ignore_index=True)
+    # symmetric closure: every node has both directions
+    return pd.concat(
+        [e, e.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]]],
+        ignore_index=True,
+    ).drop_duplicates(ignore_index=True)
+
+
+@pytest.mark.parametrize("parts", [1, 2, 7])
+def test_pinned_pagerank_bit_identical_to_exchange(parts, ray_session):
+    from ontology_matcher_ray.pipelines.graph import pagerank_from_edges_pinned
+
+    for edges in (star_edges(), _random_edges()):
+        ex = (pagerank_from_edges(rd.from_pandas(edges), iterations=4,
+                                  num_partitions=parts)
+              .to_pandas().sort_values("node", ignore_index=True))
+        pin = (pagerank_from_edges_pinned(rd.from_pandas(edges), iterations=4,
+                                          num_partitions=parts)
+               .to_pandas().sort_values("node", ignore_index=True))
+        pd.testing.assert_frame_equal(ex, pin, check_dtype=False)
+
+
+def test_pinned_pagerank_asymmetric_and_reference(ray_session):
+    """Sink-drop contract matches the exchange engine on a directed
+    graph, and both match the plain-Python reference on symmetric
+    input."""
+    from ontology_matcher_ray.pipelines.graph import pagerank_from_edges_pinned
+
+    directed = pd.DataFrame({
+        "src": ["a", "b", "c", "a"],
+        "dst": ["b", "c", "a", "c"],
+    })
+    ex = (pagerank_from_edges(rd.from_pandas(directed), iterations=3,
+                              num_partitions=2)
+          .to_pandas().sort_values("node", ignore_index=True))
+    pin = (pagerank_from_edges_pinned(rd.from_pandas(directed), iterations=3,
+                                      num_partitions=2)
+           .to_pandas().sort_values("node", ignore_index=True))
+    pd.testing.assert_frame_equal(ex, pin, check_dtype=False)
+
+    edges = star_edges(12)
+    pin = pagerank_from_edges_pinned(rd.from_pandas(edges), iterations=5,
+                                     num_partitions=3).to_pandas()
+    assert dict(zip(pin["node"], pin["rank"])) == reference_pagerank(
+        edges, iterations=5
+    )
