@@ -26,7 +26,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """EXACTLY 50 queries covering all 67 verified operator surfaces.
+    """EXACTLY 50 queries covering all 68 verified operator surfaces.
 
     The driver's correctness harness records at most 50 queries per round
     (round 3: exactly the first 50 of 67, in dict order; round 2: all 36
@@ -81,7 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": docs_train.tfidf_top_terms,      # int tf-idf top-k
         "code_token_stats": _code_token_stats,              # BPE-ish regex counting
         # --- dedup family ---
-        "dedup_pairs": composite.dedup_pairs,               # jaccard+minhash+simhash+embedding+substring
+        "dedup_pairs": composite.dedup_pairs,               # jaccard+minhash+simhash+embedding+substring+semdedup
         "dedup_assignments": composite.dedup_assignments,   # exact ⋈ clusters ⋈ simhash
         "doc_profile": composite.doc_profile,               # stats ⋈ quality ⋈ fp ⋈ decontam
         # --- graph analytics over the constructed KG ---

@@ -202,6 +202,8 @@ ANALYZE_OPS = {
                        "exact duplicated-span pairs (Lee-et-al-style)"),
     "incremental-dups": ("docs_text", "dedup_incremental",
                          "flag docs already in the prior snapshot"),
+    "semdedup": ("docs_text", "dedup_semdedup",
+                 "k-means-blocked semantic near-dup pairs (SemDeDup)"),
     # graph analytics
     "cooccur": ("graph", "entity_cooccurrence", "entity co-occurrence pairs"),
     "degrees": ("graph", "kg_degrees", "node in/out degrees"),

@@ -608,6 +608,79 @@ def ivf_expected_parquet(top_k: int = 5, n_queries: int = 4, nlist: int = 16,
     return path
 
 
+def semdedup_expected_parquet(k: int = 16, iterations: int = 4,
+                              threshold: float = 0.35, seed: int = 29) -> str:
+    """Expected ``dedup_semdedup`` pairs per testdata scale, as one parquet.
+
+    SemDeDup's k-means blocking is deterministic by the engine's contract
+    (seeded stride-sample k-means++ init + integer-quantized Lloyd), so
+    the full pair set is precomputable.  Like ``ivf_expected_parquet``,
+    this recomputation runs OUTSIDE the engine — plain pyarrow + numpy,
+    no Ray, no stages/cluster distributed path; only the seeded centroid
+    recipe (``init_centroids`` / ``lloyd_iterate``) is shared, because
+    bit-identical centroids ARE the determinism contract being checked.
+    Assignment and within-cluster cosine scoring are recomputed here from
+    scratch.  Slices are keyed by the same order-independent embedding
+    fingerprint as the IVF oracle."""
+    import glob
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_matcher_ray.stages.cluster import init_centroids, lloyd_iterate
+
+    def norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    frames = []
+    fps = set()
+    for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        t = pq.read_table(p, columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        fp = int(np.floor(raw[:, 0] * 1_000_000).astype(np.int64).sum())
+        if fp in fps:
+            continue
+        fps.add(fp)
+        cents = lloyd_iterate(raw, init_centroids(ids, raw, k, seed), iterations)
+        matn = norm(raw)
+        assign = np.argmax(matn @ cents.T, axis=1)
+        rows = []
+        for cl in range(k):
+            m = assign == cl
+            if m.sum() < 2:
+                continue
+            v = ids[m]
+            order = np.argsort(v)
+            v, sub = v[order], matn[m][order]
+            sims = sub @ sub.T
+            iu, ju = np.triu_indices(len(v), 1)
+            sel = sims[iu, ju] >= threshold
+            for x, y, s in zip(v[iu[sel]], v[ju[sel]], sims[iu[sel], ju[sel]]):
+                rows.append((int(x), int(y),
+                             int(np.floor(s * 1_000_000)), fp))
+        frames.append(pd.DataFrame(
+            rows, columns=["a", "b", "cos_sim_micro", "emb_fp"]))
+    out_dir = "/tmp/onto_ray_oracle"
+    os.makedirs(out_dir, exist_ok=True)
+    tag = "%x" % (sum(abs(f) for f in fps) & 0xFFFFFFFF)
+    path = os.path.join(
+        out_dir, f"expected_semdedup_{tag}_{k}_{iterations}_{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    table = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                 preserve_index=False)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def _oracle_encode_ppm(i: int, w: int, h: int) -> bytes:
     """Independent P6 encoder straight from the pixel-pattern closed form
     (bytearray loop — never numpy, never the engine's codec)."""
@@ -1374,6 +1447,16 @@ WHERE n_rows = (SELECT least(count(*), 256) FROM documents)
 
     sql["dedup_minhash"] = minhash_sql()
     sql["dedup_substring"] = substring_pairs_sql()
+
+    # SemDeDup pairs: k-means blocking is non-SQL algebra; the expected
+    # set is precomputed (semdedup_expected_parquet) and sliced by the
+    # same live-view embedding fingerprint as knn_ivf
+    sql["dedup_semdedup"] = f"""
+SELECT a, b, cos_sim_micro
+FROM read_parquet('{semdedup_expected_parquet()}')
+WHERE emb_fp = (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                                     AS BIGINT)) AS BIGINT) FROM embeddings)
+"""
     sql["dedup_clusters"] = clusters_sql()
     sql["dedup_simhash"] = SIMHASH_SQL
     sql["dedup_simhash_pairs"] = simhash_pairs_sql()
@@ -1822,7 +1905,7 @@ SELECT 'sliding', {win_cols} FROM ({s})
     # --- near-dup pair family, native integer score per method -----------
     ja, mh = take("dedup_jaccard_adjacent"), take("dedup_minhash")
     sp, em = take("dedup_simhash_pairs"), take("dedup_embedding")
-    ss = take("dedup_substring")
+    ss, sd = take("dedup_substring"), take("dedup_semdedup")
     sql["dedup_pairs"] = f"""
 SELECT 'jaccard_adjacent' AS method, a, b, jaccard_micro AS score FROM ({ja})
 UNION ALL
@@ -1833,6 +1916,8 @@ UNION ALL
 SELECT 'embedding', a, b, cos_sim_micro FROM ({em})
 UNION ALL
 SELECT 'substring', a, b, shared_spans FROM ({ss})
+UNION ALL
+SELECT 'semdedup', a, b, cos_sim_micro FROM ({sd})
 """
 
     # --- global + per-language token frequencies -------------------------

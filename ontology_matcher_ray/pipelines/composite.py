@@ -210,10 +210,11 @@ def dedup_pairs(sf_dir: str) -> rd.Dataset:
     exact 3-gram Jaccard on adjacent ids ('jaccard_adjacent'),
     MinHash+LSH verified pairs ('minhash'), simhash hamming-verified
     pairs ('simhash'), embedding-cosine LSH pairs ('embedding'),
-    exact duplicated-span pairs ('substring', Lee-et-al-style).
+    exact duplicated-span pairs ('substring', Lee-et-al-style),
+    SemDeDup k-means-blocked cosine pairs ('semdedup').
     ``score`` carries each method's native integer metric
     (jaccard_micro / jaccard_micro / hamming / cos_sim_micro /
-    shared_spans)."""
+    shared_spans / cos_sim_micro)."""
 
     def rescore(ds: rd.Dataset, src: str) -> rd.Dataset:
         def stage(b: pd.DataFrame) -> pd.DataFrame:
@@ -234,6 +235,8 @@ def dedup_pairs(sf_dir: str) -> rd.Dataset:
                 "method", "embedding", _PAIR_COLS),
         _tagged(rescore(docs_text.dedup_substring(sf_dir), "shared_spans"),
                 "method", "substring", _PAIR_COLS),
+        _tagged(rescore(docs_text.dedup_semdedup(sf_dir), "cos_sim_micro"),
+                "method", "semdedup", _PAIR_COLS),
     ]
     out = parts[0]
     for p in parts[1:]:

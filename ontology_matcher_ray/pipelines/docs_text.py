@@ -571,6 +571,23 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
     )
 
 
+def dedup_semdedup(sf_dir: str, k: int = 16, iterations: int = 4,
+                   threshold: float = 0.35) -> rd.Dataset:
+    """SemDeDup (k-means blocking + within-cluster cosine) near-dup pairs.
+
+    k=16 suits the synthetic embeddings tables (500-2000 rows); at scale
+    k grows with n (stages/cluster.py documents the contract).  0.35
+    surfaces the within-cluster tail of the random 64-dim vectors (the
+    clusters concentrate similar vectors, so the threshold sits below
+    dedup_embedding's global 0.4)."""
+    from ontology_matcher_ray.stages.cluster import semdedup_pairs
+
+    return semdedup_pairs(
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]),
+        k=k, iterations=iterations, threshold=threshold, dim=64,
+    )
+
+
 # above this row count the "dimension" side is corpus-shaped, not a
 # dimension table: driver collect + per-actor probe arrays stop being
 # cheap, so the join falls back to the distributed hash exchange.

@@ -1,0 +1,149 @@
+"""Distributed k-means + SemDeDup (stages/cluster.py): the distributed
+Lloyd path must be BIT-IDENTICAL to the closed-form numpy recurrence no
+matter how the input is blocked or partitioned (the integer-partial-sum
+determinism contract), and the pair stage must find planted semantic
+duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from ontology_matcher_ray.stages.ann import _normalize
+from ontology_matcher_ray.stages.cluster import (
+    MICRO,
+    init_centroids,
+    kmeans_fit,
+    lloyd_iterate,
+    semdedup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _synth(n: int, dim: int = 8, seed: int = 7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim))
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row.tolist() for row in mat],
+    })
+
+
+def _closed_form_pairs(df: pd.DataFrame, k: int, iters: int,
+                       threshold: float, seed: int) -> pd.DataFrame:
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    cents = lloyd_iterate(mat, init_centroids(ids, mat, k, seed), iters)
+    matn = _normalize(mat)
+    assign = np.argmax(matn @ cents.T, axis=1)
+    rows = []
+    for cl in range(k):
+        m = assign == cl
+        if m.sum() < 2:
+            continue
+        v = ids[m]
+        order = np.argsort(v)
+        v, sub = v[order], matn[m][order]
+        sims = sub @ sub.T
+        iu, ju = np.triu_indices(len(v), 1)
+        sel = sims[iu, ju] >= threshold
+        for x, y, s in zip(v[iu[sel]], v[ju[sel]], sims[iu[sel], ju[sel]]):
+            rows.append((int(x), int(y), int(np.floor(s * MICRO))))
+    return (
+        pd.DataFrame(rows, columns=["a", "b", "cos_sim_micro"])
+        .astype("int64")
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("num_blocks", [1, 3, 11])
+def test_kmeans_fit_bit_identical_to_closed_form(num_blocks):
+    """Block boundaries must not change a single centroid bit: integer
+    partial sums commute, the shared update does the rest."""
+    df = _synth(300)
+    ds = rd.from_pandas(df, override_num_blocks=num_blocks)
+    got = kmeans_fit(ds, k=8, iterations=3, seed=5, dim=8)
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v) for v in df["embedding"]])
+    want = lloyd_iterate(mat, init_centroids(ids, mat, 8, 5), 3)
+    assert np.array_equal(got, want)
+
+
+def test_kmeans_fit_order_independent_init():
+    """k-means++ is row-order sensitive; init canonicalizes by id, so a
+    shuffled table fits the identical centroids."""
+    df = _synth(200)
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    a = kmeans_fit(rd.from_pandas(df, override_num_blocks=2),
+                   k=6, iterations=2, seed=5, dim=8)
+    b = kmeans_fit(rd.from_pandas(shuffled, override_num_blocks=5),
+                   k=6, iterations=2, seed=5, dim=8)
+    assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("num_partitions", [3, 17])
+def test_semdedup_pairs_matches_closed_form(num_partitions):
+    df = _synth(250)
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    got = (
+        semdedup_pairs(ds, k=8, iterations=3, threshold=0.5, seed=5,
+                       dim=8, num_partitions=num_partitions)
+        .to_pandas()
+        .astype("int64")
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = _closed_form_pairs(df, k=8, iters=3, threshold=0.5, seed=5)
+    assert len(want) > 0, "fixture must surface at least one pair"
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_semdedup_finds_planted_duplicates():
+    """Two near-identical vectors (cos ~ 0.9999) must co-cluster and be
+    emitted as a pair; unrelated random vectors at dim 32 stay below the
+    0.9 threshold."""
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 32))
+    mat[57] = mat[13] + rng.normal(scale=1e-3, size=32)  # planted dup
+    df = pd.DataFrame({
+        "vec_id": np.arange(120, dtype=np.int64),
+        "embedding": [row.tolist() for row in mat],
+    })
+    got = semdedup_pairs(
+        rd.from_pandas(df, override_num_blocks=3),
+        k=4, iterations=3, threshold=0.9, seed=5, dim=32,
+    ).to_pandas()
+    assert len(got) == 1
+    assert (int(got["a"].iloc[0]), int(got["b"].iloc[0])) == (13, 57)
+    assert got["cos_sim_micro"].iloc[0] >= 990_000
+
+
+def test_kmeans_more_clusters_than_rows():
+    """k > n must not crash: empty clusters keep their init centroid."""
+    df = _synth(5)
+    cents = kmeans_fit(rd.from_pandas(df), k=8, iterations=2, seed=5, dim=8)
+    assert cents.shape == (8, 8)
+    assert np.isfinite(cents).all()
+
+
+def test_kmeans_empty_input_raises():
+    empty = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series([], dtype="int64"),
+        "embedding": pd.Series([], dtype=object),
+    }))
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_fit(empty, k=4, iterations=1, dim=8)
+
+
+def test_semdedup_sf_fixture_nonempty():
+    """The synthetic embeddings table must surface within-cluster tail
+    pairs at the wrapper's default threshold (meaningful oracle rows)."""
+    from ontology_matcher_ray.pipelines.docs_text import dedup_semdedup
+
+    got = dedup_semdedup(SF).to_pandas()
+    assert len(got) > 0
+    assert (got["a"] < got["b"]).all()
+    assert (got["cos_sim_micro"] >= int(0.35 * MICRO)).all()
