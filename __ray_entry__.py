@@ -87,7 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- graph analytics over the constructed KG ---
         "entity_cooccurrence": graph.entity_cooccurrence,   # two-exchange pairs
         "kg_degrees": graph.kg_degrees,                     # combiner + exchange
-        "kg_pagerank": graph.kg_pagerank,                   # integer msg-passing
+        "kg_pagerank": graph.kg_pagerank_pinned,            # Pregel engine; ranks bit-identical to graph.kg_pagerank
         # --- relational big⋈big family (pipelines/relational.py) ---
         "pricing_summary": relational.pricing_summary,      # Q1-shaped combiner agg
         "order_price_quantiles": composite.order_price_quantiles_both,  # exact + sketch

@@ -155,7 +155,10 @@ def _bench_once() -> dict:
         "dedup_minhash": lambda: docs_text.dedup_minhash(sf_dir),
         "knn_brute": lambda: docs_text.knn_brute(sf_dir),
         "events_sessionize": lambda: events.sessionize(sf_dir),
-        "kg_pagerank": lambda: graph.kg_pagerank(sf_dir),
+        # pinned-partition (Pregel-actor) engine: bit-identical ranks to
+        # the per-iteration exchange engine (tests/test_graph.py parity),
+        # ~1.3x faster (edges shuffle once, not once per iteration)
+        "kg_pagerank": lambda: graph.kg_pagerank_pinned(sf_dir),
         "doc_pack": lambda: docs_train.doc_pack(sf_dir),
         "tfidf_top_terms": lambda: docs_train.tfidf_top_terms(sf_dir),
         "pricing_summary": lambda: relational.pricing_summary(sf_dir),
