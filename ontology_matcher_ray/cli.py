@@ -204,6 +204,8 @@ ANALYZE_OPS = {
                          "flag docs already in the prior snapshot"),
     "semdedup": ("docs_text", "dedup_semdedup",
                  "k-means-blocked semantic near-dup pairs (SemDeDup)"),
+    "semdedup-keep": ("docs_text", "semdedup_keep",
+                      "per-vector SemDeDup pruning decision (cluster+keep)"),
     # graph analytics
     "cooccur": ("graph", "entity_cooccurrence", "entity co-occurrence pairs"),
     "degrees": ("graph", "kg_degrees", "node in/out degrees"),

@@ -681,6 +681,73 @@ def semdedup_expected_parquet(k: int = 16, iterations: int = 4,
     return path
 
 
+def semdedup_assign_expected_parquet(k: int = 16, iterations: int = 4,
+                                     threshold: float = 0.35,
+                                     seed: int = 29) -> str:
+    """Expected per-vector SemDeDup pruning decisions (vec_id,
+    kmeans_cluster, sem_keep) per testdata scale — the companion of
+    ``semdedup_expected_parquet`` for the assignment surface.  Keep rule
+    recomputed independently (explicit per-row scan for a smaller-id
+    neighbor above threshold, not the engine's masked-triangle kernel)."""
+    import glob
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontology_matcher_ray.stages.cluster import init_centroids, lloyd_iterate
+
+    def norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    frames = []
+    fps = set()
+    for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        t = pq.read_table(p, columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        fp = int(np.floor(raw[:, 0] * 1_000_000).astype(np.int64).sum())
+        if fp in fps:
+            continue
+        fps.add(fp)
+        cents = lloyd_iterate(raw, init_centroids(ids, raw, k, seed), iterations)
+        matn = norm(raw)
+        assign = np.argmax(matn @ cents.T, axis=1)
+        rows = []
+        for cl in range(k):
+            m = assign == cl
+            v = ids[m]
+            order = np.argsort(v)
+            v, sub = v[order], matn[m][order]
+            for i in range(len(v)):
+                keep = True
+                for j in range(i):
+                    if float(sub[i] @ sub[j]) >= threshold:
+                        keep = False
+                        break
+                rows.append((int(v[i]), cl, keep, fp))
+        frames.append(pd.DataFrame(
+            rows, columns=["vec_id", "kmeans_cluster", "sem_keep", "emb_fp"]))
+    out_dir = "/tmp/onto_ray_oracle"
+    os.makedirs(out_dir, exist_ok=True)
+    tag = "%x" % (sum(abs(f) for f in fps) & 0xFFFFFFFF)
+    path = os.path.join(
+        out_dir,
+        f"expected_semdedup_assign_{tag}_{k}_{iterations}_{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    table = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                 preserve_index=False)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def _oracle_encode_ppm(i: int, w: int, h: int) -> bytes:
     """Independent P6 encoder straight from the pixel-pattern closed form
     (bytearray loop — never numpy, never the engine's codec)."""
@@ -1576,9 +1643,19 @@ SELECT p.event_id, p.user_id,
 FROM p LEFT JOIN ranked r ON r.event_id = p.event_id AND r.rn = 1
 """
 
-    sql["doc_embedding_join"] = """
-SELECT d.doc_id, d.lang, d.n_chars, CAST(e.label AS BIGINT) AS label
-FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    # base join in live SQL; the SemDeDup pruning columns come from the
+    # precomputed expected set, sliced by the live embedding fingerprint
+    # (k-means is non-SQL algebra — same mechanism as knn_ivf)
+    sql["doc_embedding_join"] = f"""
+SELECT d.doc_id, d.lang, d.n_chars, CAST(e.label AS BIGINT) AS label,
+       s.kmeans_cluster, s.sem_keep
+FROM documents d
+JOIN embeddings e ON e.vec_id = d.doc_id
+JOIN read_parquet('{semdedup_assign_expected_parquet()}') s
+  ON s.vec_id = e.vec_id
+ AND s.emb_fp = (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)
+                                            * 1000000) AS BIGINT)) AS BIGINT)
+                 FROM embeddings)
 """
 
     sql["sample_docs"] = """

@@ -311,6 +311,25 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
                               dc_schema, num_partitions=num_partitions)
 
 
+def doc_embedding_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """documents ⋈ embeddings (the size-gated broadcast/exchange join)
+    ⋈ per-vector SemDeDup pruning decision on doc_id = vec_id (inner;
+    the decision side emits exactly one row per vector) through the
+    engine's distributed ``exchange.hash_join``.  Emits (doc_id, lang,
+    n_chars, label, kmeans_cluster, sem_keep)."""
+    from ontology_matcher_ray.stages import exchange
+
+    base = docs_text.doc_embedding_join(sf_dir)
+    keep = docs_text.semdedup_keep(sf_dir)
+    base_schema = {"doc_id": "int64", "lang": "object",
+                   "n_chars": "int64", "label": "int64"}
+    keep_schema = {"vec_id": "int64", "kmeans_cluster": "int64",
+                   "sem_keep": "bool"}
+    return exchange.hash_join(base, keep, "doc_id", "vec_id",
+                              base_schema, keep_schema,
+                              num_partitions=num_partitions)
+
+
 def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """Per-document dedup state: exact content-hash groups ⋈ near-dup
     cluster resolution ⋈ simhash bucket assignment ⋈ incremental

@@ -588,6 +588,20 @@ def dedup_semdedup(sf_dir: str, k: int = 16, iterations: int = 4,
     )
 
 
+def semdedup_keep(sf_dir: str, k: int = 16, iterations: int = 4,
+                  threshold: float = 0.35) -> rd.Dataset:
+    """Per-vector SemDeDup pruning decision (vec_id, kmeans_cluster,
+    sem_keep) — same fit/threshold defaults as ``dedup_semdedup`` so the
+    keep flags are exactly 'no smaller-id partner among that query's
+    pairs'."""
+    from ontology_matcher_ray.stages.cluster import semdedup_assignments
+
+    return semdedup_assignments(
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]),
+        k=k, iterations=iterations, threshold=threshold, dim=64,
+    )
+
+
 # above this row count the "dimension" side is corpus-shaped, not a
 # dimension table: driver collect + per-actor probe arrays stop being
 # cheap, so the join falls back to the distributed hash exchange.

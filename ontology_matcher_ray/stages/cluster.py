@@ -198,6 +198,42 @@ def kmeans_fit(
     return cents
 
 
+def _fit_and_assign(
+    ds: rd.Dataset,
+    k: int,
+    iterations: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    dim: Optional[int],
+) -> rd.Dataset:
+    """Shared SemDeDup front half: fit centroids, then one assignment
+    pass tagging every vector with its cluster.  The normalized payload
+    rides along so downstream per-cluster stages never re-read vectors
+    (same shape as the LSH verifier's pair join)."""
+    proj = ds.map_batches(
+        lambda b: b[[id_col, vec_col]], batch_format="pandas"
+    ).materialize()  # consumed iterations+1 times (fit rounds + assignment)
+
+    cents = kmeans_fit(proj, k, iterations, seed, id_col, vec_col, dim)
+    ref = ray.put(cents)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        matn = _stack(b, vec_col)
+        return pd.DataFrame(
+            {
+                "cluster": np.argmax(matn @ c.T, axis=1).astype(np.int64),
+                "vid": b[id_col].astype("int64").to_numpy(),
+                # plain lists: object columns of np.ndarray break the
+                # pandas<->Arrow conversion inside the exchange
+                "payload": [row.tolist() for row in matn],
+            }
+        )
+
+    return proj.map_batches(assign, batch_format="pandas", batch_size=4096)
+
+
 def semdedup_pairs(
     ds: rd.Dataset,
     k: int = 16,
@@ -221,27 +257,7 @@ def semdedup_pairs(
     """
     from ontology_matcher_ray.stages import exchange
 
-    proj = ds.map_batches(
-        lambda b: b[[id_col, vec_col]], batch_format="pandas"
-    ).materialize()  # consumed iterations+1 times (fit rounds + assignment)
-
-    cents = kmeans_fit(proj, k, iterations, seed, id_col, vec_col, dim)
-    ref = ray.put(cents)
-
-    def assign(b: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(ref)
-        matn = _stack(b, vec_col)
-        return pd.DataFrame(
-            {
-                "cluster": np.argmax(matn @ c.T, axis=1).astype(np.int64),
-                "vid": b[id_col].astype("int64").to_numpy(),
-                # plain lists: object columns of np.ndarray break the
-                # pandas<->Arrow conversion inside the exchange
-                "payload": [row.tolist() for row in matn],
-            }
-        )
-
-    assigned = proj.map_batches(assign, batch_format="pandas", batch_size=4096)
+    assigned = _fit_and_assign(ds, k, iterations, seed, id_col, vec_col, dim)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         cols = ["a", "b", "cos_sim_micro"]
@@ -271,3 +287,62 @@ def semdedup_pairs(
         )
 
     return exchange.partitioned_apply(assigned, ["cluster"], pairs, num_partitions)
+
+
+def semdedup_assignments(
+    ds: rd.Dataset,
+    k: int = 16,
+    iterations: int = 4,
+    threshold: float = 0.4,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-vector SemDeDup pruning decision: one row per input vector,
+    (vec_id, kmeans_cluster, sem_keep).
+
+    ``sem_keep`` is False iff the vector has a WITHIN-CLUSTER neighbor
+    with cosine >= threshold and a SMALLER id — the deterministic
+    keep-lowest-id rule, so exactly one representative of every semantic
+    near-dup group survives (the paper keeps the vector farthest from
+    the centroid; lowest-id is the order-free equivalent the rest of
+    this engine's dedup family uses).  Same distribution story and scale
+    contract as ``semdedup_pairs``."""
+    from ontology_matcher_ray.stages import exchange
+
+    assigned = _fit_and_assign(ds, k, iterations, seed, id_col, vec_col, dim)
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cl, grp in g.groupby("cluster", sort=False):
+            grp = grp.sort_values("vid", kind="mergesort")
+            vids = grp["vid"].to_numpy(dtype=np.int64)
+            if len(grp) == 1:
+                dropped = np.zeros(1, dtype=bool)
+            else:
+                mat = np.stack(
+                    [np.asarray(p, dtype=np.float64) for p in grp["payload"]]
+                )
+                sims = mat @ mat.T  # payload rows are already normalized
+                # strictly-lower triangle: sims[i, j] with j < i pairs row
+                # i against every SMALLER-id row (vids ascending); masked
+                # explicitly so a non-positive threshold can't match the
+                # zeroed upper triangle
+                lower = np.tril(np.ones_like(sims, dtype=bool), -1)
+                dropped = ((sims >= threshold) & lower).any(axis=1)
+            frames.append(pd.DataFrame({
+                id_col: vids,
+                "kmeans_cluster": np.full(len(vids), cl, dtype=np.int64),
+                "sem_keep": ~dropped,
+            }))
+        if not frames:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "kmeans_cluster": pd.Series([], dtype="int64"),
+                "sem_keep": pd.Series([], dtype=bool),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    return exchange.partitioned_apply(assigned, ["cluster"], decide, num_partitions)

@@ -16,6 +16,7 @@ from ontology_matcher_ray.stages.cluster import (
     init_centroids,
     kmeans_fit,
     lloyd_iterate,
+    semdedup_assignments,
     semdedup_pairs,
 )
 
@@ -136,6 +137,41 @@ def test_kmeans_empty_input_raises():
     }))
     with pytest.raises(ValueError, match="empty input"):
         kmeans_fit(empty, k=4, iterations=1, dim=8)
+
+
+@pytest.mark.parametrize("num_partitions", [3, 17])
+def test_semdedup_assignments_consistent_with_pairs(num_partitions):
+    """The keep flag must be exactly 'no smaller-id partner among the
+    pair set': dropped ids == {b for (a, b) in pairs}, one row per input
+    vector, and the flag is partition-count invariant."""
+    df = _synth(250)
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    kw = dict(k=8, iterations=3, threshold=0.5, seed=5, dim=8,
+              num_partitions=num_partitions)
+    asg = semdedup_assignments(ds, **kw).to_pandas()
+    prs = semdedup_pairs(ds, **kw).to_pandas()
+    assert len(asg) == len(df)
+    assert asg["vec_id"].is_unique
+    dropped = set(asg.loc[~asg["sem_keep"], "vec_id"])
+    assert dropped == set(prs["b"].astype("int64"))
+
+
+def test_semdedup_assignments_planted_duplicate_dropped():
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 32))
+    mat[57] = mat[13] + rng.normal(scale=1e-3, size=32)
+    df = pd.DataFrame({
+        "vec_id": np.arange(120, dtype=np.int64),
+        "embedding": [row.tolist() for row in mat],
+    })
+    asg = semdedup_assignments(
+        rd.from_pandas(df, override_num_blocks=3),
+        k=4, iterations=3, threshold=0.9, seed=5, dim=32,
+    ).to_pandas().set_index("vec_id")
+    assert bool(asg.loc[13, "sem_keep"]) is True   # lowest id survives
+    assert bool(asg.loc[57, "sem_keep"]) is False  # its near-copy is pruned
+    assert asg.loc[13, "kmeans_cluster"] == asg.loc[57, "kmeans_cluster"]
+    assert asg["sem_keep"].sum() == 119
 
 
 def test_semdedup_sf_fixture_nonempty():
