@@ -608,6 +608,47 @@ def ivf_expected_parquet(top_k: int = 5, n_queries: int = 4, nlist: int = 16,
     return path
 
 
+def _embedding_scales():
+    """(ids, raw, fp) per distinct testdata embeddings table, plus the
+    combined cache tag.  The fingerprint read (one parquet scan per
+    small test table) is the CHEAP part — callers check their cache
+    path against the returned tag BEFORE doing any k-means or pair
+    scoring, so a warm cache skips the expensive recomputation, not
+    just the file write."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    entries, fps = [], set()
+    for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        t = pq.read_table(p, columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        fp = int(np.floor(raw[:, 0] * 1_000_000).astype(np.int64).sum())
+        if fp in fps:
+            continue
+        fps.add(fp)
+        entries.append((ids, raw, fp))
+    tag = "%x" % (sum(abs(f) for f in fps) & 0xFFFFFFFF)
+    return entries, tag
+
+
+def _write_expected(path: str, frame) -> str:
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(frame, preserve_index=False)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def semdedup_expected_parquet(k: int = 16, iterations: int = 4,
                               threshold: float = 0.35, seed: int = 29) -> str:
     """Expected ``dedup_semdedup`` pairs per testdata scale, as one parquet.
@@ -621,34 +662,38 @@ def semdedup_expected_parquet(k: int = 16, iterations: int = 4,
     bit-identical centroids ARE the determinism contract being checked.
     Assignment and within-cluster cosine scoring are recomputed here from
     scratch.  Slices are keyed by the same order-independent embedding
-    fingerprint as the IVF oracle."""
-    import glob
+    fingerprint as the IVF oracle; EVERY parameter that shapes the row
+    set — k, iterations, threshold, seed — is in the cache filename."""
     import os
-    import tempfile
 
     import numpy as np
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ontology_matcher_ray.stages.cluster import init_centroids, lloyd_iterate
 
     def norm(m):
         return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
+    entries, tag = _embedding_scales()
+    out_dir = "/tmp/onto_ray_oracle"
+    os.makedirs(out_dir, exist_ok=True)
+    thr_micro = int(round(threshold * 1_000_000))
+    path = os.path.join(
+        out_dir,
+        f"expected_semdedup_{tag}_{k}_{iterations}_{thr_micro}_{seed}.parquet")
+    if os.path.exists(path):
+        return path
+
+    thr12 = thr_micro * 1_000_000  # threshold in micro^2 space
     frames = []
-    fps = set()
-    for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
-        t = pq.read_table(p, columns=["vec_id", "embedding"])
-        ids = t["vec_id"].to_numpy()
-        raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-        fp = int(np.floor(raw[:, 0] * 1_000_000).astype(np.int64).sum())
-        if fp in fps:
-            continue
-        fps.add(fp)
+    for ids, raw, fp in entries:
         cents = lloyd_iterate(raw, init_centroids(ids, raw, k, seed), iterations)
-        matn = norm(raw)
-        assign = np.argmax(matn @ cents.T, axis=1)
+        # quantized-integer assignment + pair scoring — the engine's
+        # documented rule (stages/cluster.py determinism contract):
+        # int64 dots are exact at every matrix shape, unlike float gemm
+        q = np.floor(norm(raw) * 1_000_000).astype(np.int64)
+        qc = np.floor(cents * 1_000_000).astype(np.int64)
+        assign = np.argmax(q @ qc.T, axis=1)
         rows = []
         for cl in range(k):
             m = assign == cl
@@ -656,29 +701,15 @@ def semdedup_expected_parquet(k: int = 16, iterations: int = 4,
                 continue
             v = ids[m]
             order = np.argsort(v)
-            v, sub = v[order], matn[m][order]
+            v, sub = v[order], q[m][order]
             sims = sub @ sub.T
             iu, ju = np.triu_indices(len(v), 1)
-            sel = sims[iu, ju] >= threshold
+            sel = sims[iu, ju] >= thr12
             for x, y, s in zip(v[iu[sel]], v[ju[sel]], sims[iu[sel], ju[sel]]):
-                rows.append((int(x), int(y),
-                             int(np.floor(s * 1_000_000)), fp))
+                rows.append((int(x), int(y), int(s) // 1_000_000, fp))
         frames.append(pd.DataFrame(
             rows, columns=["a", "b", "cos_sim_micro", "emb_fp"]))
-    out_dir = "/tmp/onto_ray_oracle"
-    os.makedirs(out_dir, exist_ok=True)
-    tag = "%x" % (sum(abs(f) for f in fps) & 0xFFFFFFFF)
-    path = os.path.join(
-        out_dir, f"expected_semdedup_{tag}_{k}_{iterations}_{seed}.parquet")
-    if os.path.exists(path):
-        return path
-    table = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                 preserve_index=False)
-    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
-    os.close(fd)
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
-    return path
+    return _write_expected(path, pd.concat(frames, ignore_index=True))
 
 
 def semdedup_assign_expected_parquet(k: int = 16, iterations: int = 4,
@@ -688,64 +719,56 @@ def semdedup_assign_expected_parquet(k: int = 16, iterations: int = 4,
     kmeans_cluster, sem_keep) per testdata scale — the companion of
     ``semdedup_expected_parquet`` for the assignment surface.  Keep rule
     recomputed independently (explicit per-row scan for a smaller-id
-    neighbor above threshold, not the engine's masked-triangle kernel)."""
-    import glob
+    neighbor above threshold, not the engine's masked-triangle kernel).
+    Cache keyed by every row-set-shaping parameter, checked before the
+    expensive recomputation (same contract as the pairs oracle)."""
     import os
-    import tempfile
 
     import numpy as np
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ontology_matcher_ray.stages.cluster import init_centroids, lloyd_iterate
 
     def norm(m):
         return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
+    entries, tag = _embedding_scales()
+    out_dir = "/tmp/onto_ray_oracle"
+    os.makedirs(out_dir, exist_ok=True)
+    thr_micro = int(round(threshold * 1_000_000))
+    path = os.path.join(
+        out_dir,
+        f"expected_semdedup_assign_{tag}_{k}_{iterations}_{thr_micro}_"
+        f"{seed}.parquet")
+    if os.path.exists(path):
+        return path
+
+    thr12 = thr_micro * 1_000_000  # threshold in micro^2 space
     frames = []
-    fps = set()
-    for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
-        t = pq.read_table(p, columns=["vec_id", "embedding"])
-        ids = t["vec_id"].to_numpy()
-        raw = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-        fp = int(np.floor(raw[:, 0] * 1_000_000).astype(np.int64).sum())
-        if fp in fps:
-            continue
-        fps.add(fp)
+    for ids, raw, fp in entries:
         cents = lloyd_iterate(raw, init_centroids(ids, raw, k, seed), iterations)
-        matn = norm(raw)
-        assign = np.argmax(matn @ cents.T, axis=1)
+        # quantized-integer assignment + per-pair integer dots (the
+        # engine's documented rule) — but scanned row-by-row here, not
+        # via the engine's masked-triangle kernel
+        q = np.floor(norm(raw) * 1_000_000).astype(np.int64)
+        qc = np.floor(cents * 1_000_000).astype(np.int64)
+        assign = np.argmax(q @ qc.T, axis=1)
         rows = []
         for cl in range(k):
             m = assign == cl
             v = ids[m]
             order = np.argsort(v)
-            v, sub = v[order], matn[m][order]
+            v, sub = v[order], q[m][order]
             for i in range(len(v)):
                 keep = True
                 for j in range(i):
-                    if float(sub[i] @ sub[j]) >= threshold:
+                    if int(sub[i] @ sub[j]) >= thr12:
                         keep = False
                         break
                 rows.append((int(v[i]), cl, keep, fp))
         frames.append(pd.DataFrame(
             rows, columns=["vec_id", "kmeans_cluster", "sem_keep", "emb_fp"]))
-    out_dir = "/tmp/onto_ray_oracle"
-    os.makedirs(out_dir, exist_ok=True)
-    tag = "%x" % (sum(abs(f) for f in fps) & 0xFFFFFFFF)
-    path = os.path.join(
-        out_dir,
-        f"expected_semdedup_assign_{tag}_{k}_{iterations}_{seed}.parquet")
-    if os.path.exists(path):
-        return path
-    table = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                 preserve_index=False)
-    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet")
-    os.close(fd)
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
-    return path
+    return _write_expected(path, pd.concat(frames, ignore_index=True))
 
 
 def _oracle_encode_ppm(i: int, w: int, h: int) -> bytes:

@@ -309,6 +309,7 @@ def pagerank_from_edges_pinned(
     edge_ds: rd.Dataset,
     iterations: int = 5,
     num_partitions: int = 32,
+    rows_per_partition: int = 65536,
 ) -> rd.Dataset:
     """Pregel-style PINNED-PARTITION PageRank: bit-identical output to
     ``pagerank_from_edges`` (same int64 recurrence), different
@@ -332,11 +333,8 @@ def pagerank_from_edges_pinned(
     — commutative, so arrival order cannot change a bit.  The final
     (node, rank) table is collected once (bounded by entity-vocabulary
     size, same bound the exchange engine materializes every round)."""
-    import os
     import shutil
     import tempfile
-
-    import ray
 
     edges = edge_ds.materialize()
     n_edges = edges.count()
@@ -345,13 +343,38 @@ def pagerank_from_edges_pinned(
             "node": pd.Series([], dtype=str),
             "rank": pd.Series([], dtype="int64"),
         }))
-    p = max(1, min(num_partitions, (n_edges + 65535) // 65536))
+    import ray
 
-    # one-time exchange: co-locate edges by owner(src), one parquet each
+    rpp = max(1, int(rows_per_partition))
+    p = max(1, min(num_partitions, (n_edges + rpp - 1) // rpp))
+    # each shard is a 1-CPU pinned actor; more shards than cluster CPUs
+    # would leave actors unschedulable and DEADLOCK the iteration loop
+    # (ray.get on a message from an actor that never starts)
+    p = max(1, min(p, int(ray.cluster_resources().get("CPU", 1))))
+
+    # one-time exchange: co-locate edges by owner(src), one parquet each.
+    # part_dir cleanup must cover the exchange itself (a failed shuffle
+    # would otherwise leak a partially-populated /tmp dir), so the
+    # try/finally starts immediately after mkdtemp.
     part_dir = tempfile.mkdtemp(prefix="onto_ray_pregel_", dir="/tmp")
+    try:
+        return _pagerank_pinned_run(edges, iterations, p, part_dir)
+    finally:
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+
+def _pagerank_pinned_run(
+    edges: rd.Dataset, iterations: int, p: int, part_dir: str
+) -> rd.Dataset:
+    import os
+
+    import ray
 
     def write_part(g: pd.DataFrame) -> pd.DataFrame:
-        pid = int(_owner_partition(g["src"].iloc[:1], p)[0])
+        # the groupby key IS the partition id — pass it through instead
+        # of re-hashing the first src (keeps one hash invocation, one
+        # source of truth)
+        pid = int(g["_owner"].iloc[0])
         g[["src", "dst"]].to_parquet(
             os.path.join(part_dir, f"part-{pid:05d}.parquet"), index=False
         )
@@ -363,8 +386,7 @@ def pagerank_from_edges_pinned(
         batch_format="pandas",
     )
     counts = (tagged.groupby("_owner")
-              .map_groups(lambda g: write_part(g.drop(columns=["_owner"])),
-                          batch_format="pandas")
+              .map_groups(write_part, batch_format="pandas")
               .to_pandas())
     n = int(counts["n_src"].sum())
     base = TOTAL_MASS // n
@@ -415,7 +437,10 @@ def pagerank_from_edges_pinned(
             arrival order immaterial)."""
             insum = np.zeros(len(self.nodes), dtype=np.int64)
             for nodes, sums in payloads:
-                if len(nodes) == 0:
+                # an edge-less shard (hash gap) owns no nodes; every
+                # arriving message is to a non-owned node — drop them
+                # (indexing the empty self.nodes would raise otherwise)
+                if len(nodes) == 0 or len(self.nodes) == 0:
                     continue
                 idx = np.searchsorted(self.nodes, nodes)
                 # messages to non-owned/deg-0 nodes are dropped (same
@@ -450,5 +475,4 @@ def pagerank_from_edges_pinned(
     finally:
         for a in actors:
             ray.kill(a)
-        shutil.rmtree(part_dir, ignore_errors=True)
     return rd.from_pandas(pd.concat(frames, ignore_index=True))

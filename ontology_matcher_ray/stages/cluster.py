@@ -16,9 +16,18 @@ addition is order-independent, so the distributed path — per-batch
 partials -> per-batch recombine -> bounded driver reduce -> shared
 float64 update — is bit-identical to the closed-form numpy recurrence
 ``lloyd_iterate`` regardless of block boundaries, batch sizes, or task
-scheduling (tested).  The oracle shares only ``init_centroids`` /
-``lloyd_iterate`` (the seeded recipe IS the contract being checked) and
-recomputes assignment + pair scoring independently.
+scheduling (tested).  Assignment and pair scoring are integer-exact
+too: scores are int64 dots of the micro-QUANTIZED vectors/centroids
+(|q| <= 1e6 per component, so a dot is <= dim * 1e12 — overflow-free to
+dim ~9e6), never float gemm, because BLAS results are not guaranteed
+bit-stable across matrix shapes or thread counts and the engine's
+per-batch matmuls have different shapes than the oracle's full-matrix
+ones.  An integer dot is exact at every shape, which closes the one
+floating-point link in the chain; ``cos_sim_micro`` is the quantized
+dot floor-divided by MICRO (within ~2*dim micro of the float cosine).
+The oracle shares only ``init_centroids`` / ``lloyd_iterate`` (the
+seeded recipe IS the contract being checked) and recomputes assignment
++ pair scoring independently under the same quantized-integer rule.
 
 No reference-parity citation: the reference (open-prophetdb/
 ontology-matcher) has no clustering surface; this is part of the
@@ -72,10 +81,10 @@ def lloyd_iterate(
     cannot change a row's normalized value).  Used by tests and the
     oracle's Ray-free recomputation."""
     matn = _normalize(np.asarray(mat, dtype=np.float64))
+    q = quantize_micro(matn)
     k = cents.shape[0]
     for _ in range(iterations):
-        assign = np.argmax(matn @ cents.T, axis=1)
-        q = quantize_micro(matn)
+        assign = np.argmax(q @ quantize_micro(cents).T, axis=1)
         sums = np.zeros((k, cents.shape[1]), dtype=np.int64)
         np.add.at(sums, assign, q)
         counts = np.bincount(assign, minlength=k).astype(np.int64)
@@ -144,11 +153,23 @@ def kmeans_fit(
     if dim is None:
         dim = len(np.asarray(ds.take(1)[0][vec_col]))
     stride = max(1, n_total // 2048)
+    # collect the FULL stride-survivor set (~n/stride rows — ≈2048-4096
+    # for near-dense ids, the same boundedness assumption as the IVF
+    # index sample), then canonicalize to the SMALLEST 2048 ids.  A
+    # block-order `.limit(2048)` here would make the sampled row SET
+    # depend on Ray's scheduling whenever more than 2048 rows survive,
+    # breaking the bit-identical contract with init_centroids / the
+    # oracle, which truncate AFTER sorting by id.
+    # vectorized batch filter, not filter(expr=...): Ray's expression
+    # parser rejects a modulo on the left of a comparison
     sample = (
-        ds.filter(expr=f"{id_col} % {stride} == 0").limit(2048).to_pandas()
+        ds.map_batches(
+            lambda b: b[b[id_col] % stride == 0], batch_format="pandas"
+        ).to_pandas()
         if stride > 1
-        else ds.limit(2048).to_pandas()
+        else ds.to_pandas()
     )
+    sample = sample.sort_values(id_col, kind="mergesort").head(2048)
     # init_centroids re-derives the stride mask from the ids so the
     # closed-form recomputation selects the identical sample rows
     cents = init_centroids(
@@ -165,9 +186,8 @@ def kmeans_fit(
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             c = ray.get(ref)  # zero-copy plasma fetch per task
-            matn = _stack(b, vec_col)
-            assign = np.argmax(matn @ c.T, axis=1)
-            q = quantize_micro(matn)
+            q = quantize_micro(_stack(b, vec_col))
+            assign = np.argmax(q @ quantize_micro(c).T, axis=1)
             sums = np.zeros((k, dim), dtype=np.int64)
             np.add.at(sums, assign, q)
             counts = np.bincount(assign, minlength=k).astype(np.int64)
@@ -208,8 +228,9 @@ def _fit_and_assign(
     dim: Optional[int],
 ) -> rd.Dataset:
     """Shared SemDeDup front half: fit centroids, then one assignment
-    pass tagging every vector with its cluster.  The normalized payload
-    rides along so downstream per-cluster stages never re-read vectors
+    pass tagging every vector with its cluster.  The QUANTIZED (int64
+    micro-unit) payload rides along so downstream per-cluster stages
+    never re-read vectors and score pairs with exact integer dots
     (same shape as the LSH verifier's pair join)."""
     proj = ds.map_batches(
         lambda b: b[[id_col, vec_col]], batch_format="pandas"
@@ -220,14 +241,16 @@ def _fit_and_assign(
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(ref)
-        matn = _stack(b, vec_col)
+        q = quantize_micro(_stack(b, vec_col))
         return pd.DataFrame(
             {
-                "cluster": np.argmax(matn @ c.T, axis=1).astype(np.int64),
+                "cluster": np.argmax(
+                    q @ quantize_micro(c).T, axis=1
+                ).astype(np.int64),
                 "vid": b[id_col].astype("int64").to_numpy(),
                 # plain lists: object columns of np.ndarray break the
                 # pandas<->Arrow conversion inside the exchange
-                "payload": [row.tolist() for row in matn],
+                "payload": [row.tolist() for row in q],
             }
         )
 
@@ -246,7 +269,9 @@ def semdedup_pairs(
     num_partitions: int = 32,
 ) -> rd.Dataset:
     """SemDeDup near-dup pairs: k-means blocking + within-cluster exact
-    cosine.  Emits (a, b, cos_sim_micro) with a < b, cos >= threshold.
+    cosine.  Emits (a, b, cos_sim_micro) with a < b and quantized
+    similarity >= threshold (compared in integer micro^2 space — see the
+    module determinism contract; within ~2*dim micro of float cosine).
 
     One assignment pass tags every vector with its cluster; vectors then
     ship ONCE to their cluster's partition (the normalized payload rides
@@ -259,6 +284,8 @@ def semdedup_pairs(
 
     assigned = _fit_and_assign(ds, k, iterations, seed, id_col, vec_col, dim)
 
+    thr12 = int(round(threshold * MICRO)) * MICRO  # threshold in micro^2
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         cols = ["a", "b", "cos_sim_micro"]
         out_a, out_b, out_s = [], [], []
@@ -267,15 +294,13 @@ def semdedup_pairs(
                 continue
             grp = grp.sort_values("vid", kind="mergesort")
             vids = grp["vid"].to_numpy(dtype=np.int64)
-            mat = np.stack([np.asarray(p, dtype=np.float64) for p in grp["payload"]])
-            sims = mat @ mat.T  # payload rows are already normalized
+            mat = np.stack([np.asarray(p, dtype=np.int64) for p in grp["payload"]])
+            sims = mat @ mat.T  # int64 quantized dots — exact at any shape
             iu, ju = np.triu_indices(len(grp), 1)
-            sel = sims[iu, ju] >= threshold
+            sel = sims[iu, ju] >= thr12
             out_a.append(vids[iu[sel]])
             out_b.append(vids[ju[sel]])
-            out_s.append(
-                np.floor(sims[iu[sel], ju[sel]] * MICRO).astype(np.int64)
-            )
+            out_s.append(sims[iu[sel], ju[sel]] // MICRO)
         if not out_a:
             return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
         return pd.DataFrame(
@@ -314,6 +339,8 @@ def semdedup_assignments(
 
     assigned = _fit_and_assign(ds, k, iterations, seed, id_col, vec_col, dim)
 
+    thr12 = int(round(threshold * MICRO)) * MICRO  # threshold in micro^2
+
     def decide(g: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for cl, grp in g.groupby("cluster", sort=False):
@@ -323,15 +350,15 @@ def semdedup_assignments(
                 dropped = np.zeros(1, dtype=bool)
             else:
                 mat = np.stack(
-                    [np.asarray(p, dtype=np.float64) for p in grp["payload"]]
+                    [np.asarray(p, dtype=np.int64) for p in grp["payload"]]
                 )
-                sims = mat @ mat.T  # payload rows are already normalized
+                sims = mat @ mat.T  # int64 quantized dots — exact
                 # strictly-lower triangle: sims[i, j] with j < i pairs row
                 # i against every SMALLER-id row (vids ascending); masked
                 # explicitly so a non-positive threshold can't match the
                 # zeroed upper triangle
                 lower = np.tril(np.ones_like(sims, dtype=bool), -1)
-                dropped = ((sims >= threshold) & lower).any(axis=1)
+                dropped = ((sims >= thr12) & lower).any(axis=1)
             frames.append(pd.DataFrame({
                 id_col: vids,
                 "kmeans_cluster": np.full(len(vids), cl, dtype=np.int64),

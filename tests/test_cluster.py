@@ -37,8 +37,12 @@ def _closed_form_pairs(df: pd.DataFrame, k: int, iters: int,
     ids = df["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
     cents = lloyd_iterate(mat, init_centroids(ids, mat, k, seed), iters)
-    matn = _normalize(mat)
-    assign = np.argmax(matn @ cents.T, axis=1)
+    # quantized-integer assignment + pair scoring, the engine's
+    # documented determinism rule (stages/cluster.py module docstring)
+    q = np.floor(_normalize(mat) * MICRO).astype(np.int64)
+    qc = np.floor(cents * MICRO).astype(np.int64)
+    assign = np.argmax(q @ qc.T, axis=1)
+    thr12 = int(round(threshold * MICRO)) * MICRO
     rows = []
     for cl in range(k):
         m = assign == cl
@@ -46,12 +50,12 @@ def _closed_form_pairs(df: pd.DataFrame, k: int, iters: int,
             continue
         v = ids[m]
         order = np.argsort(v)
-        v, sub = v[order], matn[m][order]
+        v, sub = v[order], q[m][order]
         sims = sub @ sub.T
         iu, ju = np.triu_indices(len(v), 1)
-        sel = sims[iu, ju] >= threshold
+        sel = sims[iu, ju] >= thr12
         for x, y, s in zip(v[iu[sel]], v[ju[sel]], sims[iu[sel], ju[sel]]):
-            rows.append((int(x), int(y), int(np.floor(s * MICRO))))
+            rows.append((int(x), int(y), int(s) // MICRO))
     return (
         pd.DataFrame(rows, columns=["a", "b", "cos_sim_micro"])
         .astype("int64")
@@ -183,3 +187,22 @@ def test_semdedup_sf_fixture_nonempty():
     assert len(got) > 0
     assert (got["a"] < got["b"]).all()
     assert (got["cos_sim_micro"] >= int(0.35 * MICRO)).all()
+
+
+@pytest.mark.parametrize("n,blocks", [(3000, 7), (5000, 5)])
+def test_kmeans_sample_canonical_above_2048_rows(n, blocks):
+    """Above 2048 rows the init sample must be the smallest-2048-by-id
+    stride survivors — a pure function of the row SET — not whatever
+    2048 rows Ray's block order surfaces first (regression: a
+    block-order `.limit(2048)` sample diverged from init_centroids'
+    id-sorted truncation whenever more than 2048 rows survived).
+    n=3000 exercises stride==1 with surplus rows; n=5000 stride==2."""
+    df = _synth(n)
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    want = lloyd_iterate(mat, init_centroids(ids, mat, 8, 5), 2)
+    shuffled = df.sample(frac=1.0, random_state=9).reset_index(drop=True)
+    for frame, nb in ((df, 3), (shuffled, blocks)):
+        got = kmeans_fit(rd.from_pandas(frame, override_num_blocks=nb),
+                         k=8, iterations=2, seed=5, dim=8)
+        assert np.array_equal(got, want)

@@ -172,3 +172,44 @@ def test_pinned_pagerank_asymmetric_and_reference(ray_session):
     assert dict(zip(pin["node"], pin["rank"])) == reference_pagerank(
         edges, iterations=5
     )
+
+
+@pytest.mark.parametrize("parts", [2, 5])
+def test_pinned_pagerank_multi_actor_parity(parts, ray_session):
+    """Force p > 1 via rows_per_partition (the production constant is
+    65536, far above any test graph) so the num_returns message routing,
+    per-owner payload splitting, and apply-side merging actually execute
+    — without this knob every parametrization clamps to one actor and
+    the multi-actor path ships untested."""
+    from ontology_matcher_ray.pipelines.graph import pagerank_from_edges_pinned
+
+    for edges in (star_edges(), _random_edges()):
+        ex = (pagerank_from_edges(rd.from_pandas(edges), iterations=4,
+                                  num_partitions=parts)
+              .to_pandas().sort_values("node", ignore_index=True))
+        pin = (pagerank_from_edges_pinned(rd.from_pandas(edges), iterations=4,
+                                          num_partitions=parts,
+                                          rows_per_partition=8)
+               .to_pandas().sort_values("node", ignore_index=True))
+        pd.testing.assert_frame_equal(ex, pin, check_dtype=False)
+
+
+def test_pinned_pagerank_empty_shard_receives_messages(ray_session):
+    """One hub src fanning out to many dsts: every edge hashes to the
+    hub's owner, so the other shards own ZERO nodes yet receive message
+    payloads for the (deg-0) leaves they'd own — those must be dropped,
+    not crash on indexing an empty owned-node array (regression), and
+    the result must match the exchange engine's sink-drop contract."""
+    from ontology_matcher_ray.pipelines.graph import pagerank_from_edges_pinned
+
+    edges = pd.DataFrame({
+        "src": ["hub"] * 50,
+        "dst": [f"x{i:03d}" for i in range(50)],
+    })
+    ex = (pagerank_from_edges(rd.from_pandas(edges), iterations=3,
+                              num_partitions=4)
+          .to_pandas().sort_values("node", ignore_index=True))
+    pin = (pagerank_from_edges_pinned(rd.from_pandas(edges), iterations=3,
+                                      num_partitions=4, rows_per_partition=4)
+           .to_pandas().sort_values("node", ignore_index=True))
+    pd.testing.assert_frame_equal(ex, pin, check_dtype=False)
