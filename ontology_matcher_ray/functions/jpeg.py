@@ -459,9 +459,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
         while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1
+        # the fill-byte skip can advance past the loop-entry bound, so
+        # re-validate before every read (a trailing FF-FF run must be a
+        # ValueError, not IndexError/struct.error leaking to the caller)
+        if pos + 1 >= n:
+            raise ValueError("truncated JPEG stream")
         marker = payload[pos + 1]
         if marker == 0xD9:             # EOI before SOS: malformed
             break
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG stream")
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4:pos + 2 + seglen]
         if seglen < 2 or len(body) != seglen - 2:
@@ -500,7 +507,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
             h, w = struct.unpack_from(">HH", body, 1)
+            if h == 0 or w == 0:
+                raise ValueError("zero JPEG frame dimension")
             nf = body[5]
+            if nf == 0:
+                raise ValueError("SOF declares zero components")
             if len(body) < 6 + 3 * nf:
                 raise ValueError("truncated SOF segment")
             comps = []
@@ -575,10 +586,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if tq_ not in qtabs:
             raise ValueError("frame references an undeclared quant table")
 
+    # EVERY component's factors must be >= 1 (a max-only check lets a
+    # single zero nibble reach the upsample division as ZeroDivisionError)
+    if any(hs == 0 or vs == 0 for _cid, hs, vs, _tq in comps):
+        raise ValueError("component sampling factor must be >= 1")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if hmax == 0 or vmax == 0:
-        raise ValueError("component sampling factor must be >= 1")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 

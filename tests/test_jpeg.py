@@ -208,6 +208,44 @@ def test_truncation_and_corruption_raise_valueerror_only():
             pass
 
 
+def test_random_substitution_fuzz_raises_valueerror_only():
+    """Random single-byte SUBSTITUTION (any value, not just XOR 0xFF —
+    which can never produce a zero sampling nibble) plus hand-built
+    regressions for the exception-leak classes an XOR/truncation fuzz
+    structurally cannot reach: trailing 0xFF fill-byte runs, a zero
+    sampling factor on ONE component, and zero frame dimensions."""
+    # regressions, each formerly a non-ValueError leak
+    for bad in (b"\xff\xd8\xff\xff\xff\xff",       # IndexError (fill run)
+                b"\xff\xd8\xff\xff\xff\xdb"):      # struct.error (fill run)
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+    img = _chroma_gradient(16, 16)
+    enc = encode_jpeg(img, subsampling="420")
+    sof = enc.index(b"\xff\xc0")
+    # one chroma component's sampling byte -> 0x01 (hs=0): was
+    # ZeroDivisionError at the chroma upsample
+    zs = bytearray(enc)
+    zs[sof + 14] = 0x01                    # Cb samp byte in SOF0 body
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(zs))
+    # zero height: was a silent empty (0, W, 3) image -> NaN features
+    zh = bytearray(enc)
+    zh[sof + 5] = 0
+    zh[sof + 6] = 0
+    with pytest.raises(ValueError, match="dimension"):
+        decode_jpeg(bytes(zh))
+
+    rng = np.random.default_rng(17)
+    for _ in range(2000):
+        mod = bytearray(enc)
+        mod[int(rng.integers(2, len(enc)))] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(mod))
+        except ValueError:
+            pass
+
+
 def test_featurizer_falls_back_on_non_baseline_jpeg():
     """Progressive/corrupt jpeg payloads keep pipelines runnable in
     default mode (seeded fake) and raise in raise mode — the same policy
