@@ -206,6 +206,8 @@ ANALYZE_OPS = {
                  "k-means-blocked semantic near-dup pairs (SemDeDup)"),
     "semdedup-keep": ("docs_text", "semdedup_keep",
                       "per-vector SemDeDup pruning decision (cluster+keep)"),
+    "heavy-hitters": ("docs_text", "token_heavy_hitters",
+                      "frequent tokens via two-pass Misra-Gries sketch"),
     # graph analytics
     "cooccur": ("graph", "entity_cooccurrence", "entity co-occurrence pairs"),
     "degrees": ("graph", "kg_degrees", "node in/out degrees"),

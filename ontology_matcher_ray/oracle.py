@@ -1458,6 +1458,17 @@ FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
 GROUP BY token
 """
 
+    # exact recount above the phi=0.2% support threshold — the SQL mirror
+    # of token_heavy_hitters' pass 2 (the MG sketch only bounds the
+    # candidate exchange; the OUTPUT is this pure threshold filter)
+    sql["token_heavy_hitters"] = """
+WITH tok AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM tok GROUP BY token
+HAVING count(*) >= (SELECT (n_total * 2000 + 999999) // 1000000 FROM tot)
+"""
+
     sql["top_tokens_per_lang"] = """
 WITH tc AS (
   SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents
@@ -2020,13 +2031,16 @@ UNION ALL
 SELECT 'semdedup', a, b, cos_sim_micro FROM ({sd})
 """
 
-    # --- global + per-language token frequencies -------------------------
+    # --- global + per-language token frequencies + heavy hitters ---------
     tf, tt = take("token_freq"), take("top_tokens_per_lang")
+    hh = take("token_heavy_hitters")
     sql["token_freq"] = f"""
 SELECT 'global' AS scope, '*' AS lang, token, n, CAST(0 AS BIGINT) AS rank
 FROM ({tf})
 UNION ALL
 SELECT 'per_lang', lang, token, n, rank FROM ({tt})
+UNION ALL
+SELECT 'heavy', '*', token, n, CAST(0 AS BIGINT) FROM ({hh})
 """
 
     # --- per-document profile: one row per doc from each component -------

@@ -248,8 +248,10 @@ _TOKFREQ_COLS = ["lang", "token", "n", "rank"]
 
 
 def token_freq_all(sf_dir: str) -> rd.Dataset:
-    """Global token frequencies (scope='global', lang='*', rank=0) and the
-    per-language top-k (scope='per_lang') in one row set."""
+    """Global token frequencies (scope='global', lang='*', rank=0), the
+    per-language top-k (scope='per_lang'), and the two-pass Misra-Gries
+    heavy hitters (scope='heavy', exact counts above the phi support
+    threshold) in one row set."""
 
     def widen(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -264,7 +266,12 @@ def token_freq_all(sf_dir: str) -> rd.Dataset:
     )
     p = _tagged(docs_text.top_tokens_per_lang(sf_dir), "scope", "per_lang",
                 _TOKFREQ_COLS)
-    return g.union(p)
+    h = _tagged(
+        docs_text.token_heavy_hitters(sf_dir).map_batches(
+            widen, batch_format="pandas"),
+        "scope", "heavy", _TOKFREQ_COLS,
+    )
+    return g.union(p).union(h)
 
 
 # ---------------------------------------------------------------------------

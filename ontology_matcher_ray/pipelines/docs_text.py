@@ -293,6 +293,142 @@ def top_tokens_per_lang(sf_dir: str, k: int = 3) -> rd.Dataset:
     return exchange.partitioned_apply(counts, ["lang"], topk, 8)
 
 
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compress: decrement every counter by the (k+1)-th
+    largest and drop the non-positive, leaving at most k survivors.
+    Each compress undercounts a surviving token by at most its
+    decrement; over any merge tree the total undercount is bounded by
+    N/(k+1) (Agarwal et al., "Mergeable Summaries", PODS 2012)."""
+    if len(tokens) <= k:
+        return tokens, counts
+    d = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    keep = counts > d
+    return tokens[keep], counts[keep] - d
+
+
+def heavy_hitters(
+    make_ds,
+    text_col: str = "text",
+    phi_micro: int = 2000,
+    k_counters: int = 2048,
+    num_partitions: int = 4,
+) -> rd.Dataset:
+    """Frequent tokens — exact count >= ceil(N * phi) where N is the
+    total token count — via the two-pass mergeable Misra-Gries sketch
+    (Misra & Gries 1982; merge bound from Agarwal et al., PODS 2012;
+    both public).  ``make_ds`` is a zero-arg factory returning the input
+    Dataset (the corpus is scanned twice, once per pass).
+
+      pass 1: per-batch exact Arrow value_counts MG-compressed to
+              ``k_counters`` rows (plus one total-count row), a 64k-row
+              recombine stage (sum + re-compress) so the driver reduce
+              sees O(#batches/32 x k) rows, then a bounded driver merge
+              producing the candidate set (<= k tokens) and exact N.
+      pass 2: exact per-batch counts of CANDIDATES only (``is_in``
+              filter on zero-copy Arrow), a <= k-row exchange, and the
+              threshold filter.
+
+    The MG guarantee (total undercount <= N/(k+1)) means every token
+    with true count >= ceil(N*phi) survives pass 1 whenever
+    phi > 1/(k+1) (validated).  Pass 2's exact recount filters away the
+    sketch's merge-order-dependent EXTRAS, so the OUTPUT is a pure
+    function of the data — deterministic under any partitioning and
+    verified value-for-value against SQL.  Unlike ``token_freq``, the
+    full vocabulary never shuffles: per batch, at most k candidate rows
+    move.  Emits (token, n) with n exact."""
+    import pyarrow.compute as pc
+
+    if phi_micro * (k_counters + 1) <= 1_000_000:
+        raise ValueError(
+            "heavy_hitters: need phi > 1/(k+1) for the MG survival "
+            f"guarantee (phi_micro={phi_micro}, k_counters={k_counters})"
+        )
+    k = int(k_counters)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
+        )
+        vc = pc.value_counts(flat)
+        toks = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(cnts.sum())
+        toks, cnts = _mg_compress(toks, cnts, k)
+        return pa.table({
+            "token": pa.array(list(toks) + [""], type=pa.string()),
+            "n": pa.array(list(cnts) + [total], type=pa.int64()),
+            # sentinel flag, NOT a sentinel token: "" is a legal token
+            # (double spaces split to empty strings)
+            "is_total": pa.array([False] * len(toks) + [True]),
+        })
+
+    def recombine(b: pd.DataFrame) -> pd.DataFrame:
+        total = int(b.loc[b["is_total"], "n"].sum())
+        mg = (b.loc[~b["is_total"]]
+              .groupby("token", sort=False)["n"].sum())
+        toks, cnts = _mg_compress(
+            mg.index.to_numpy(dtype=object), mg.to_numpy(np.int64), k)
+        return pd.DataFrame({
+            "token": np.append(toks, [""]).astype(object),
+            "n": np.append(cnts, [total]).astype(np.int64),
+            "is_total": [False] * len(toks) + [True],
+        })
+
+    sketch = (
+        make_ds()
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(recombine, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    # an empty corpus yields zero batches, i.e. a columnless frame
+    n_total = (int(sketch.loc[sketch["is_total"], "n"].sum())
+               if "is_total" in sketch.columns else 0)
+    if n_total == 0:
+        # from_arrow keeps the typed schema on zero rows (from_pandas of
+        # an empty frame surfaces a columnless dataset)
+        return rd.from_arrow(pa.table({
+            "token": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }))
+    merged = (sketch.loc[~sketch["is_total"]]
+              .groupby("token", sort=False)["n"].sum())
+    cand_toks, _ = _mg_compress(
+        merged.index.to_numpy(dtype=object), merged.to_numpy(np.int64), k)
+    candidates = pa.array(sorted(cand_toks), type=pa.string())
+    threshold = (n_total * phi_micro + 999_999) // 1_000_000
+
+    def recount(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
+        )
+        hits = flat.filter(pc.is_in(flat, value_set=candidates))
+        vc = pc.value_counts(hits)
+        return pa.table({
+            "token": pc.cast(vc.field("values"), pa.string()),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    from ontology_matcher_ray.stages import exchange
+
+    counts = exchange.grouped_agg(
+        make_ds().map_batches(recount, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["token"], lambda gb: gb.agg(n=("n", "sum")), num_partitions,
+    )
+    return counts.map_batches(
+        lambda b: b[b["n"] >= threshold], batch_format="pandas"
+    )
+
+
+def token_heavy_hitters(sf_dir: str, phi_micro: int = 2000,
+                        k_counters: int = 2048) -> rd.Dataset:
+    """``heavy_hitters`` over the documents table (support phi=0.2%)."""
+    return heavy_hitters(
+        lambda: read_documents(sf_dir, columns=["text"]),
+        phi_micro=phi_micro, k_counters=k_counters,
+    )
+
+
 def lang_id(sf_dir: str) -> rd.Dataset:
     """Heuristic language id per document (stopword-overlap scorer)."""
     ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
