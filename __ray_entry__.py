@@ -101,7 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,  # 2-hop shuffle join chain
         # --- stream-shaped ---
         "events_windows": composite.events_windows,         # tumbling + sliding
-        "event_type_distinct_users": events.event_type_distinct_users,  # exact COUNT DISTINCT
+        "event_type_profile": composite.event_type_profile,  # exact COUNT DISTINCT + props.k stats
         "events_funnel": events.funnel,                     # click->purchase funnel
         "events_asof": events.asof_join,                    # as-of join via exchange
         "events_range_join": events.range_join,             # range join aggregate

@@ -235,6 +235,8 @@ ANALYZE_OPS = {
               "source x language count matrix"),
     "rollup": ("docs_text", "doc_rollup", "GROUPING-SETS doc counts"),
     "funnel": ("events", "funnel", "click->purchase conversion per user"),
+    "props-stats": ("events", "event_props_stats",
+                    "typed props.k field stats per event type"),
     "distinct-users": ("events", "event_type_distinct_users",
                        "exact distinct users per event type"),
 }

@@ -1858,9 +1858,31 @@ LIMIT {TOP_CUSTOMERS}
 """.format(pc="CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)",
            dp="CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)")
 
-    sql["event_type_distinct_users"] = """
-SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM events GROUP BY event_type
+    # exact COUNT DISTINCT joined with typed-field stats pulled from the
+    # semi-structured props JSON column (regexp mirror of the engine's
+    # vectorized RE2 extract; COALESCE mirrors the engine's 0-sentinels
+    # for types where no row has a parseable k)
+    sql["event_type_profile"] = r"""
+WITH d AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY event_type
+),
+kk AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(k) AS BIGINT) AS n_with_k,
+         CAST(COALESCE(sum(k), 0) AS BIGINT) AS k_sum,
+         CAST(COALESCE(min(k), 0) AS BIGINT) AS k_min,
+         CAST(COALESCE(max(k), 0) AS BIGINT) AS k_max
+  FROM (SELECT event_type,
+               CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                    AS BIGINT) AS k
+        FROM events)
+  GROUP BY event_type
+)
+SELECT d.event_type, d.n_users, kk.n_events, kk.n_with_k,
+       kk.k_sum, kk.k_min, kk.k_max
+FROM d JOIN kk USING (event_type)
 """
 
     sql["events_funnel"] = """

@@ -363,3 +363,14 @@ def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     inc_schema = {"doc_id": "int64", "in_prior": "int64"}
     return exchange.hash_join(j2, inc, "doc_id", "doc_id", j2_schema,
                               inc_schema, num_partitions=num_partitions)
+
+
+def event_type_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type profile: the exact COUNT DISTINCT users joined
+    with the semi-structured ``props.k`` field stats on event_type.
+    Both components are bounded driver-side frames (|event types| ~ 5),
+    so the join is a trivial pandas merge; per-component value-hash
+    strength is unchanged (every column of both survives)."""
+    d = events.event_type_distinct_users(sf_dir)
+    k = events.event_props_stats(sf_dir)
+    return d.merge(k, on="event_type", how="inner")

@@ -175,3 +175,51 @@ def test_range_join_matches_reference_on_skew(skew_dir):
     got = _norm(_collect(ev.range_join(d, window_minutes=WIN_MIN)))
     want = _norm(_range_ref(df, WIN_MIN))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_event_props_stats_matches_pandas(tmp_path):
+    """Vectorized RE2 extraction of props.k: parseable, missing-key,
+    negative, and malformed-JSON rows over a synthetic events table —
+    stats must match a plain-pandas recompute (misses excluded from the
+    stats, counted via n_events - n_with_k), and an all-miss type gets
+    the documented 0-sentinels."""
+    import json
+
+    from ontology_matcher_ray.pipelines.events import event_props_stats
+
+    rows = []
+    for i in range(200):
+        et = ["click", "view", "broken"][i % 3]
+        if et == "broken":
+            props = "{not json"               # never a parseable k
+        elif i % 10 == 0:
+            props = json.dumps({"other": 1})  # missing key
+        else:
+            props = json.dumps({"k": (i - 100) * 3})
+        rows.append((i, et, props))
+    df = pd.DataFrame(rows, columns=["event_id", "event_type", "props"])
+    df["ts"] = pd.Timestamp("2026-01-01")
+    df["user_id"] = df["event_id"] % 7
+    df["value"] = 1.0
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.to_parquet(sf / "events.parquet", index=False)
+
+    got = (event_props_stats(str(sf))
+           .sort_values("event_type", ignore_index=True))
+
+    ks = df["props"].str.extract(r'"k":\s*(-?\d+)')[0].astype("Int64")
+    ref = (pd.DataFrame({"event_type": df["event_type"], "k": ks})
+           .groupby("event_type")
+           .agg(n_events=("k", "size"), n_with_k=("k", "count"),
+                k_sum=("k", "sum"), k_min=("k", "min"), k_max=("k", "max"))
+           .reset_index())
+    for c in ("k_sum", "k_min", "k_max"):
+        ref[c] = ref[c].fillna(0).astype("int64")
+    ref = ref.sort_values("event_type", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64", "n_with_k": "int64"}),
+        ref.astype({"n_events": "int64", "n_with_k": "int64"}),
+    )
+    broken = got.set_index("event_type").loc["broken"]
+    assert broken["n_with_k"] == 0 and broken["k_sum"] == 0
