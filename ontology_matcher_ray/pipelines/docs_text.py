@@ -233,10 +233,7 @@ def token_freq(sf_dir: str) -> rd.Dataset:
     ds = read_documents(sf_dir, columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(
-            pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
-        )
-        vc = pc.value_counts(flat)
+        vc = pc.value_counts(_flat_tokens(t, "text"))
         return pa.table(
             {"token": vc.field("values"),
              "n": pc.cast(vc.field("counts"), pa.int64())}
@@ -293,16 +290,31 @@ def top_tokens_per_lang(sf_dir: str, k: int = 3) -> rd.Dataset:
     return exchange.partitioned_apply(counts, ["lang"], topk, 8)
 
 
-def _mg_compress(tokens: np.ndarray, counts: np.ndarray, k: int):
-    """Misra-Gries compress: decrement every counter by the (k+1)-th
-    largest and drop the non-positive, leaving at most k survivors.
-    Each compress undercounts a surviving token by at most its
-    decrement; over any merge tree the total undercount is bounded by
-    N/(k+1) (Agarwal et al., "Mergeable Summaries", PODS 2012)."""
-    if len(tokens) <= k:
-        return tokens, counts
+def _flat_tokens(t: pa.Table, col: str):
+    """THE whitespace tokenization (one definition shared by token_freq,
+    heavy_hitters pass 1 and pass 2 — and mirrored by every SQL oracle's
+    ``unnest(str_split(text, ' '))``): flattened zero-copy Arrow array
+    of every token occurrence."""
+    import pyarrow.compute as pc
+
+    return pc.list_flatten(pc.split_pattern(pc.cast(t[col], pa.string()), " "))
+
+
+def _mg_keep(counts: np.ndarray, k: int):
+    """(keep mask, decrement) of the Misra-Gries compress: decrement
+    every counter by the (k+1)-th largest and drop the non-positive,
+    leaving at most k survivors.  Each compress undercounts a surviving
+    token by at most its decrement; over any merge tree the total
+    undercount is bounded by N/(k+1) (Agarwal et al., "Mergeable
+    Summaries", PODS 2012)."""
+    if len(counts) <= k:
+        return np.ones(len(counts), dtype=bool), 0
     d = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
-    keep = counts > d
+    return counts > d, int(d)
+
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray, k: int):
+    keep, d = _mg_keep(counts, k)
     return tokens[keep], counts[keep] - d
 
 
@@ -346,20 +358,22 @@ def heavy_hitters(
     k = int(k_counters)
 
     def partial(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(
-            pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
-        )
-        vc = pc.value_counts(flat)
-        toks = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        vc = pc.value_counts(_flat_tokens(t, text_col))
         cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
         total = int(cnts.sum())
-        toks, cnts = _mg_compress(toks, cnts, k)
+        # keep/decrement decided on the COUNTS array alone; only the
+        # <= k surviving tokens ever leave Arrow (no per-token Python
+        # string materialization of the whole batch vocabulary)
+        keep, d = _mg_keep(cnts, k)
+        toks = pc.cast(vc.field("values").filter(pa.array(keep)), pa.string())
+        cnts = cnts[keep] - d
         return pa.table({
-            "token": pa.array(list(toks) + [""], type=pa.string()),
-            "n": pa.array(list(cnts) + [total], type=pa.int64()),
+            "token": pa.concat_arrays(
+                [toks, pa.array([""], type=pa.string())]),
+            "n": pa.array(np.append(cnts, total), type=pa.int64()),
             # sentinel flag, NOT a sentinel token: "" is a legal token
             # (double spaces split to empty strings)
-            "is_total": pa.array([False] * len(toks) + [True]),
+            "is_total": pa.array([False] * len(cnts) + [True]),
         })
 
     def recombine(b: pd.DataFrame) -> pd.DataFrame:
@@ -398,9 +412,7 @@ def heavy_hitters(
     threshold = (n_total * phi_micro + 999_999) // 1_000_000
 
     def recount(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(
-            pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
-        )
+        flat = _flat_tokens(t, text_col)
         hits = flat.filter(pc.is_in(flat, value_set=candidates))
         vc = pc.value_counts(hits)
         return pa.table({

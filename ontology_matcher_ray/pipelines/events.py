@@ -661,13 +661,24 @@ def event_props_stats(sf_dir: str) -> pd.DataFrame:
             [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max"),
              ("event_type", "count")]
         )
+        # null-free int64 partials keep the driver reduce EXACT: one
+        # null (a batch where a type has no parseable k) would float64-
+        # ify the collected pandas column and round sums above 2^53.
+        # Identity sentinels per aggregate: sum 0, min +int64max,
+        # max +int64min; all-miss types are rewritten to the documented
+        # 0-sentinels after the reduce (n_with_k == 0 marks them).
+        i64 = pa.int64()
+        info = np.iinfo(np.int64)
         return pa.table({
             "event_type": agg["event_type"],
-            "n_events": pc.cast(agg["event_type_count"], pa.int64()),
-            "n_with_k": pc.cast(agg["k_count"], pa.int64()),
-            "k_sum": pc.cast(agg["k_sum"], pa.int64()),
-            "k_min": agg["k_min"],
-            "k_max": agg["k_max"],
+            "n_events": pc.cast(agg["event_type_count"], i64),
+            "n_with_k": pc.cast(agg["k_count"], i64),
+            "k_sum": pc.coalesce(pc.cast(agg["k_sum"], i64),
+                                 pa.scalar(0, i64)),
+            "k_min": pc.coalesce(pc.cast(agg["k_min"], i64),
+                                 pa.scalar(info.max, i64)),
+            "k_max": pc.coalesce(pc.cast(agg["k_max"], i64),
+                                 pa.scalar(info.min, i64)),
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
@@ -680,11 +691,13 @@ def event_props_stats(sf_dir: str) -> pd.DataFrame:
                         k_min=("k_min", "min"),
                         k_max=("k_max", "max")),
     )
-    # 0-sentinels where NO row of a type had a parseable k (sum of all-
-    # null Arrow partials is null): deterministic and mirrored by the
-    # oracle's COALESCE
+    # 0-sentinels where NO row of a type had a parseable k (the identity
+    # sentinels above otherwise surface): deterministic and mirrored by
+    # the oracle's COALESCE
+    none = out["n_with_k"] == 0
     for c in ("k_sum", "k_min", "k_max"):
-        out[c] = out[c].fillna(0).astype("int64")
+        out[c] = out[c].astype("int64")
+        out.loc[none, c] = 0
     return out
 
 
