@@ -196,6 +196,11 @@ ANALYZE_OPS = {
                "per-language HLL distinct-token registers"),
     "quantize": ("docs_train", "embedding_quantize",
                  "int8 embedding quantization"),
+    "curate": ("docs_train", "curate_decisions",
+               "end-to-end curation decision per doc (dedup+quality+"
+               "decon+prior)"),
+    "curate-text": ("docs_train", "curate_text",
+                    "PII-scrubbed text of curation survivors"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
     "substring-dups": ("docs_text", "dedup_substring",

@@ -2079,14 +2079,26 @@ JOIN ({fp}) f ON s.doc_id = f.doc_id
 JOIN ({dc}) d ON s.doc_id = d.doc_id
 """
 
-    # --- per-document dedup state -----------------------------------------
+    # --- per-document dedup state + end-to-end curation decision ---------
+    # (q / dc below are the doc_quality / decontaminate fragments bound in
+    # the doc_profile section above — the curate CASE is built verbatim
+    # from the same independent component SQL)
     de, cl, sh = take("dedup_exact"), take("dedup_clusters"), take("dedup_simhash")
     inc = take("dedup_incremental")
     sql["dedup_assignments"] = f"""
 SELECT e.doc_id, e.content_sha256, e.n_dups,
-       c.cluster_id, c.keep, h.simhash, h.bucket, i.in_prior
+       c.cluster_id, c.keep, h.simhash, h.bucket, i.in_prior,
+       (c.keep AND q2.quality_band <> 'low' AND d2.contaminated = 0
+        AND i.in_prior = 0) AS curate_keep,
+       CASE WHEN NOT c.keep THEN 'near_dup'
+            WHEN q2.quality_band = 'low' THEN 'low_quality'
+            WHEN d2.contaminated = 1 THEN 'contaminated'
+            WHEN i.in_prior = 1 THEN 'in_prior'
+            ELSE '' END AS drop_reason
 FROM ({de}) e
 JOIN ({cl}) c ON e.doc_id = c.doc_id
 JOIN ({sh}) h ON e.doc_id = h.doc_id
 JOIN ({inc}) i ON e.doc_id = i.doc_id
+JOIN ({q}) q2 ON e.doc_id = q2.doc_id
+JOIN ({dc}) d2 ON e.doc_id = d2.doc_id
 """

@@ -340,8 +340,9 @@ def doc_embedding_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
 def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """Per-document dedup state: exact content-hash groups ⋈ near-dup
     cluster resolution ⋈ simhash bucket assignment ⋈ incremental
-    prior-snapshot flag on doc_id (inner; one row per document from
-    each component)."""
+    prior-snapshot flag ⋈ the end-to-end curation decision
+    (docs_train.curate_decisions) on doc_id (inner; one row per
+    content-group-representative document)."""
     from ontology_matcher_ray.stages import exchange
 
     exact = docs_text.dedup_exact(sf_dir)
@@ -361,8 +362,14 @@ def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     j2 = exchange.hash_join(j1, sim, "doc_id", "doc_id", j1_schema,
                             sh_schema, num_partitions=num_partitions)
     inc_schema = {"doc_id": "int64", "in_prior": "int64"}
-    return exchange.hash_join(j2, inc, "doc_id", "doc_id", j2_schema,
-                              inc_schema, num_partitions=num_partitions)
+    j3_schema = {**j2_schema, "in_prior": "int64"}
+    j3 = exchange.hash_join(j2, inc, "doc_id", "doc_id", j2_schema,
+                            inc_schema, num_partitions=num_partitions)
+    cur = docs_train.curate_decisions(sf_dir, num_partitions)
+    cur_schema = {"doc_id": "int64", "curate_keep": "bool",
+                  "drop_reason": "object"}
+    return exchange.hash_join(j3, cur, "doc_id", "doc_id", j3_schema,
+                              cur_schema, num_partitions=num_partitions)
 
 
 def event_type_profile(sf_dir: str) -> pd.DataFrame:

@@ -399,3 +399,87 @@ def decontaminate(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         flag, batch_format="pandas"
     )
+
+
+def curate_decisions(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """End-to-end corpus-curation decision: one row per document,
+    (doc_id, curate_keep, drop_reason), combining the independently
+    verified flag operators of this engine the way a production
+    training-data pipeline chains them.
+
+    Every flag is computed over the FULL corpus (dedup must see all
+    documents, not a pre-filtered subset — the standard curation
+    practice), then the per-doc flags meet in a distributed
+    ``exchange.hash_join`` chain and a fixed precedence decides:
+
+      near_dup       not the min-id survivor of its MinHash near-dup
+                     component (``dedup_clusters``; subsumes exact dups —
+                     identical text always co-clusters)
+      low_quality    Gopher-band 'low' (``doc_quality``)
+      contaminated   contains a benchmark n-gram (``decontaminate``)
+      in_prior       content already in the prior snapshot
+                     (``dedup_incremental``)
+      ''             kept (curate_keep = True)
+
+    No text ever enters the joins — only (doc_id, flag) rows move."""
+    from ontology_matcher_ray.pipelines import docs_text
+    from ontology_matcher_ray.stages import exchange
+
+    cl = docs_text.dedup_clusters(sf_dir)
+    q = docs_text.doc_quality(sf_dir).map_batches(
+        lambda b: b[["doc_id", "quality_band"]], batch_format="pandas"
+    )
+    dc = decontaminate(sf_dir)
+    inc = docs_text.dedup_incremental(sf_dir)
+
+    cl_s = {"doc_id": "int64", "cluster_id": "int64", "keep": "bool"}
+    q_s = {"doc_id": "int64", "quality_band": "object"}
+    j1_s = {**cl_s, "quality_band": "object"}
+    j1 = exchange.hash_join(cl, q, "doc_id", "doc_id", cl_s, q_s,
+                            num_partitions=num_partitions)
+    dc_s = {"doc_id": "int64", "contaminated": "int64"}
+    j2_s = {**j1_s, "contaminated": "int64"}
+    j2 = exchange.hash_join(j1, dc, "doc_id", "doc_id", j1_s, dc_s,
+                            num_partitions=num_partitions)
+    inc_s = {"doc_id": "int64", "in_prior": "int64"}
+    j3 = exchange.hash_join(j2, inc, "doc_id", "doc_id", j2_s, inc_s,
+                            num_partitions=num_partitions)
+
+    def decide(b: pd.DataFrame) -> pd.DataFrame:
+        near = ~b["keep"].astype(bool).to_numpy()
+        lowq = (b["quality_band"] == "low").to_numpy()
+        cont = (b["contaminated"].astype("int64") == 1).to_numpy()
+        prior = (b["in_prior"].astype("int64") == 1).to_numpy()
+        reason = np.select(
+            [near, lowq, cont, prior],
+            ["near_dup", "low_quality", "contaminated", "in_prior"],
+            default="",
+        )
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "curate_keep": ~(near | lowq | cont | prior),
+            "drop_reason": reason.astype(object),
+        })
+
+    return j3.map_batches(decide, batch_format="pandas")
+
+
+def curate_text(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """The curated training corpus itself: survivors of
+    ``curate_decisions`` joined against the PII-scrubbed text —
+    (doc_id, clean_text, n_emails, n_phones), ready for ``doc_pack``.
+    The decision side ships only (doc_id) keys into the join; text rides
+    the scrub side untouched."""
+    from ontology_matcher_ray.stages import exchange
+
+    kept = curate_decisions(sf_dir, num_partitions).map_batches(
+        lambda b: b.loc[b["curate_keep"], ["doc_id"]], batch_format="pandas"
+    )
+    scrub = pii_scrub(sf_dir)
+    return exchange.hash_join(
+        kept, scrub, "doc_id", "doc_id",
+        {"doc_id": "int64"},
+        {"doc_id": "int64", "clean_text": "object",
+         "n_emails": "int64", "n_phones": "int64"},
+        num_partitions=num_partitions,
+    )
