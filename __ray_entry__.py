@@ -82,7 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_token_stats": _code_token_stats,              # BPE-ish regex counting
         # --- dedup family ---
         "dedup_pairs": composite.dedup_pairs,               # jaccard+minhash+simhash+embedding+substring+semdedup
-        "dedup_assignments": composite.dedup_assignments,   # exact ⋈ clusters ⋈ simhash
+        "dedup_assignments": composite.dedup_assignments,   # exact ⋈ clusters ⋈ simhash ⋈ in_prior + curate decision
         "doc_profile": composite.doc_profile,               # stats ⋈ quality ⋈ fp ⋈ decontam
         # --- graph analytics over the constructed KG ---
         "entity_cooccurrence": graph.entity_cooccurrence,   # two-exchange pairs

@@ -167,6 +167,10 @@ def _bench_once() -> dict:
         "order_price_quantiles": lambda: relational.order_price_quantiles(sf_dir),
         "customer_running_revenue": lambda: relational.customer_running_revenue(sf_dir),
         "events_funnel": lambda: events.funnel(sf_dir),
+        # end-to-end curation: near-dup CC + quality + decon + prior
+        # flags joined into one decision per doc
+        "curate": lambda: docs_train.curate_decisions(sf_dir),
+        "token_heavy_hitters": lambda: docs_text.token_heavy_hitters(sf_dir),
     }
     qtimes = {}
     for name, fn in query_fns.items():

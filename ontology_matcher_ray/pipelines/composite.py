@@ -365,11 +365,33 @@ def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     j3_schema = {**j2_schema, "in_prior": "int64"}
     j3 = exchange.hash_join(j2, inc, "doc_id", "doc_id", j2_schema,
                             inc_schema, num_partitions=num_partitions)
-    cur = docs_train.curate_decisions(sf_dir, num_partitions)
-    cur_schema = {"doc_id": "int64", "curate_keep": "bool",
-                  "drop_reason": "object"}
-    return exchange.hash_join(j3, cur, "doc_id", "doc_id", j3_schema,
-                              cur_schema, num_partitions=num_partitions)
+
+    # curation decision: j3 already carries keep/in_prior, so join only
+    # the two missing flags (quality band, contamination) and apply the
+    # shared precedence kernel — re-running curate_decisions here would
+    # execute the clustering and prior-snapshot subtrees a second time.
+    qual = docs_text.doc_quality(sf_dir).map_batches(
+        lambda b: b[["doc_id", "quality_band"]], batch_format="pandas"
+    )
+    q_schema = {"doc_id": "int64", "quality_band": "object"}
+    j4_schema = {**j3_schema, "quality_band": "object"}
+    j4 = exchange.hash_join(j3, qual, "doc_id", "doc_id", j3_schema,
+                            q_schema, num_partitions=num_partitions)
+    dc = docs_train.decontaminate(sf_dir)
+    dc_schema = {"doc_id": "int64", "contaminated": "int64"}
+    j5 = exchange.hash_join(j4, dc, "doc_id", "doc_id", j4_schema,
+                            dc_schema, num_partitions=num_partitions)
+
+    out_cols = list(j3_schema)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        keep, reason = docs_train.curation_decision(b)
+        out = b[out_cols].copy()
+        out["curate_keep"] = keep
+        out["drop_reason"] = reason
+        return out
+
+    return j5.map_batches(finish, batch_format="pandas")
 
 
 def event_type_profile(sf_dir: str) -> pd.DataFrame:

@@ -446,30 +446,41 @@ def curate_decisions(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
                             num_partitions=num_partitions)
 
     def decide(b: pd.DataFrame) -> pd.DataFrame:
-        near = ~b["keep"].astype(bool).to_numpy()
-        lowq = (b["quality_band"] == "low").to_numpy()
-        cont = (b["contaminated"].astype("int64") == 1).to_numpy()
-        prior = (b["in_prior"].astype("int64") == 1).to_numpy()
-        reason = np.select(
-            [near, lowq, cont, prior],
-            ["near_dup", "low_quality", "contaminated", "in_prior"],
-            default="",
-        )
+        keep, reason = curation_decision(b)
         return pd.DataFrame({
             "doc_id": b["doc_id"].astype("int64").to_numpy(),
-            "curate_keep": ~(near | lowq | cont | prior),
-            "drop_reason": reason.astype(object),
+            "curate_keep": keep,
+            "drop_reason": reason,
         })
 
     return j3.map_batches(decide, batch_format="pandas")
+
+
+def curation_decision(b: pd.DataFrame):
+    """(curate_keep, drop_reason) numpy arrays from a frame carrying the
+    four component flags ``keep`` / ``quality_band`` / ``contaminated`` /
+    ``in_prior`` — the single precedence definition, shared by
+    ``curate_decisions`` and ``composite.dedup_assignments`` (which
+    already holds keep/in_prior from its own join chain and must not
+    recompute the clustering and prior-snapshot subtrees)."""
+    near = ~b["keep"].astype(bool).to_numpy()
+    lowq = (b["quality_band"] == "low").to_numpy()
+    cont = (b["contaminated"].astype("int64") == 1).to_numpy()
+    prior = (b["in_prior"].astype("int64") == 1).to_numpy()
+    reason = np.select(
+        [near, lowq, cont, prior],
+        ["near_dup", "low_quality", "contaminated", "in_prior"],
+        default="",
+    )
+    return ~(near | lowq | cont | prior), reason.astype(object)
 
 
 def curate_text(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """The curated training corpus itself: survivors of
     ``curate_decisions`` joined against the PII-scrubbed text —
     (doc_id, clean_text, n_emails, n_phones), ready for ``doc_pack``.
-    The decision side ships only (doc_id) keys into the join; text rides
-    the scrub side untouched."""
+    The decision side ships only (doc_id) keys into the semi join; text
+    rides the scrub side untouched."""
     from ontology_matcher_ray.stages import exchange
 
     kept = curate_decisions(sf_dir, num_partitions).map_batches(
@@ -477,9 +488,10 @@ def curate_text(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     )
     scrub = pii_scrub(sf_dir)
     return exchange.hash_join(
-        kept, scrub, "doc_id", "doc_id",
-        {"doc_id": "int64"},
+        scrub, kept, "doc_id", "doc_id",
         {"doc_id": "int64", "clean_text": "object",
          "n_emails": "int64", "n_phones": "int64"},
+        {"doc_id": "int64"},
+        how="semi",
         num_partitions=num_partitions,
     )

@@ -23,7 +23,8 @@ def _expected(sf: str) -> pd.DataFrame:
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf}/documents.parquet')")
-    # full quality band (both OR arms), not the proxy above
+    # the band is recomputed here from scratch (both Gopher OR arms),
+    # independent of the engine's doc_quality implementation
     return con.execute(f"""
 WITH cl AS ({clusters_sql()}),
 t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
