@@ -94,6 +94,7 @@ def _bench_once() -> dict:
 
     from ontology_matcher_ray import corpus as corpus_mod
     from ontology_matcher_ray.pipelines import (
+        corpus_curate,
         corpus_kg,
         docs_kg,
         docs_text,
@@ -171,6 +172,10 @@ def _bench_once() -> dict:
         # flags joined into one decision per doc
         "curate": lambda: docs_train.curate_decisions(sf_dir),
         "token_heavy_hitters": lambda: docs_text.token_heavy_hitters(sf_dir),
+        # cross-file duplicated-line (boilerplate) removal over the
+        # headline code corpus itself
+        "corpus_line_dedup": lambda: corpus_curate.corpus_line_dedup(
+            corpus_dir, min_files=max(8, n_files // 500)),
     }
     qtimes = {}
     for name, fn in query_fns.items():

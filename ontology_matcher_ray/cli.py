@@ -9,6 +9,10 @@ Commands:
   template  — write an input template
   corpus-kg — corpus-scale KG build (generate/extract/link/dedup/write),
               sharded + resumable; the ``ray job submit`` entry point.
+  corpus-dedup — cross-file duplicated-line (boilerplate) detection and
+              removal over a code corpus (pipelines/corpus_curate).
+  analyze   — training-prep / graph / relational operators over an sf
+              table dir (see ``--op`` choices).
 
 This module OWNS the Ray session (guarded init); library code never
 initialises Ray.
@@ -185,6 +189,27 @@ def cmd_corpus_kg(args) -> int:
     return 0
 
 
+def cmd_corpus_dedup(args) -> int:
+    """Cross-file duplicated-line curation: write the boilerplate table
+    and the line-deduped corpus as partitioned parquet."""
+    _ensure_ray()
+    import os
+
+    from ontology_matcher_ray.pipelines import corpus_curate
+
+    bp_dir = os.path.join(args.output_dir, "boilerplate")
+    clean_dir = os.path.join(args.output_dir, "clean")
+    bp = corpus_curate.corpus_boilerplate(args.corpus_dir, args.min_files)
+    bp.write_parquet(bp_dir)
+    clean = corpus_curate.corpus_line_dedup(args.corpus_dir, args.min_files)
+    clean.write_parquet(clean_dir)
+    import ray.data as rd
+    n_bp = rd.read_parquet(bp_dir).count()
+    print(f"corpus-dedup: {n_bp} boilerplate lines -> {bp_dir}; "
+          f"cleaned corpus -> {clean_dir}")
+    return 0
+
+
 # one registry: op name -> (pipelines submodule, function, description).
 # Adding an op family is one row here, nothing else.
 ANALYZE_OPS = {
@@ -330,6 +355,16 @@ def main(argv=None) -> int:
                          "(append files + rerun = only new/changed shards)")
     pc.add_argument("--strategy", choices=["mixture", "unique"], default="mixture")
     pc.set_defaults(fn=cmd_corpus_kg)
+
+    pd_ = sub.add_parser(
+        "corpus-dedup",
+        help="Cross-file duplicated-line (boilerplate) detection/removal.",
+    )
+    pd_.add_argument("--corpus-dir", required=True)
+    pd_.add_argument("--output-dir", required=True)
+    pd_.add_argument("--min-files", type=int, default=8,
+                     help="a line in >= this many files is boilerplate")
+    pd_.set_defaults(fn=cmd_corpus_dedup)
 
     pa_ = sub.add_parser(
         "analyze",

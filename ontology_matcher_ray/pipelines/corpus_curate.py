@@ -1,0 +1,143 @@
+"""Cross-file duplicated-line (boilerplate) curation over the source-code
+corpus — the code-payload analogue of document-level dedup.
+
+Real code corpora are dominated by lines that repeat across files
+(license headers, import blocks, generated annotations); training-data
+pipelines detect and strip them per line, not per document.  Two ops:
+
+``corpus_boilerplate``
+    (line, n_files) for every distinct non-empty line appearing in at
+    least ``min_files`` distinct files.  Each corpus row IS one file, so
+    "distinct files per line" needs no file id: per-row distinct lines,
+    a per-batch combiner (line -> partial file count), then ONE
+    content-hash exchange on the line summing partials.  Only (line,
+    int64) rows shuffle; file content never leaves the reading task.
+
+``corpus_line_dedup``
+    Per-file boilerplate removal: (repo, path, lang, clean_content,
+    n_lines, n_removed).  The boilerplate set is reduced to a SORTED
+    uint64 hash array (8 bytes per boilerplate line — the driver reads
+    only that column, bounded by the boilerplate volume, ~800 MB at 10^8
+    lines) and broadcast ONCE via ``ray.put``: numpy arrays are
+    zero-copy out of the object store, so the array costs per NODE, not
+    per task, and membership is a vectorized ``searchsorted``.  One
+    corpus pass rebuilds each file from its surviving lines.  Hash
+    membership admits a 2^-64-per-pair false-positive (two distinct
+    lines colliding); at 10^8 boilerplate lines the expected collisions
+    are ~1e-4 — documented, not hidden.
+
+Reference parity: the reference engine has no corpus curation at all
+(it normalizes pre-extracted entity tables); this family is part of the
+LLM-training-data surface built on top of its semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ontology_matcher_ray.stages import exchange
+
+
+def _read_corpus(corpus_dir: str, columns: list[str]) -> rd.Dataset:
+    from ontology_matcher_ray.pipelines.corpus_kg import corpus_files
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(corpus_files(corpus_dir), columns=columns)
+
+
+def _line_hash(lines: pd.Series) -> np.ndarray:
+    """Process-stable uint64 per line (pandas siphash, fixed key) — the
+    ONE hash both the boilerplate build and the scrub pass must share."""
+    return pd.util.hash_pandas_object(lines, index=False).to_numpy()
+
+
+def _split_lines(tbl: pa.Table) -> tuple[np.ndarray, pd.Series, np.ndarray]:
+    """(file_idx, line, lines_per_file) from a corpus batch — zero-copy
+    Arrow split; the per-file frame stays columnar."""
+    arr = tbl.column("content").combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # single-chunk after combine
+        arr = arr.chunk(0) if arr.num_chunks else pa.array(
+            [], type=pa.string())
+    lst = pc.split_pattern(arr, pattern="\n")
+    parents = pc.list_parent_indices(lst).to_numpy()
+    flat = lst.flatten().to_pandas()
+    return parents, flat, pc.list_value_length(lst).to_numpy()
+
+
+def corpus_boilerplate(
+    corpus_dir: str, min_files: int = 8, num_partitions: int = 64
+) -> rd.Dataset:
+    """Distinct non-empty lines appearing in >= ``min_files`` files:
+    (line, n_files)."""
+
+    def partial_counts(tbl: pa.Table) -> pd.DataFrame:
+        parents, flat, _ = _split_lines(tbl)
+        df = pd.DataFrame({"fi": parents, "line": flat})
+        df = df[df["line"] != ""].drop_duplicates()  # per-file distinct
+        g = df.groupby("line", sort=False).size()
+        return pd.DataFrame({"line": g.index.to_numpy(dtype=object),
+                             "n_files": g.to_numpy(dtype="int64")})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("line", sort=False, as_index=False)["n_files"].sum()
+        return out[out["n_files"] >= min_files]
+
+    pre = _read_corpus(corpus_dir, ["content"]).map_batches(
+        partial_counts, batch_format="pyarrow"
+    )
+    return exchange.partitioned_apply(pre, ["line"], combine, num_partitions)
+
+
+def boilerplate_hashes(bp: rd.Dataset) -> np.ndarray:
+    """Sorted uint64 hash array of a boilerplate line set — the bounded
+    driver read (8 bytes per line; the line text itself never moves)."""
+    parts = bp.map_batches(
+        lambda b: pd.DataFrame(
+            {"h": _line_hash(b["line"]).view("int64")}),
+        batch_format="pandas",
+    ).to_pandas()
+    return np.sort(np.unique(parts["h"].to_numpy().view("uint64")))
+
+
+def corpus_line_dedup(
+    corpus_dir: str, min_files: int = 8, num_partitions: int = 64
+) -> rd.Dataset:
+    """Per-file boilerplate removal: (repo, path, lang, clean_content,
+    n_lines, n_removed), one row per input file, file order of the
+    surviving lines preserved."""
+    hashes_ref = ray.put(boilerplate_hashes(
+        corpus_boilerplate(corpus_dir, min_files, num_partitions)))
+
+    def scrub(tbl: pa.Table) -> pd.DataFrame:
+        hashes = ray.get(hashes_ref)  # zero-copy shared per node
+        parents, flat, n_lines = _split_lines(tbl)
+        h = _line_hash(flat)
+        idx = np.searchsorted(hashes, h)
+        idx[idx == len(hashes)] = 0
+        is_bp = (hashes[idx] == h) if len(hashes) else np.zeros(
+            len(h), dtype=bool)
+        kept = pd.DataFrame({"fi": parents[~is_bp],
+                             "line": flat.to_numpy()[~is_bp]})
+        joined = kept.groupby("fi", sort=True)["line"].agg("\n".join)
+        n_rows = tbl.num_rows
+        clean = np.full(n_rows, "", dtype=object)
+        clean[joined.index.to_numpy()] = joined.to_numpy()
+        n_removed = np.bincount(parents[is_bp], minlength=n_rows)
+        return pd.DataFrame({
+            "repo": tbl.column("repo").to_pandas(),
+            "path": tbl.column("path").to_pandas(),
+            "lang": tbl.column("lang").to_pandas(),
+            "clean_content": clean,
+            "n_lines": n_lines.astype("int64"),
+            "n_removed": n_removed.astype("int64"),
+        })
+
+    return _read_corpus(
+        corpus_dir, ["repo", "path", "lang", "content"]
+    ).map_batches(scrub, batch_format="pyarrow")

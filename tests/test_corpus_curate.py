@@ -1,0 +1,78 @@
+"""Cross-file duplicated-line curation (pipelines/corpus_curate): the
+boilerplate table matches an independent DuckDB recompute exactly, the
+line-deduped corpus matches a plain-Python per-file recompute, and the
+result is invariant to exchange partitioning."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ontology_matcher_ray import corpus as corpus_mod
+from ontology_matcher_ray.pipelines import corpus_curate
+from ontology_matcher_ray.schemas import DISEASE_SPEC
+from ontology_matcher_ray.state.snapshot import build_snapshot
+
+N_FILES = 600
+MIN_FILES = 6
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("curate") / "corpus")
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=100, seed=42)
+    corpus_mod.generate_corpus(d, N_FILES, snap)
+    return d
+
+
+def _oracle_bp(corpus_dir: str) -> pd.DataFrame:
+    return duckdb.connect().execute(f"""
+WITH l AS (SELECT row_number() OVER () AS fid,
+                  unnest(str_split(content, chr(10))) AS line
+           FROM read_parquet('{corpus_dir}/*.parquet')),
+d AS (SELECT DISTINCT fid, line FROM l WHERE line <> '')
+SELECT line, count(*) AS n_files FROM d GROUP BY 1
+HAVING count(*) >= {MIN_FILES} ORDER BY line
+""").df()
+
+
+def test_boilerplate_matches_duckdb(corpus_dir):
+    got = (corpus_curate.corpus_boilerplate(corpus_dir, MIN_FILES)
+           .to_pandas().sort_values("line", ignore_index=True))
+    want = _oracle_bp(corpus_dir)
+    assert len(got) > 50          # the fixture plants real boilerplate
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_boilerplate_partition_invariant(corpus_dir):
+    a = (corpus_curate.corpus_boilerplate(corpus_dir, MIN_FILES,
+                                          num_partitions=3)
+         .to_pandas().sort_values("line", ignore_index=True))
+    b = (corpus_curate.corpus_boilerplate(corpus_dir, MIN_FILES,
+                                          num_partitions=64)
+         .to_pandas().sort_values("line", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_line_dedup_matches_python_recompute(corpus_dir):
+    clean = corpus_curate.corpus_line_dedup(corpus_dir, MIN_FILES).to_pandas()
+    raw = duckdb.connect().execute(
+        f"SELECT repo, path, content FROM "
+        f"read_parquet('{corpus_dir}/*.parquet')").df()
+    assert len(clean) == len(raw) == N_FILES
+    bpset = set(_oracle_bp(corpus_dir)["line"])
+    m = raw.merge(clean, on=["repo", "path"], validate="one_to_one")
+    for row in m.itertuples():
+        lines = row.content.split("\n")
+        assert row.clean_content == "\n".join(
+            x for x in lines if x not in bpset)
+        assert row.n_lines == len(lines)
+        assert row.n_removed == sum(1 for x in lines if x in bpset)
+    # the fixture must actually strip something, but never everything
+    assert clean["n_removed"].sum() > 0
+    assert (clean["n_lines"] > clean["n_removed"]).all()
+
+
+def test_boilerplate_hashes_sorted_unique(corpus_dir):
+    bp = corpus_curate.corpus_boilerplate(corpus_dir, MIN_FILES)
+    h = corpus_curate.boilerplate_hashes(bp)
+    assert (h[1:] > h[:-1]).all()          # strictly sorted => unique
