@@ -226,6 +226,8 @@ ANALYZE_OPS = {
                "decon+prior)"),
     "curate-text": ("docs_train", "curate_text",
                     "PII-scrubbed text of curation survivors"),
+    "dsir": ("docs_train", "dsir_importance",
+             "DSIR-shaped bigram importance score vs the eval slice"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
     "substring-dups": ("docs_text", "dedup_substring",

@@ -1507,6 +1507,31 @@ SELECT d.doc_id,
 FROM documents d
 """
 
+    # DSIR-shaped importance score (docs_train.dsir_importance): integer
+    # arithmetic-mean of per-bigram-occurrence (tgt+1)*1e6 // (raw+1)
+    # ratios; target slice = the decontamination eval convention.
+    sql["dsir_importance"] = f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+bgl AS (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS b
+        FROM t),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bgl GROUP BY 1, 2),
+cnt AS (SELECT b, CAST(sum(c) AS BIGINT) AS raw_n,
+          CAST(sum(CASE WHEN doc_id % {DECON_EVAL_MOD} = 0 THEN c
+                        ELSE 0 END) AS BIGINT) AS tgt_n
+        FROM bc GROUP BY 1),
+s AS (SELECT doc_id,
+        CAST(sum(((tgt_n + 1) * 1000000 // (raw_n + 1)) * c) AS BIGINT) AS ss,
+        CAST(sum(c) AS BIGINT) AS nb
+      FROM bc JOIN cnt USING (b) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(s.nb, CAST(0 AS BIGINT)) AS n_bigrams,
+       COALESCE(s.ss // greatest(s.nb, 1), CAST(0 AS BIGINT))
+         AS dsir_score_micro
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
     sql["dedup_jaccard_adjacent"] = """
 WITH sh AS (
   SELECT doc_id,
@@ -2068,15 +2093,18 @@ SELECT 'heavy', '*', token, n, CAST(0 AS BIGINT) FROM ({hh})
     # --- per-document profile: one row per doc from each component -------
     st, q = take("doc_stats"), take("doc_quality")
     fp, dc = take("fingerprints"), take("decontaminate")
+    ds_imp = take("dsir_importance")
     sql["doc_profile"] = f"""
 SELECT s.doc_id, s.lang, s.n_tokens, s.n_distinct_tokens, s.n_chars,
        s.stopword_ratio_micro, s.avg_token_len_micro, s.quality_micro,
        q.top_token_frac_micro, q.repeat_ratio_micro, q.bigram_repeat_micro,
-       q.quality_band, f.fingerprint, d.contaminated
+       q.quality_band, f.fingerprint, d.contaminated,
+       i.n_bigrams, i.dsir_score_micro
 FROM ({st}) s
 JOIN ({q}) q ON s.doc_id = q.doc_id
 JOIN ({fp}) f ON s.doc_id = f.doc_id
 JOIN ({dc}) d ON s.doc_id = d.doc_id
+JOIN ({ds_imp}) i ON s.doc_id = i.doc_id
 """
 
     # --- per-document dedup state + end-to-end curation decision ---------

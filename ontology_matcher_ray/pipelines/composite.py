@@ -280,8 +280,9 @@ def token_freq_all(sf_dir: str) -> rd.Dataset:
 
 def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """Per-document profile: doc_stats ⋈ doc_quality ⋈ fingerprints ⋈
-    decontaminate on doc_id (inner; all four emit exactly one row per
-    document) through the engine's own distributed hash-join exchange.
+    decontaminate ⋈ dsir_importance on doc_id (inner; all five emit
+    exactly one row per document) through the engine's own distributed
+    hash-join exchange.
     doc_quality's n_tokens duplicates doc_stats' (same tokenizer) and is
     dropped before the join (hash_join requires disjoint non-key names)."""
     from ontology_matcher_ray.stages import exchange
@@ -314,8 +315,14 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     j2 = exchange.hash_join(j1, fps, "doc_id", "doc_id", j1_schema, fp_schema,
                             num_partitions=num_partitions)
     dc_schema = {"doc_id": "int64", "contaminated": "int64"}
-    return exchange.hash_join(j2, decon, "doc_id", "doc_id", j2_schema,
-                              dc_schema, num_partitions=num_partitions)
+    j3 = exchange.hash_join(j2, decon, "doc_id", "doc_id", j2_schema,
+                            dc_schema, num_partitions=num_partitions)
+    j3_schema = {**j2_schema, "contaminated": "int64"}
+    imp = docs_train.dsir_importance(sf_dir)
+    imp_schema = {"doc_id": "int64", "n_bigrams": "int64",
+                  "dsir_score_micro": "int64"}
+    return exchange.hash_join(j3, imp, "doc_id", "doc_id", j3_schema,
+                              imp_schema, num_partitions=num_partitions)
 
 
 def doc_embedding_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:

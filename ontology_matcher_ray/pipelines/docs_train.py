@@ -401,6 +401,113 @@ def decontaminate(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def _bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-(doc, bigram) occurrence counts — exact within one batch
+    because every document sits wholly in one row.  Docs with < 2 tokens
+    emit a (doc_id, '', 0) marker so the downstream join keeps one row
+    per document (the '' key is seeded into the count table with zero
+    mass, so markers survive the inner join and add nothing)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(b["text"].astype(str))
+    lst = pc.split_pattern(arr, pattern=" ")
+    parents = pc.list_parent_indices(lst).to_numpy()
+    flat = lst.flatten().to_pandas()
+    adj = parents[1:] == parents[:-1]
+    big = (pd.Series(flat.to_numpy()[:-1][adj])
+           + " " + pd.Series(flat.to_numpy()[1:][adj])).to_numpy()
+    doc_ids = b["doc_id"].astype("int64").to_numpy()
+    df = pd.DataFrame({"doc_id": doc_ids[parents[:-1][adj]], "b": big})
+    g = df.groupby(["doc_id", "b"], sort=False).size().reset_index(name="c")
+    seen = pd.unique(g["doc_id"])
+    short = np.setdiff1d(doc_ids, seen)
+    if len(short):
+        g = pd.concat([g, pd.DataFrame(
+            {"doc_id": short, "b": "", "c": 0})], ignore_index=True)
+    return g.astype({"doc_id": "int64", "c": "int64"})
+
+
+def dsir_importance(sf_dir: str, num_partitions: int = 16,
+                    salt: int = 1) -> rd.Dataset:
+    """DSIR-shaped data-selection score (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): rate each
+    document by how much its bigram distribution resembles a target
+    (eval-like) slice relative to the raw corpus.
+
+    Deviations from the paper, chosen for distributed exactness: the
+    features are EXACT bigram counts (no hash bucketing — the count
+    table is built distributed, so there is no model to bound), and the
+    score is the integer arithmetic mean of per-occurrence count ratios
+    in micro-units rather than a log-likelihood ratio (floats would
+    break bit-stable value-hash verification):
+
+        score_micro = (sum over bigram occurrences of
+                       (tgt_n+1) * 1e6 // (raw_n+1)) // n_bigrams
+
+    The target slice reuses the decontamination convention (every
+    ``DECON_EVAL_MOD``-th doc stands in for the benchmark set).
+
+    Shape: (1) one corpus pass -> per-doc bigram counts (exact per
+    batch, no exchange — each doc is one row); (2) a second pass with a
+    per-batch combiner + ONE exchange builds the global (bigram, raw_n,
+    tgt_n) count table; (3) a big⋈big ``hash_join`` on the bigram
+    (``salt`` spreads hot bigrams — "of the" at corpus scale — by
+    replicating the pre-aggregated count side); (4) one exchange on
+    doc_id sums the score.  Headroom: (tgt_n+1)*1e6 caps int64 at ~9.2e12
+    target occurrences of one bigram (~sf10k of target slice); the
+    DuckDB oracle promotes to HUGEINT and never wraps."""
+    from ontology_matcher_ray.stages import exchange
+
+    def count_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = _bigram_counts(b)
+        tgt = (g["doc_id"] % DECON_EVAL_MOD == 0).to_numpy()
+        g["tgt_c"] = np.where(tgt, g["c"].to_numpy(), 0)
+        out = g.groupby("b", sort=False, as_index=False)[["c", "tgt_c"]].sum()
+        out = out.rename(columns={"c": "raw_n", "tgt_c": "tgt_n"})
+        if not (out["b"] == "").any():  # seed the marker key
+            out = pd.concat([out, pd.DataFrame(
+                {"b": [""], "raw_n": [0], "tgt_n": [0]})], ignore_index=True)
+        return out.astype({"raw_n": "int64", "tgt_n": "int64"})
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    counts = exchange.partitioned_apply(
+        docs.map_batches(count_partials, batch_format="pandas"),
+        ["b"],
+        lambda g: g.groupby("b", sort=False, as_index=False)[
+            ["raw_n", "tgt_n"]].sum(),
+        num_partitions,
+    )
+    bg = docs.map_batches(_bigram_counts, batch_format="pandas")
+    joined = exchange.hash_join(
+        bg, counts, "b", "b",
+        {"doc_id": "int64", "b": "object", "c": "int64"},
+        {"b": "object", "raw_n": "int64", "tgt_n": "int64"},
+        num_partitions=num_partitions, salt=salt,
+    )
+
+    def score_terms(b: pd.DataFrame) -> pd.DataFrame:
+        term = ((b["tgt_n"].to_numpy() + 1) * 1_000_000
+                // (b["raw_n"].to_numpy() + 1)) * b["c"].to_numpy()
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "s": term, "nb": b["c"].to_numpy()})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("doc_id", sort=False, as_index=False)[["s", "nb"]].sum()
+        return pd.DataFrame({
+            "doc_id": a["doc_id"].astype("int64"),
+            "n_bigrams": a["nb"].astype("int64"),
+            "dsir_score_micro": (a["s"].to_numpy()
+                                 // np.maximum(a["nb"].to_numpy(), 1)
+                                 ).astype("int64"),
+        })
+
+    return exchange.partitioned_apply(
+        joined.map_batches(score_terms, batch_format="pandas"),
+        ["doc_id"], finalize, num_partitions,
+    )
+
+
 def curate_decisions(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """End-to-end corpus-curation decision: one row per document,
     (doc_id, curate_keep, drop_reason), combining the independently
