@@ -83,7 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_pairs": composite.dedup_pairs,               # jaccard+minhash+simhash+embedding+substring+semdedup
         "dedup_assignments": composite.dedup_assignments,   # exact ⋈ clusters ⋈ simhash ⋈ in_prior + curate decision
-        "doc_profile": composite.doc_profile,               # stats ⋈ quality ⋈ fp ⋈ decontam
+        "doc_profile": composite.doc_profile,               # stats ⋈ quality ⋈ fp ⋈ decontam ⋈ dsir
         # --- graph analytics over the constructed KG ---
         "entity_cooccurrence": graph.entity_cooccurrence,   # two-exchange pairs
         "kg_degrees": graph.kg_degrees,                     # combiner + exchange

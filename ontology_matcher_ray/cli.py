@@ -199,13 +199,16 @@ def cmd_corpus_dedup(args) -> int:
 
     bp_dir = os.path.join(args.output_dir, "boilerplate")
     clean_dir = os.path.join(args.output_dir, "clean")
-    bp = corpus_curate.corpus_boilerplate(args.corpus_dir, args.min_files)
+    # materialize the (small: >=min_files survivors only) boilerplate
+    # table ONCE and feed both the sink and the scrub pass — the corpus
+    # is scanned twice total (count pass + scrub pass), never three times
+    bp = corpus_curate.corpus_boilerplate(
+        args.corpus_dir, args.min_files).materialize()
     bp.write_parquet(bp_dir)
-    clean = corpus_curate.corpus_line_dedup(args.corpus_dir, args.min_files)
+    clean = corpus_curate.corpus_line_dedup(
+        args.corpus_dir, args.min_files, boilerplate=bp)
     clean.write_parquet(clean_dir)
-    import ray.data as rd
-    n_bp = rd.read_parquet(bp_dir).count()
-    print(f"corpus-dedup: {n_bp} boilerplate lines -> {bp_dir}; "
+    print(f"corpus-dedup: {bp.count()} boilerplate lines -> {bp_dir}; "
           f"cleaned corpus -> {clean_dir}")
     return 0
 

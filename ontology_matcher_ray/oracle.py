@@ -1517,17 +1517,17 @@ bgl AS (SELECT doc_id,
                  i -> toks[i] || ' ' || toks[i + 1])) AS b
         FROM t),
 bc AS (SELECT doc_id, b, count(*) AS c FROM bgl GROUP BY 1, 2),
-cnt AS (SELECT b, CAST(sum(c) AS BIGINT) AS raw_n,
-          CAST(sum(CASE WHEN doc_id % {DECON_EVAL_MOD} = 0 THEN c
-                        ELSE 0 END) AS BIGINT) AS tgt_n
+cnt AS (SELECT b, sum(c) AS raw_n,
+          sum(CASE WHEN doc_id % {DECON_EVAL_MOD} = 0 THEN c
+                   ELSE 0 END) AS tgt_n
         FROM bc GROUP BY 1),
 s AS (SELECT doc_id,
-        CAST(sum(((tgt_n + 1) * 1000000 // (raw_n + 1)) * c) AS BIGINT) AS ss,
-        CAST(sum(c) AS BIGINT) AS nb
+        sum(((tgt_n + 1) * 1000000 // (raw_n + 1)) * c) AS ss,
+        sum(c) AS nb
       FROM bc JOIN cnt USING (b) GROUP BY 1)
 SELECT d.doc_id,
-       COALESCE(s.nb, CAST(0 AS BIGINT)) AS n_bigrams,
-       COALESCE(s.ss // greatest(s.nb, 1), CAST(0 AS BIGINT))
+       CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.ss // greatest(s.nb, 1), 0) AS BIGINT)
          AS dsir_score_micro
 FROM documents d LEFT JOIN s USING (doc_id)
 """

@@ -59,8 +59,11 @@ def _line_hash(lines: pd.Series) -> np.ndarray:
 
 def _split_lines(tbl: pa.Table) -> tuple[np.ndarray, pd.Series, np.ndarray]:
     """(file_idx, line, lines_per_file) from a corpus batch — zero-copy
-    Arrow split; the per-file frame stays columnar."""
-    arr = tbl.column("content").combine_chunks()
+    Arrow split; the per-file frame stays columnar.  Null content is
+    treated as empty (list_parent_indices SKIPS null rows, so without
+    the fill the per-row n_lines/clean alignment breaks and the length
+    array can't be read zero-copy)."""
+    arr = pc.fill_null(tbl.column("content"), "").combine_chunks()
     if isinstance(arr, pa.ChunkedArray):  # single-chunk after combine
         arr = arr.chunk(0) if arr.num_chunks else pa.array(
             [], type=pa.string())
@@ -106,13 +109,18 @@ def boilerplate_hashes(bp: rd.Dataset) -> np.ndarray:
 
 
 def corpus_line_dedup(
-    corpus_dir: str, min_files: int = 8, num_partitions: int = 64
+    corpus_dir: str, min_files: int = 8, num_partitions: int = 64,
+    boilerplate: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Per-file boilerplate removal: (repo, path, lang, clean_content,
     n_lines, n_removed), one row per input file, file order of the
-    surviving lines preserved."""
-    hashes_ref = ray.put(boilerplate_hashes(
-        corpus_boilerplate(corpus_dir, min_files, num_partitions)))
+    surviving lines preserved.  Pass a precomputed ``boilerplate``
+    dataset (e.g. a materialized ``corpus_boilerplate`` result) to
+    avoid re-running the count pipeline when both outputs are wanted."""
+    if boilerplate is None:
+        boilerplate = corpus_boilerplate(corpus_dir, min_files,
+                                         num_partitions)
+    hashes_ref = ray.put(boilerplate_hashes(boilerplate))
 
     def scrub(tbl: pa.Table) -> pd.DataFrame:
         hashes = ray.get(hashes_ref)  # zero-copy shared per node

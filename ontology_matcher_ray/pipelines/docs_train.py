@@ -454,9 +454,11 @@ def dsir_importance(sf_dir: str, num_partitions: int = 16,
     tgt_n) count table; (3) a big⋈big ``hash_join`` on the bigram
     (``salt`` spreads hot bigrams — "of the" at corpus scale — by
     replicating the pre-aggregated count side); (4) one exchange on
-    doc_id sums the score.  Headroom: (tgt_n+1)*1e6 caps int64 at ~9.2e12
-    target occurrences of one bigram (~sf10k of target slice); the
-    DuckDB oracle promotes to HUGEINT and never wraps."""
+    doc_id sums the score.  Headroom: (tgt_n+1)*1e6 caps the engine's
+    int64 at ~9.2e12 target occurrences of one bigram (~sf10k of target
+    slice) and wraps silently past that; the DuckDB oracle's unCASTed
+    sums promote to HUGEINT, so past the headroom the two diverge —
+    stay under it."""
     from ontology_matcher_ray.stages import exchange
 
     def count_partials(b: pd.DataFrame) -> pd.DataFrame:

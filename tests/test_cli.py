@@ -73,6 +73,39 @@ def test_analyze_command(tmp_path):
     assert set(pd.read_parquet(out2).columns) == {"lang", "reg", "max_rho"}
 
 
+def test_analyze_dsir_op(tmp_path):
+    out = tmp_path / "dsir"
+    assert main([
+        "analyze", "--sf-dir", "/root/testdata/sf0.001",
+        "--output-dir", str(out), "--op", "dsir",
+    ]) == 0
+    df = pd.read_parquet(out)
+    assert len(df) == 500
+    assert set(df.columns) == {"doc_id", "n_bigrams", "dsir_score_micro"}
+
+
+def test_corpus_dedup_command(tmp_path, capsys):
+    """corpus-dedup writes the boilerplate table and the line-scrubbed
+    corpus; counts agree with the library pipelines it composes."""
+    from ontology_matcher_ray import corpus as corpus_mod
+    from ontology_matcher_ray.schemas import DISEASE_SPEC
+    from ontology_matcher_ray.state.snapshot import build_snapshot
+
+    corp = str(tmp_path / "corp")
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=100, seed=42)
+    corpus_mod.generate_corpus(corp, 300, snap)
+    out = tmp_path / "dedup_out"
+    assert main(["corpus-dedup", "--corpus-dir", corp,
+                 "--output-dir", str(out), "--min-files", "6"]) == 0
+    bp = pd.read_parquet(out / "boilerplate")
+    clean = pd.read_parquet(out / "clean")
+    assert set(bp.columns) == {"line", "n_files"}
+    assert (bp["n_files"] >= 6).all() and len(bp) > 0
+    assert len(clean) == 300
+    assert clean["n_removed"].sum() > 0
+    assert f"corpus-dedup: {len(bp)} boilerplate lines" in capsys.readouterr().out
+
+
 def test_idtypes_links_notice(capsys):
     """idtypes --links prints the reference's ontology-links notice
     (ontology_formatter.py:346-356) with one URL per supported database,

@@ -72,6 +72,37 @@ def test_line_dedup_matches_python_recompute(corpus_dir):
     assert (clean["n_lines"] > clean["n_removed"]).all()
 
 
+def test_null_content_treated_as_empty(tmp_path):
+    """A null content cell (legal in user-supplied parquet via the CLI)
+    must not crash the Arrow split nor misalign per-row counts."""
+    d = tmp_path / "nullcorp"
+    d.mkdir()
+    pd.DataFrame({
+        "repo": ["r"] * 4, "path": ["a", "b", "c", "d"],
+        "lang": ["py"] * 4,
+        "content": ["dup\nx", None, "dup\ny", "dup\nz"],
+        "size_bytes": [5, 0, 5, 5], "sha256": ["0"] * 4,
+    }).to_parquet(d / "part-0.parquet", index=False)
+    bp = corpus_curate.corpus_boilerplate(str(d), 3).to_pandas()
+    assert list(bp["line"]) == ["dup"]
+    clean = (corpus_curate.corpus_line_dedup(str(d), 3)
+             .to_pandas().sort_values("path", ignore_index=True))
+    assert list(clean["clean_content"]) == ["x", "", "y", "z"]
+    assert list(clean["n_lines"]) == [2, 1, 2, 2]
+    assert list(clean["n_removed"]) == [1, 0, 1, 1]
+
+
+def test_precomputed_boilerplate_passthrough(corpus_dir):
+    """corpus_line_dedup(boilerplate=...) (the CLI's single-count path)
+    produces the identical scrub as the recompute path."""
+    bp = corpus_curate.corpus_boilerplate(corpus_dir, MIN_FILES).materialize()
+    a = (corpus_curate.corpus_line_dedup(corpus_dir, MIN_FILES, boilerplate=bp)
+         .to_pandas().sort_values(["repo", "path"], ignore_index=True))
+    b = (corpus_curate.corpus_line_dedup(corpus_dir, MIN_FILES)
+         .to_pandas().sort_values(["repo", "path"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_boilerplate_hashes_sorted_unique(corpus_dir):
     bp = corpus_curate.corpus_boilerplate(corpus_dir, MIN_FILES)
     h = corpus_curate.boilerplate_hashes(bp)
