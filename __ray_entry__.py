@@ -86,7 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_profile": composite.doc_profile,               # stats ⋈ quality ⋈ fp ⋈ decontam ⋈ dsir
         # --- graph analytics over the constructed KG ---
         "entity_cooccurrence": graph.entity_cooccurrence,   # two-exchange pairs
-        "kg_degrees": graph.kg_degrees,                     # combiner + exchange
+        "kg_degrees": composite.kg_topology,                # degrees ⋈ 2-hop reach
         "kg_pagerank": graph.kg_pagerank_pinned,            # Pregel engine; ranks bit-identical to graph.kg_pagerank
         # --- relational big⋈big family (pipelines/relational.py) ---
         "pricing_summary": relational.pricing_summary,      # Q1-shaped combiner agg

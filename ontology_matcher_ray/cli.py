@@ -231,6 +231,8 @@ ANALYZE_OPS = {
                     "PII-scrubbed text of curation survivors"),
     "dsir": ("docs_train", "dsir_importance",
              "DSIR-shaped bigram importance score vs the eval slice"),
+    "reach": ("graph", "kg_reach",
+              "per-node 2-hop reachability count over the KG"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
     "substring-dups": ("docs_text", "dedup_substring",

@@ -1298,16 +1298,27 @@ trip AS (
   SELECT DISTINCT m.out_id, 'xref', u.x
   FROM mentioned m, UNNEST(str_split(m.xrefs, '|')) AS u(x)
   WHERE m.status IN ('ok', 'ok_raw') AND u.x <> ''
-)
-SELECT node,
-       CAST(sum(o) AS BIGINT) AS out_degree,
-       CAST(sum(i) AS BIGINT) AS in_degree
-FROM (
-  SELECT subj AS node, 1 AS o, 0 AS i FROM trip
-  UNION ALL
-  SELECT obj AS node, 0 AS o, 1 AS i FROM trip
-)
-GROUP BY node
+),
+deg AS (
+  SELECT node,
+         CAST(sum(o) AS BIGINT) AS out_degree,
+         CAST(sum(i) AS BIGINT) AS in_degree
+  FROM (
+    SELECT subj AS node, 1 AS o, 0 AS i FROM trip
+    UNION ALL
+    SELECT obj AS node, 0 AS o, 1 AS i FROM trip
+  )
+  GROUP BY node
+),
+-- 2-hop reachability (graph.kg_reach): distinct nodes reachable along
+-- 1..2 directed edges; tiers overlap and dedup at the pair level
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM trip),
+r2 AS (SELECT DISTINCT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+r AS (SELECT src, dst FROM e UNION SELECT src, dst FROM r2),
+reach AS (SELECT src AS node, count(*) AS n FROM r GROUP BY 1)
+SELECT d.node, d.out_degree, d.in_degree,
+       CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_reach
+FROM deg d LEFT JOIN reach rc USING (node)
 """
 
     sql["kg_pagerank"] = pagerank_sql()

@@ -325,6 +325,38 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
                               imp_schema, num_partitions=num_partitions)
 
 
+def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+    """Per-node KG topology: degrees LEFT⋈ 2-hop reachability on node.
+
+    The triple union is built and materialized ONCE and shared by both
+    consumers (kg_degrees' combiner pass and kg_reach's edge build) —
+    the composite never re-runs the extract chain.  Nodes with no
+    out-edges (xref leaves, lang/source values) have no reach row;
+    the LEFT join's NaN becomes an exact 0 like the SQL COALESCE."""
+    from ontology_matcher_ray.pipelines import graph
+    from ontology_matcher_ray.stages import exchange
+
+    trips = docs_kg.kg_triples(sf_dir).materialize()
+    deg = graph.kg_degrees(sf_dir, num_partitions, trips=trips)
+    reach = graph.kg_reach(sf_dir, num_partitions=num_partitions,
+                           trips=trips)
+    joined = exchange.hash_join(
+        deg, reach, "node", "node",
+        {"node": "object", "out_degree": "int64", "in_degree": "int64"},
+        {"node": "object", "n_reach": "int64"},
+        how="left", num_partitions=num_partitions,
+    )
+    return joined.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["node"],
+            "out_degree": b["out_degree"].astype("int64"),
+            "in_degree": b["in_degree"].astype("int64"),
+            "n_reach": b["n_reach"].fillna(0).astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+
+
 def doc_embedding_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """documents ⋈ embeddings (the size-gated broadcast/exchange join)
     ⋈ per-vector SemDeDup pruning decision on doc_id = vec_id (inner;

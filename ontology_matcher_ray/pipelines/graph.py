@@ -82,13 +82,19 @@ def entity_cooccurrence(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     )
 
 
-def kg_degrees(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+def kg_degrees(
+    sf_dir: str, num_partitions: int = 32,
+    trips: rd.Dataset | None = None,
+) -> rd.Dataset:
     """(node, out_degree, in_degree) over the flagship triple union.
 
     Per-batch partial counts (the combiner) keep the exchange volume at
-    O(distinct nodes per batch), not O(triples).
+    O(distinct nodes per batch), not O(triples).  Pass a precomputed
+    (e.g. materialized) ``trips`` to share the triple build with other
+    consumers (composite.kg_topology).
     """
-    trips = kg_triples(sf_dir)
+    if trips is None:
+        trips = kg_triples(sf_dir)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         o = b.groupby("subj", sort=False).size().reset_index(name="out_degree")
@@ -109,6 +115,106 @@ def kg_degrees(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
         lambda gb: gb.agg(out_degree=("out_degree", "sum"),
                           in_degree=("in_degree", "sum")),
         num_partitions,
+    )
+
+
+def kg_reach(
+    sf_dir: str,
+    hops: int = 2,
+    num_partitions: int = 32,
+    salt: int = 1,
+    trips: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """(node, n_reach): distinct nodes reachable from ``node`` along
+    1..``hops`` directed triple edges — the bounded transitive-closure
+    tier an ontology pipeline runs over its constructed graph (e.g.
+    "everything a document connects to through its linked entities'
+    xrefs").
+
+    Semi-naive frontier expansion through the engine's own exchanges:
+    the distinct edge list is materialized ONCE (it is re-consumed by
+    the base tier and every hop join — the Ray 2.49 double-consume
+    pitfall, same as PageRank's edge list; bounded by distinct-edge
+    volume, spills at scale); each hop is one ``hash_join`` of the
+    frontier's destination against the edge source.  ``salt`` spreads
+    HOT intermediate nodes (a popular entity reached by many documents
+    multiplied by its own out-degree) by replicating the edge side of
+    the hop join.  The final count is skew-robust by construction:
+    distinct on the (src, dst) PAIR key (no hub key exists at pair
+    granularity), then a per-batch combiner + node-keyed exchange sums
+    bounded partials — a hub node's reach set is never collected into
+    one partition as raw pairs.
+
+    Reached nodes are counted whatever they are (a cycle back to the
+    start counts the start); hop tiers overlap and are de-duplicated by
+    the final pair-distinct.
+    """
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    if trips is None:
+        trips = kg_triples(sf_dir)
+
+    edges = exchange.distinct(
+        trips.map_batches(
+            lambda b: pd.DataFrame({
+                "src": b["subj"].astype(str),
+                "dst": b["obj"].astype(str),
+            }).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["src", "dst"], num_partitions,
+    ).materialize()
+
+    tiers = [edges]
+    frontier = edges
+    for h in range(hops - 1):
+        nxt = exchange.hash_join(
+            frontier.map_batches(
+                lambda b: b.rename(columns={"dst": "via"}),
+                batch_format="pandas",
+            ),
+            edges.map_batches(
+                lambda b: b.rename(columns={"src": "esrc", "dst": "edst"}),
+                batch_format="pandas",
+            ),
+            "via", "esrc",
+            {"src": "object", "via": "object"},
+            {"esrc": "object", "edst": "object"},
+            num_partitions=num_partitions, salt=salt,
+        ).map_batches(
+            lambda b: pd.DataFrame({
+                "src": b["src"], "dst": b["edst"],
+            }).drop_duplicates(),
+            batch_format="pandas",
+        )
+        if h < hops - 2:
+            # intermediate tiers feed the NEXT hop join too: full
+            # distinct bounds the joined volume, materialize for the
+            # double consumption (union + join left side)
+            frontier = exchange.distinct(
+                nxt, ["src", "dst"], num_partitions).materialize()
+        else:
+            frontier = nxt     # last tier flows straight into the union
+        tiers.append(frontier)
+
+    allr = tiers[0]
+    for t in tiers[1:]:
+        allr = allr.union(t)
+    dist = exchange.distinct(allr, ["src", "dst"], num_partitions)
+    partial = dist.map_batches(
+        lambda b: b.groupby("src", sort=False).size().reset_index(name="n"),
+        batch_format="pandas",
+    )
+    counted = exchange.grouped_agg(
+        partial, ["src"],
+        lambda gb: gb.agg(n_reach=("n", "sum")),
+        num_partitions,
+    )
+    return counted.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["src"], "n_reach": b["n_reach"].astype("int64"),
+        }),
+        batch_format="pandas",
     )
 
 

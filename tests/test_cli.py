@@ -84,6 +84,17 @@ def test_analyze_dsir_op(tmp_path):
     assert set(df.columns) == {"doc_id", "n_bigrams", "dsir_score_micro"}
 
 
+def test_analyze_reach_op(tmp_path):
+    out = tmp_path / "reach"
+    assert main([
+        "analyze", "--sf-dir", "/root/testdata/sf0.001",
+        "--output-dir", str(out), "--op", "reach",
+    ]) == 0
+    df = pd.read_parquet(out)
+    assert set(df.columns) == {"node", "n_reach"}
+    assert len(df) > 0 and (df["n_reach"] >= 1).all()
+
+
 def test_corpus_dedup_command(tmp_path, capsys):
     """corpus-dedup writes the boilerplate table and the line-scrubbed
     corpus; counts agree with the library pipelines it composes."""

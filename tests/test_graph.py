@@ -213,3 +213,75 @@ def test_pinned_pagerank_empty_shard_receives_messages(ray_session):
                                       num_partitions=4, rows_per_partition=4)
            .to_pandas().sort_values("node", ignore_index=True))
     pd.testing.assert_frame_equal(ex, pin, check_dtype=False)
+
+
+# --- kg_reach: bounded transitive closure --------------------------------
+
+def _trips_ds(edges: pd.DataFrame) -> rd.Dataset:
+    return rd.from_pandas(pd.DataFrame({
+        "subj": edges["src"], "pred": "e", "obj": edges["dst"],
+    }))
+
+
+def _reference_reach(edges: pd.DataFrame, hops: int) -> pd.DataFrame:
+    """Closed-form BFS tiers 1..hops, distinct reached nodes per start."""
+    adj = edges.groupby("src")["dst"].apply(set).to_dict()
+    out = {}
+    for start in adj:
+        frontier, reached = {start}, set()
+        for _ in range(hops):
+            frontier = set().union(*(adj.get(v, set()) for v in frontier))
+            reached |= frontier
+        out[start] = len(reached)
+    return (pd.DataFrame({"node": list(out), "n_reach": list(out.values())})
+            .astype({"n_reach": "int64"})
+            .sort_values("node", ignore_index=True))
+
+
+def _run_reach(edges: pd.DataFrame, hops: int, **kw) -> pd.DataFrame:
+    from ontology_matcher_ray.pipelines.graph import kg_reach
+
+    return (kg_reach("", hops=hops, trips=_trips_ds(edges), **kw)
+            .to_pandas().sort_values("node", ignore_index=True))
+
+
+def chain_plus_hub() -> pd.DataFrame:
+    """a->b->c->d chain, plus a hub reached by 30 spokes that fans out to
+    8 sinks (the in-degree x out-degree 2-hop blowup case), plus a
+    2-cycle (reach includes the start when a cycle returns)."""
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")]
+    rows += [(f"s{i:02d}", "hub") for i in range(30)]
+    rows += [("hub", f"t{j}") for j in range(8)]
+    return pd.DataFrame(rows, columns=["src", "dst"])
+
+
+@pytest.mark.parametrize("hops", [1, 2, 3])
+def test_reach_matches_reference(hops):
+    edges = chain_plus_hub()
+    got = _run_reach(edges, hops)
+    pd.testing.assert_frame_equal(got, _reference_reach(edges, hops))
+
+
+def test_reach_cycle_counts_start():
+    got = _run_reach(chain_plus_hub(), 2).set_index("node")["n_reach"]
+    assert got["x"] == 2          # y and x itself (cycle closes)
+    assert got["s00"] == 9        # hub + its 8 sinks
+    assert got["a"] == 2          # b, c
+
+
+def test_reach_partition_and_salt_invariant():
+    edges = chain_plus_hub()
+    base = _run_reach(edges, 2)
+    pd.testing.assert_frame_equal(base, _run_reach(edges, 2, num_partitions=3))
+    pd.testing.assert_frame_equal(base, _run_reach(edges, 2, salt=4))
+
+
+def test_reach_duplicate_edges_collapse():
+    edges = pd.concat([chain_plus_hub()] * 3, ignore_index=True)
+    pd.testing.assert_frame_equal(
+        _run_reach(edges, 2), _reference_reach(chain_plus_hub(), 2))
+
+
+def test_reach_rejects_zero_hops():
+    with pytest.raises(ValueError):
+        _run_reach(chain_plus_hub(), 0)
