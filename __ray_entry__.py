@@ -55,7 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": docs_text.sample_docs,               # hash-threshold sample
         "stratified_sample": docs_train.stratified_sample,  # per-lang rates
         "pii_scrub": docs_train.pii_scrub,                  # RE2 redaction map
-        "doc_pack": docs_train.doc_pack,                    # distributed prefix-sum
+        "doc_pack": composite.doc_pack_shuffled,            # prefix-sum pack ⋈ shard shuffle
         "lang_stats": docs_text.lang_stats,
         "source_lang_matrix": docs_text.source_lang_matrix,  # pivot / wide aggregate
         "doc_rollup": docs_text.doc_rollup,                 # GROUPING SETS one-pass

@@ -233,6 +233,8 @@ ANALYZE_OPS = {
              "DSIR-shaped bigram importance score vs the eval slice"),
     "reach": ("graph", "kg_reach",
               "per-node 2-hop reachability count over the KG"),
+    "shuffle": ("docs_train", "shuffle_shards",
+                "deterministic seeded epoch-shuffle shard assignment"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
     "substring-dups": ("docs_text", "dedup_substring",

@@ -1189,6 +1189,13 @@ SELECT doc_id,
 FROM aug
 """
 
+    from ontology_matcher_ray.pipelines.docs_train import (
+        SHUFFLE_SEED,
+        SHUFFLE_SHARDS,
+    )
+
+    # doc_pack ⋈ shuffle_shards (composite.doc_pack_shuffled): packing
+    # layout + deterministic seeded-hash epoch-shuffle shard assignment
     sql["doc_pack"] = f"""
 WITH t AS (SELECT doc_id, len(str_split(text, ' ')) AS n FROM documents),
 s AS (
@@ -1197,14 +1204,33 @@ s AS (
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0) AS start
   FROM t
+),
+pk AS (
+  SELECT doc_id,
+         CAST(n AS BIGINT) AS n_tokens,
+         CAST(start AS BIGINT) AS start_offset,
+         CAST(start // {PACK_BUDGET} AS BIGINT) AS chunk_id,
+         CAST((start + n - 1) // {PACK_BUDGET} - start // {PACK_BUDGET} + 1
+              AS BIGINT) AS n_chunks
+  FROM s
+),
+k AS (
+  SELECT doc_id,
+         CAST(md5_number_lower('{SHUFFLE_SEED}:' || doc_id)
+              % 9223372036854775808 AS BIGINT) AS skey
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CAST(skey % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+         CAST(row_number() OVER (PARTITION BY skey % {SHUFFLE_SHARDS}
+                                 ORDER BY skey, doc_id) - 1
+              AS BIGINT) AS pos
+  FROM k
 )
-SELECT doc_id,
-       CAST(n AS BIGINT) AS n_tokens,
-       CAST(start AS BIGINT) AS start_offset,
-       CAST(start // {PACK_BUDGET} AS BIGINT) AS chunk_id,
-       CAST((start + n - 1) // {PACK_BUDGET} - start // {PACK_BUDGET} + 1
-            AS BIGINT) AS n_chunks
-FROM s
+SELECT pk.doc_id, pk.n_tokens, pk.start_offset, pk.chunk_id, pk.n_chunks,
+       sh.shard, sh.pos
+FROM pk JOIN sh USING (doc_id)
 """
 
     from ontology_matcher_ray.pipelines.docs_train import SCALE as TRAIN_SCALE

@@ -325,6 +325,23 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
                               imp_schema, num_partitions=num_partitions)
 
 
+def doc_pack_shuffled(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """doc_pack ⋈ shuffle_shards on doc_id (both emit exactly one row
+    per document): the packed-chunk layout plus the deterministic
+    epoch-shuffle shard assignment, verified in one driver query."""
+    from ontology_matcher_ray.stages import exchange
+
+    pack = docs_train.doc_pack(sf_dir)
+    sh = docs_train.shuffle_shards(sf_dir)
+    return exchange.hash_join(
+        pack, sh, "doc_id", "doc_id",
+        {"doc_id": "int64", "n_tokens": "int64", "start_offset": "int64",
+         "chunk_id": "int64", "n_chunks": "int64"},
+        {"doc_id": "int64", "shard": "int64", "pos": "int64"},
+        num_partitions=num_partitions,
+    )
+
+
 def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     """Per-node KG topology: degrees LEFT⋈ 2-hop reachability on node.
 

@@ -401,6 +401,96 @@ def decontaminate(sf_dir: str) -> "rd.Dataset":
     )
 
 
+SHUFFLE_SEED = 7
+SHUFFLE_SHARDS = 8
+
+
+def shuffle_shards(
+    sf_dir: str,
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: int = SHUFFLE_SEED,
+    n_buckets: int = 64,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Deterministic coordination-free global shuffle into training
+    shards: (doc_id, shard, pos) where ``shard`` is a seeded-hash shard
+    assignment and ``pos`` the document's rank within its shard in hash
+    order — the assignment a data loader needs to stream a reshuffled
+    epoch as N independent shard files, reproducible for any seed with
+    NO random state (reshuffle = change the seed).
+
+    Key = low-63-bit md5 of ``"{seed}:{doc_id}"`` (DuckDB
+    ``md5_number_lower`` convention, like the sampling family);
+    shard = key % n_shards; pos = rank by (key, doc_id) within shard.
+
+    Scale shape: global per-shard ranking WITHOUT a global sort — the
+    key space is cut into ``n_buckets`` ordered buckets (bucket is
+    monotone in key), pass 1 is a per-batch combiner counting
+    (shard, bucket) cells so the driver reduce is bounded by
+    n_shards x n_buckets scalars (never row data), pass 2 exchanges
+    24-byte (doc_id, key) rows on (shard, bucket) and ranks each cell
+    locally, offset by the exclusive bucket prefix-sum — the same
+    two-phase prefix-sum story as ``doc_pack``.  Hot cells hold
+    ~N/(n_shards*n_buckets) rows of 24 bytes; raise ``n_buckets``
+    (power of two) to shrink them at constant driver cost.
+    """
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    from ontology_matcher_ray.functions.hashing import md5half
+
+    M = 1 << 63
+    shift = 63 - n_buckets.bit_length() + 1   # key >> shift in [0, n_buckets)
+
+    def assign(t: "pa.Table") -> pd.DataFrame:
+        d = t["doc_id"].to_numpy()
+        key = np.fromiter(
+            (md5half(f"{seed}:{i}") % M for i in d),
+            dtype=np.int64, count=len(d),
+        )
+        return pd.DataFrame({
+            "doc_id": d.astype("int64"),
+            "key": key,
+            "shard": key % n_shards,
+            "bucket": key >> shift,
+        })
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+
+    # pass 1: bounded driver reduce of (shard, bucket) cell counts
+    cnt = (
+        docs.map_batches(
+            lambda t: assign(t).groupby(["shard", "bucket"], sort=False)
+            .size().reset_index(name="n"),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby(["shard", "bucket"])["n"].sum().sort_index()
+    )
+    # exclusive prefix-sum over bucket order WITHIN each shard: bucket is
+    # monotone in key, so cell offset + local (key, doc_id) rank = the
+    # doc's exact rank under ORDER BY key, doc_id within its shard
+    off = (cnt.groupby(level=0).cumsum() - cnt).reset_index(name="off")
+
+    def rank_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "bucket", "key", "doc_id"],
+                          kind="mergesort")
+        within = g.groupby(["shard", "bucket"], sort=False).cumcount()
+        m = g.merge(off, on=["shard", "bucket"], how="left")
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "shard": m["shard"].to_numpy(np.int64),
+            "pos": (m["off"].to_numpy(np.int64)
+                    + within.to_numpy(np.int64)),
+        })
+
+    from ontology_matcher_ray.stages import exchange
+
+    return exchange.partitioned_apply(
+        docs.map_batches(assign, batch_format="pyarrow"),
+        ["shard", "bucket"], rank_cells, num_partitions,
+    )
+
+
 def _bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
     """Per-(doc, bigram) occurrence counts — exact within one batch
     because every document sits wholly in one row.  Docs with < 2 tokens

@@ -69,3 +69,66 @@ def test_sketch_matches_brute_force_registers():
             want[key] = max(want.get(key, 0), rho)
     got_map = {(r.lang, r.reg): r.max_rho for r in got.itertuples()}
     assert got_map == want
+
+
+# --- shuffle_shards: deterministic epoch-shuffle shard assignment --------
+
+def _shuffle_reference(doc_ids, n_shards, seed):
+    """Closed-form recompute: rank by (key, doc_id) within shard."""
+    from ontology_matcher_ray.pipelines.docs_train import SHUFFLE_SEED  # noqa: F401
+
+    rows = []
+    for d in doc_ids:
+        key = md5half(f"{seed}:{d}") % (1 << 63)
+        rows.append((int(d), key, key % n_shards))
+    df = pd.DataFrame(rows, columns=["doc_id", "key", "shard"])
+    df = df.sort_values(["shard", "key", "doc_id"], ignore_index=True)
+    df["pos"] = df.groupby("shard", sort=False).cumcount()
+    return (df[["doc_id", "shard", "pos"]].astype("int64")
+            .sort_values("doc_id", ignore_index=True))
+
+
+def test_shuffle_shards_matches_reference():
+    from ontology_matcher_ray.pipelines.docs_train import (
+        SHUFFLE_SEED,
+        SHUFFLE_SHARDS,
+        shuffle_shards,
+    )
+
+    got = (shuffle_shards(SF).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    want = _shuffle_reference(range(500), SHUFFLE_SHARDS, SHUFFLE_SEED)
+    pd.testing.assert_frame_equal(got, want)
+    # pos is a contiguous 0..n-1 ranking inside every shard
+    for _, g in got.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_shuffle_shards_partition_and_bucket_invariant():
+    from ontology_matcher_ray.pipelines.docs_train import shuffle_shards
+
+    base = (shuffle_shards(SF).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+    for kw in ({"num_partitions": 3}, {"n_buckets": 4}, {"n_buckets": 256}):
+        other = (shuffle_shards(SF, **kw).to_pandas()
+                 .sort_values("doc_id", ignore_index=True))
+        pd.testing.assert_frame_equal(base, other, obj=str(kw))
+
+
+def test_shuffle_shards_seed_changes_order():
+    from ontology_matcher_ray.pipelines.docs_train import shuffle_shards
+
+    a = (shuffle_shards(SF, seed=7).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    b = (shuffle_shards(SF, seed=8).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    assert not a.equals(b)                     # a reshuffle really reshuffles
+    pd.testing.assert_frame_equal(             # still exactly deterministic
+        b, _shuffle_reference(range(500), 8, 8))
+
+
+def test_shuffle_shards_rejects_bad_buckets():
+    from ontology_matcher_ray.pipelines.docs_train import shuffle_shards
+
+    with pytest.raises(ValueError):
+        shuffle_shards(SF, n_buckets=48)
