@@ -161,6 +161,9 @@ def _bench_once() -> dict:
         # ~1.3x faster (edges shuffle once, not once per iteration)
         "kg_pagerank": lambda: graph.kg_pagerank_pinned(sf_dir),
         "doc_pack": lambda: docs_train.doc_pack(sf_dir),
+        "shuffle_shards": lambda: docs_train.shuffle_shards(sf_dir),
+        # bounded transitive closure (2-hop reach) over the KG
+        "kg_reach": lambda: graph.kg_reach(sf_dir),
         "tfidf_top_terms": lambda: docs_train.tfidf_top_terms(sf_dir),
         "pricing_summary": lambda: relational.pricing_summary(sf_dir),
         "revenue_by_nation": lambda: relational.revenue_by_nation(sf_dir),
