@@ -235,6 +235,8 @@ ANALYZE_OPS = {
               "per-node 2-hop reachability count over the KG"),
     "shuffle": ("docs_train", "shuffle_shards",
                 "deterministic seeded epoch-shuffle shard assignment"),
+    "bpe": ("docs_train", "bpe_merges",
+            "first-k distributed BPE tokenizer merges"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
     "substring-dups": ("docs_text", "dedup_substring",

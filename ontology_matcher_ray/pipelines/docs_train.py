@@ -491,6 +491,117 @@ def shuffle_shards(
     )
 
 
+def bpe_merges(
+    sf_dir: str,
+    k: int = 20,
+    num_partitions: int = 16,
+    min_count: int = 2,
+) -> rd.Dataset:
+    """Distributed BPE tokenizer-vocabulary training: the first ``k``
+    byte-pair merges over the corpus, (rank, left, right, n) — the
+    classic Sennrich et al. 2016 algorithm expressed as a bounded loop
+    of exchanges.
+
+    Like the reference algorithm, merges are learned over the WORD
+    FREQUENCY table, not raw text: one corpus pass (``token_freq``'s
+    combiner + exchange) compresses 100 TB of text to a distinct-word
+    dataset, and every iteration after that touches only that vocab
+    table.  Per iteration: (1) a per-batch Arrow kernel counts adjacent
+    symbol pairs weighted by word count (the DSIR bigram shape on the
+    pieces column), (2) one exchange aggregates pair counts exactly,
+    (3) the driver reads ONE candidate row per output block (bounded)
+    and picks the winner by (count desc, pair asc — deterministic
+    tie-break), (4) a vectorized regex pass applies the merge to the
+    vocab (leftmost non-overlapping = BPE's greedy-left semantics) and
+    re-materializes it (k bounded re-materializations of a vocab-sized
+    table — the PageRank iteration pattern).  Stops early when the best
+    pair's count drops below ``min_count``.
+
+    Not SQL-expressible (iterative); verified against an independent
+    dict-based BPE recompute in tests/test_bpe.py.
+    """
+    import re as _re
+
+    from ontology_matcher_ray.pipelines.docs_text import token_freq
+    from ontology_matcher_ray.stages import exchange
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def symbolize(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["token"].astype(str)
+        keep = (w.str.len() >= 2).to_numpy()   # 1-char words have no pairs
+        return pd.DataFrame({
+            "pieces": [" ".join(x) for x in w[keep]],
+            "cnt": b.loc[keep, "n"].astype("int64").to_numpy(),
+        })
+
+    vocab = token_freq(sf_dir).map_batches(
+        symbolize, batch_format="pandas").materialize()
+
+    _EMPTY = pd.DataFrame({"pair": pd.Series(dtype=object),
+                           "n": pd.Series(dtype="int64")})
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(b["pieces"].astype(str))
+        lst = pc.split_pattern(arr, pattern=" ")
+        parents = pc.list_parent_indices(lst).to_numpy()
+        flat = lst.flatten().to_pandas().to_numpy()
+        if len(flat) < 2:
+            return _EMPTY.copy()
+        adj = parents[1:] == parents[:-1]
+        pair = (pd.Series(flat[:-1][adj]) + " "
+                + pd.Series(flat[1:][adj])).to_numpy()
+        w = b["cnt"].to_numpy()[parents[:-1][adj]]
+        g = (pd.DataFrame({"pair": pair, "n": w})
+             .groupby("pair", sort=False)["n"].sum().reset_index())
+        return g.astype({"n": "int64"})
+
+    def batch_top(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return _EMPTY.copy()
+        return b.sort_values(["n", "pair"], ascending=[False, True],
+                             kind="mergesort").head(1)
+
+    merges = []
+    for rank in range(1, k + 1):
+        agg = exchange.grouped_agg(
+            vocab.map_batches(pair_partial, batch_format="pandas"),
+            ["pair"], lambda gb: gb.agg(n=("n", "sum")), num_partitions,
+        )
+        # every pair is fully aggregated in exactly one row, so the
+        # global winner is among the per-block argmaxes (bounded read)
+        cand = agg.map_batches(batch_top, batch_format="pandas").to_pandas()
+        if not len(cand):
+            break
+        best = cand.sort_values(["n", "pair"], ascending=[False, True],
+                                kind="mergesort").iloc[0]
+        if int(best["n"]) < min_count:
+            break
+        left, right = best["pair"].split(" ")
+        merged = left + right
+        pat = _re.compile(
+            f"(?<= ){_re.escape(left)} {_re.escape(right)}(?= )")
+
+        def apply(bb: pd.DataFrame, pat=pat, merged=merged) -> pd.DataFrame:
+            p = (" " + bb["pieces"].astype(str) + " ").str.replace(
+                pat, lambda m: merged, regex=True)
+            return pd.DataFrame({"pieces": p.str.slice(1, -1),
+                                 "cnt": bb["cnt"].to_numpy()})
+
+        vocab = vocab.map_batches(
+            apply, batch_format="pandas").materialize()
+        merges.append((rank, left, right, int(best["n"])))
+
+    return rd.from_pandas(pd.DataFrame(
+        merges, columns=["rank", "left", "right", "n"],
+    ).astype({"rank": "int64", "left": "object", "right": "object",
+              "n": "int64"}))
+
+
 def _bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
     """Per-(doc, bigram) occurrence counts — exact within one batch
     because every document sits wholly in one row.  Docs with < 2 tokens
