@@ -454,14 +454,18 @@ def shuffle_shards(
             "bucket": key >> shift,
         })
 
-    docs = read_documents(sf_dir, columns=["doc_id"])
+    # the per-row md5 keying is the op's dominant cost: run it ONCE and
+    # materialize the 32 B/doc assignment for both passes (the engine's
+    # standard double-consumption pattern — kg_reach edges, PageRank)
+    assigned = read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        assign, batch_format="pyarrow").materialize()
 
     # pass 1: bounded driver reduce of (shard, bucket) cell counts
     cnt = (
-        docs.map_batches(
-            lambda t: assign(t).groupby(["shard", "bucket"], sort=False)
+        assigned.map_batches(
+            lambda b: b.groupby(["shard", "bucket"], sort=False)
             .size().reset_index(name="n"),
-            batch_format="pyarrow",
+            batch_format="pandas",
         )
         .to_pandas()
         .groupby(["shard", "bucket"])["n"].sum().sort_index()
@@ -486,8 +490,7 @@ def shuffle_shards(
     from ontology_matcher_ray.stages import exchange
 
     return exchange.partitioned_apply(
-        docs.map_batches(assign, batch_format="pyarrow"),
-        ["shard", "bucket"], rank_cells, num_partitions,
+        assigned, ["shard", "bucket"], rank_cells, num_partitions,
     )
 
 

@@ -122,7 +122,7 @@ def kg_reach(
     sf_dir: str,
     hops: int = 2,
     num_partitions: int = 32,
-    salt: int = 1,
+    salt: int = 4,
     trips: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """(node, n_reach): distinct nodes reachable from ``node`` along
@@ -139,7 +139,11 @@ def kg_reach(
     frontier's destination against the edge source.  ``salt`` spreads
     HOT intermediate nodes (a popular entity reached by many documents
     multiplied by its own out-degree) by replicating the edge side of
-    the hop join.  The final count is skew-robust by construction:
+    the hop join — ON by default (salt=4, measured free at bench
+    scale) because real KGs always have hub entities; the cost is a
+    salt-times-larger edge-side shuffle per hop, the win is that no
+    single partition materializes a hub's in-degree x out-degree row
+    blowup alone.  The final count is skew-robust by construction:
     distinct on the (src, dst) PAIR key (no hub key exists at pair
     granularity), then a per-batch combiner + node-keyed exchange sums
     bounded partials — a hub node's reach set is never collected into
