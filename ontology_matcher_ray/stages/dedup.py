@@ -286,12 +286,42 @@ def _align_pairs(g: pd.DataFrame):
     return g, g["a"].to_numpy()[0::2], g["b"].to_numpy()[0::2]
 
 
+def _union_find_min_labels(edges: pd.DataFrame) -> pd.DataFrame:
+    """Path-compressed union-find over a bounded (src, dst) edge frame:
+    (doc_id, label) where label = MIN doc id of the connected component
+    — the same fixpoint the iterative propagation converges to."""
+    ids = np.unique(np.concatenate([edges["src"].to_numpy(),
+                                    edges["dst"].to_numpy()]))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    parent = np.arange(len(ids))
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:           # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for s, d in zip(edges["src"].to_numpy(), edges["dst"].to_numpy()):
+        rs, rd_ = find(idx[int(s)]), find(idx[int(d)])
+        if rs != rd_:
+            parent[max(rs, rd_)] = min(rs, rd_)
+    roots = np.array([find(i) for i in range(len(ids))])
+    # min doc id per component: ids is sorted, so scatter-min over roots
+    comp_min = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(comp_min, roots, ids.astype(np.int64))
+    return pd.DataFrame({"doc_id": ids.astype("int64"),
+                         "label": comp_min[roots]})
+
+
 def near_dup_clusters(
     ds: rd.Dataset,
     pairs: rd.Dataset,
     id_col: str = "doc_id",
     num_partitions: int = 32,
     max_rounds: int = 25,
+    driver_edges_max: int = 4_000_000,
 ) -> rd.Dataset:
     """Cluster resolution: connected components over near-dup candidate
     pairs -> per-doc (doc_id, cluster_id, keep).
@@ -311,6 +341,15 @@ def near_dup_clusters(
     the corpus itself is touched exactly once (singleton fill at the
     end).  Convergence is detected with a tiny driver-side sum of a
     per-row changed flag (a scalar aggregate, not a materialization).
+
+    Size gate: the edge table is already materialized (it is reused
+    every round), so when it holds <= ``driver_edges_max`` rows (16 B
+    each — 64 MB at the default) the component labels come from ONE
+    bounded driver read + a path-compressed union-find instead of
+    paying 2 exchanges + a materialize per propagation round; the
+    corpus-sized singleton fill stays distributed either way, and both
+    paths produce the identical min-label fixpoint (tested).  Above
+    the gate the iterative exchange path runs unchanged.
     """
     from ontology_matcher_ray.stages import exchange
 
@@ -324,6 +363,15 @@ def near_dup_clusters(
                              "dst": np.concatenate([bb, a])})
 
     edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    if edges.count() <= driver_edges_max:       # metadata-only count
+        ef = edges.to_pandas()
+        lab = (_union_find_min_labels(ef) if len(ef) else
+               pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "label": pd.Series(dtype="int64")}))
+        lab["changed"] = np.zeros(len(lab), dtype=np.int64)
+        labels = rd.from_pandas(lab)
+        return _singleton_fill(ds, labels, id_col, num_partitions)
 
     # initial labels: each pair-member doc labels itself
     def self_labels(b: pd.DataFrame) -> pd.DataFrame:
@@ -401,8 +449,17 @@ def near_dup_clusters(
         if not changed:
             break
 
-    # singleton fill: docs in no pair keep their own id (one exchange over
-    # the corpus ids; min(own, final) == final for pair members)
+    return _singleton_fill(ds, labels, id_col, num_partitions)
+
+
+def _singleton_fill(
+    ds: rd.Dataset, labels: rd.Dataset, id_col: str, num_partitions: int
+) -> rd.Dataset:
+    """Docs in no pair keep their own id (one exchange over the corpus
+    ids; min(own, final) == final for pair members) — shared tail of
+    both cluster-resolution paths."""
+    from ontology_matcher_ray.stages import exchange
+
     all_self = ds.map_batches(
         lambda b: pd.DataFrame({"doc_id": b[id_col].astype("int64"),
                                 "label": b[id_col].astype("int64"),

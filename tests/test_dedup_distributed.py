@@ -171,3 +171,36 @@ def test_simhash_pairs_feed_cluster_resolution():
     pdf = _collect(dedup_stages.simhash_pairs(docs, max_hamming=3))
     lab = labels.set_index("doc_id")["cluster_id"]
     assert (lab.loc[pdf["a"]].to_numpy() == lab.loc[pdf["b"]].to_numpy()).all()
+
+
+def test_near_dup_clusters_gated_and_iterative_paths_identical():
+    """The size-gated driver union-find and the iterative exchange path
+    must produce the identical min-label fixpoint — chains, cycles, a
+    star hub, and a random union of components."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    comp = []
+    comp += [(i, i + 1) for i in range(9)]               # chain
+    comp += [(20, 21), (21, 22), (20, 22)]               # cycle
+    comp += [(40, 40 + i) for i in range(1, 12)]         # star
+    extra = rng.integers(60, 90, size=(25, 2))           # random blobs
+    comp += [(int(a), int(b)) for a, b in extra if a != b]
+    pairs = pd.DataFrame(comp, columns=["a", "b"])
+    ids = pd.DataFrame({"doc_id": sorted(
+        set(pairs["a"]) | set(pairs["b"]) | {100, 101})})
+
+    def run(**kw):
+        return (_collect(dedup_stages.near_dup_clusters(
+            rd.from_pandas(ids, override_num_blocks=3),
+            rd.from_pandas(pairs, override_num_blocks=2),
+            num_partitions=4, **kw))
+            .sort_values("doc_id", ignore_index=True))
+
+    gated = run()                          # default gate -> union-find
+    iterative = run(driver_edges_max=0)    # force the exchange loop
+    pd.testing.assert_frame_equal(gated, iterative)
+    # spot invariants
+    got = dict(zip(gated["doc_id"], gated["cluster_id"]))
+    assert got[9] == 0 and got[22] == 20 and got[51] == 40
+    assert got[100] == 100 and got[101] == 101
