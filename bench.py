@@ -175,6 +175,9 @@ def _bench_once() -> dict:
         # flags joined into one decision per doc
         "curate": lambda: docs_train.curate_decisions(sf_dir),
         "token_heavy_hitters": lambda: docs_text.token_heavy_hitters(sf_dir),
+        # BPE train (k merges over the distinct-word table) + shuffle-free
+        # memoized apply over every document
+        "bpe_encode": lambda: docs_train.bpe_encode(sf_dir),
         # cross-file duplicated-line (boilerplate) removal over the
         # headline code corpus itself
         "corpus_line_dedup": lambda: corpus_curate.corpus_line_dedup(

@@ -237,6 +237,8 @@ ANALYZE_OPS = {
                 "deterministic seeded epoch-shuffle shard assignment"),
     "bpe": ("docs_train", "bpe_merges",
             "first-k distributed BPE tokenizer merges"),
+    "bpe-encode": ("docs_train", "bpe_encode",
+                   "per-doc BPE token counts (train + memoized apply)"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
     "substring-dups": ("docs_text", "dedup_substring",

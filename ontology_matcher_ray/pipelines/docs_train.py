@@ -605,6 +605,100 @@ def bpe_merges(
               "n": "int64"}))
 
 
+class BpeEncoder:
+    """Stateful BPE apply: one actor per pool slot, merge ranks captured
+    once in ``__init__`` (the merge table is <= k rows — tiny by
+    construction, broadcast by closure like the 25-row nation table in
+    ``pipelines/relational.py``), plus a per-actor word -> piece-count
+    memo so each DISTINCT word is encoded once per actor regardless of
+    how many batches repeat it (Zipf makes the memo hit rate dominate at
+    corpus scale, and its size is bounded by the actor-lifetime distinct
+    vocabulary, not the corpus).
+
+    Apply semantics mirror training exactly: merges in rank order, each
+    replacing leftmost non-overlapping occurrences — so for any word in
+    the training corpus ``encode(word)`` reproduces the trained vocab's
+    pieces (tests/test_bpe.py::test_bpe_encode_consistent_with_training).
+    """
+
+    def __init__(self, merges: list):
+        # [(left, right), ...] in rank order
+        self._merges = [(l, r, l + r) for l, r in merges]
+        self._memo: dict = {}
+
+    def _encode_len(self, word: str) -> int:
+        n = self._memo.get(word)
+        if n is not None:
+            return n
+        syms = list(word)
+        for left, right, merged in self._merges:
+            if len(syms) == 1:
+                break
+            i, out = 0, []
+            last = len(syms) - 1
+            while i < len(syms):
+                if i < last and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        n = len(syms)
+        self._memo[word] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lst = pc.split_pattern(
+            pc.cast(t["text"], pa.string()), pattern=" ").combine_chunks()
+        parents = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lst).to_pandas()
+        # factorize so each distinct word in the batch is encoded once,
+        # then scatter-add piece counts back per document
+        codes, uniques = pd.factorize(flat, sort=False)
+        per_unique = np.fromiter(
+            (self._encode_len(w) for w in uniques), dtype=np.int64,
+            count=len(uniques))
+        n_docs = len(t)
+        n_words = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        n_pieces = np.bincount(
+            parents, weights=per_unique[codes].astype(np.float64),
+            minlength=n_docs).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_pieces, pa.int64()),
+        })
+
+
+def bpe_encode(sf_dir: str, k: int = 20, num_partitions: int = 16,
+               concurrency: int = 4) -> rd.Dataset:
+    """Apply a trained BPE merge table to every document: per-doc
+    (n_tokens, n_bpe_tokens) — the fertility profile a tokenizer
+    ablation needs before committing a vocab to a 100-TB tokenization
+    run.
+
+    Two phases: (1) train via ``bpe_merges`` (bounded: the driver reads
+    the <= k-row merge table, nothing else); (2) a shuffle-free
+    actor-pool map over the documents — merges broadcast by closure,
+    per-actor memoized word encoding, Arrow-native tokenization, one
+    output row per input document.  No exchange anywhere in the encode
+    phase, so it pipelines with the read at any scale.
+    """
+    mdf = bpe_merges(sf_dir, k=k, num_partitions=num_partitions).to_pandas()
+    merges = list(zip(mdf["left"], mdf["right"]))
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        BpeEncoder, fn_constructor_args=(merges,),
+        batch_format="pyarrow", zero_copy_batch=True,
+        # autoscaling pool: min 1 so the stage can never reserve every
+        # CPU and starve the upstream read on small clusters
+        concurrency=(1, concurrency),
+    )
+
+
 def _bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
     """Per-(doc, bigram) occurrence counts — exact within one batch
     because every document sits wholly in one row.  Docs with < 2 tokens

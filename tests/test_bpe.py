@@ -112,3 +112,71 @@ def test_bpe_min_count_stops(tiny_dir):
 def test_bpe_rejects_zero_k(tiny_dir):
     with pytest.raises(ValueError):
         bpe_merges(tiny_dir, k=0)
+
+
+# ---- bpe_encode (apply) ----
+
+def _reference_encode(word: str, merges) -> list:
+    """Independent apply: merges in rank order, leftmost non-overlapping
+    replacement — a straight transcription of the training-time vocab
+    update, with no shared code with the engine's BpeEncoder."""
+    pieces = list(word)
+    for _, left, right, _ in merges.itertuples(index=False):
+        out, i = [], 0
+        while i < len(pieces):
+            if (i < len(pieces) - 1 and pieces[i] == left
+                    and pieces[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(pieces[i])
+                i += 1
+        pieces = out
+    return pieces
+
+
+def _expected_encode_counts(sf: str, k: int) -> pd.DataFrame:
+    merges = _reference_bpe(_corpus_word_counts(sf), k)
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = str(text).split(" ")
+        rows.append((int(doc_id), len(toks),
+                     sum(len(_reference_encode(t, merges)) for t in toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_bpe_tokens"]
+                        ).astype("int64").sort_values("doc_id",
+                                                      ignore_index=True)
+
+
+def test_bpe_encode_tiny_matches_reference(tiny_dir):
+    from ontology_matcher_ray.pipelines.docs_train import bpe_encode
+
+    got = (bpe_encode(tiny_dir, k=12).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(got, _expected_encode_counts(tiny_dir, 12))
+
+
+def test_bpe_encode_sf_matches_reference():
+    from ontology_matcher_ray.pipelines.docs_train import bpe_encode
+
+    got = (bpe_encode(SF, k=8).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    want = _expected_encode_counts(SF, 8)
+    pd.testing.assert_frame_equal(got, want)
+    # compression must be real: BPE pieces per doc strictly below chars,
+    # and at least the word count (a piece never spans a space)
+    assert (got["n_bpe_tokens"] >= got["n_tokens"]).all()
+
+
+def test_bpe_encode_reproduces_training_vocab(tiny_dir):
+    """encode(word) piece count == the trained vocab's pieces for every
+    in-corpus word (train and apply share semantics exactly)."""
+    from ontology_matcher_ray.pipelines.docs_train import BpeEncoder
+
+    counts = _corpus_word_counts(tiny_dir)
+    merges = _reference_bpe(counts, 12)
+    enc = BpeEncoder(list(zip(merges["left"], merges["right"])))
+    for w in counts:
+        assert enc._encode_len(w) == len(_reference_encode(w, merges)), w
