@@ -164,6 +164,9 @@ def _bench_once() -> dict:
         "shuffle_shards": lambda: docs_train.shuffle_shards(sf_dir),
         # bounded transitive closure (2-hop reach) over the KG
         "kg_reach": lambda: graph.kg_reach(sf_dir),
+        # degree-ordered wedge-join triangle counting over the
+        # co-occurrence graph
+        "kg_triangles": lambda: graph.kg_triangles(sf_dir),
         "tfidf_top_terms": lambda: docs_train.tfidf_top_terms(sf_dir),
         "pricing_summary": lambda: relational.pricing_summary(sf_dir),
         "revenue_by_nation": lambda: relational.revenue_by_nation(sf_dir),

@@ -233,6 +233,8 @@ ANALYZE_OPS = {
              "DSIR-shaped bigram importance score vs the eval slice"),
     "reach": ("graph", "kg_reach",
               "per-node 2-hop reachability count over the KG"),
+    "triangles": ("graph", "kg_triangles",
+                  "per-entity triangle counts over the co-occurrence graph"),
     "shuffle": ("docs_train", "shuffle_shards",
                 "deterministic seeded epoch-shuffle shard assignment"),
     "bpe": ("docs_train", "bpe_merges",

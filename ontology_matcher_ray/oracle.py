@@ -1341,10 +1341,31 @@ deg AS (
 e AS (SELECT DISTINCT subj AS src, obj AS dst FROM trip),
 r2 AS (SELECT DISTINCT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
 r AS (SELECT src, dst FROM e UNION SELECT src, dst FROM r2),
-reach AS (SELECT src AS node, count(*) AS n FROM r GROUP BY 1)
+reach AS (SELECT src AS node, count(*) AS n FROM r GROUP BY 1),
+-- triangle counts over the entity co-occurrence graph
+-- (graph.kg_triangles): cpairs holds each undirected edge once with
+-- a < b, so u < v < w counts every triangle exactly once; per-node
+-- counts credit all three corners (orientation-invariant, which is
+-- why this lexicographic recomputation matches the engine's
+-- degree-ordered wedge join)
+{GRAPH_CTES},
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM cpairs e1
+  JOIN cpairs e2 ON e2.a = e1.b
+  JOIN cpairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT node, count(*) AS n FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v AS node FROM tri
+    UNION ALL SELECT w AS node FROM tri
+  ) GROUP BY 1
+)
 SELECT d.node, d.out_degree, d.in_degree,
-       CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_reach
-FROM deg d LEFT JOIN reach rc USING (node)
+       CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_reach,
+       CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN reach rc USING (node) LEFT JOIN tcnt tc USING (node)
 """
 
     sql["kg_pagerank"] = pagerank_sql()

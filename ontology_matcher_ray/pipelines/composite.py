@@ -343,13 +343,16 @@ def doc_pack_shuffled(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
 
 
 def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
-    """Per-node KG topology: degrees LEFT⋈ 2-hop reachability on node.
+    """Per-node KG topology: degrees LEFT⋈ 2-hop reachability LEFT⋈
+    co-occurrence triangle counts, all on node.
 
-    The triple union is built and materialized ONCE and shared by both
-    consumers (kg_degrees' combiner pass and kg_reach's edge build) —
-    the composite never re-runs the extract chain.  Nodes with no
-    out-edges (xref leaves, lang/source values) have no reach row;
-    the LEFT join's NaN becomes an exact 0 like the SQL COALESCE."""
+    The triple union is built and materialized ONCE and shared by all
+    three consumers (kg_degrees' combiner pass, kg_reach's edge build,
+    kg_triangles' mention-pair derivation) — the composite never
+    re-runs the extract chain.  Nodes with no out-edges have no reach
+    row and non-entity nodes (docs, langs, sources) are in no
+    co-occurrence triangle; each LEFT join's NaN becomes an exact 0
+    like the SQL COALESCE."""
     from ontology_matcher_ray.pipelines import graph
     from ontology_matcher_ray.stages import exchange
 
@@ -357,10 +360,18 @@ def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     deg = graph.kg_degrees(sf_dir, num_partitions, trips=trips)
     reach = graph.kg_reach(sf_dir, num_partitions=num_partitions,
                            trips=trips)
+    tri = graph.kg_triangles(sf_dir, num_partitions, trips=trips)
     joined = exchange.hash_join(
         deg, reach, "node", "node",
         {"node": "object", "out_degree": "int64", "in_degree": "int64"},
         {"node": "object", "n_reach": "int64"},
+        how="left", num_partitions=num_partitions,
+    )
+    joined = exchange.hash_join(
+        joined, tri, "node", "node",
+        {"node": "object", "out_degree": "int64", "in_degree": "int64",
+         "n_reach": "float64"},
+        {"node": "object", "n_triangles": "int64"},
         how="left", num_partitions=num_partitions,
     )
     return joined.map_batches(
@@ -369,6 +380,7 @@ def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
             "out_degree": b["out_degree"].astype("int64"),
             "in_degree": b["in_degree"].astype("int64"),
             "n_reach": b["n_reach"].fillna(0).astype("int64"),
+            "n_triangles": b["n_triangles"].fillna(0).astype("int64"),
         }),
         batch_format="pandas",
     )

@@ -42,7 +42,8 @@ from ontology_matcher_ray.stages import exchange
 TOTAL_MASS = 10**12  # integer PageRank mass; per-node BASE = TOTAL // n
 
 
-def entity_cooccurrence(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+def entity_cooccurrence(sf_dir: str, num_partitions: int = 32,
+                        trips: rd.Dataset | None = None) -> rd.Dataset:
     """(a, b, n_docs): entity pairs co-mentioned in a document.
 
     ``a < b`` lexicographically; ``n_docs`` counts distinct documents
@@ -50,18 +51,33 @@ def entity_cooccurrence(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     ``doc_id`` (all mentions of a doc are co-located), aggregation a
     second exchange on the pair — the same two-exchange shape as the
     near-dup verifiers.
+
+    Pass a precomputed (e.g. materialized) ``trips`` to derive the
+    (doc, entity) mention pairs from its ``pred='mentions'`` rows
+    instead of re-running the extract chain (composite.kg_topology) —
+    the flagship triple union stores them distinct by construction.
     """
     # per-batch partial dedup (combiner); the doc_id exchange below
     # completes the (doc_id, out_id) distinct inside the pair kernel —
     # fusing what would otherwise be a separate distinct exchange
     # (3 exchanges -> 2; measured 3.9s -> ~2.6s on the sf0.1 chain)
-    dm = linked_mentions(sf_dir).map_batches(
-        lambda b: pd.DataFrame({
-            "doc_id": b["doc_id"].astype("int64"),
-            "out_id": b["out_id"].astype(str),
-        }).drop_duplicates(),
-        batch_format="pandas",
-    )
+    if trips is not None:
+        def from_trips(b: pd.DataFrame) -> pd.DataFrame:
+            m = b[b["pred"] == "mentions"]
+            return pd.DataFrame({
+                "doc_id": m["subj"].str.slice(4).astype("int64"),
+                "out_id": m["obj"].astype(str),
+            })
+
+        dm = trips.map_batches(from_trips, batch_format="pandas")
+    else:
+        dm = linked_mentions(sf_dir).map_batches(
+            lambda b: pd.DataFrame({
+                "doc_id": b["doc_id"].astype("int64"),
+                "out_id": b["out_id"].astype(str),
+            }).drop_duplicates(),
+            batch_format="pandas",
+        )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["doc_id", "out_id"])
@@ -220,6 +236,135 @@ def kg_reach(
         }),
         batch_format="pandas",
     )
+
+
+_TRI_SEP = "\x1f"   # unit separator — never appears in entity ids
+
+
+def triangles_from_edges(edges: rd.Dataset,
+                         num_partitions: int = 32) -> rd.Dataset:
+    """(node, n_triangles) over an undirected simple edge list (a, b).
+
+    Degree-ordered wedge-join triangle counting (the standard
+    MapReduce/GraphX formulation): every edge is oriented from its
+    lower-(degree, node) endpoint to the higher, which turns the
+    undirected graph into a DAG whose max out-degree is O(sqrt(m)) —
+    so wedge volume is bounded by m^1.5 TOTAL and a hub node's
+    quadratic pair blowup can never land on one partition (the hub has
+    high degree, so almost all its edges point INTO it and it generates
+    few wedges).  Each triangle {u,v,w} with u<v<w in the orientation
+    order is found exactly once: as the wedge (v,w) centered at u,
+    closed by the oriented edge v->w.
+
+    Exchanges: one degree aggregation, two joins to attach endpoint
+    degrees, one src-keyed exchange for wedge generation, and one
+    semi-join of wedges against the oriented edge set on the (v,w) pair
+    key — pair keys have no hubs, so the closure join needs no salt.
+    Per-node counts are orientation-invariant (each triangle credits
+    all three corners), which is what lets the SQL oracle recompute
+    them with plain lexicographic ordering.
+    """
+    edges = edges.map_batches(
+        lambda b: pd.DataFrame({"a": b["a"].astype(str),
+                                "b": b["b"].astype(str)}),
+        batch_format="pandas",
+    ).materialize()     # consumed by the degree pass + the orientation join
+
+    deg_partial = edges.map_batches(
+        lambda b: pd.DataFrame({
+            "node": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+            "d": np.int64(1),
+        }).groupby("node", sort=False).agg(d=("d", "sum")).reset_index(),
+        batch_format="pandas",
+    )
+    deg = exchange.grouped_agg(
+        deg_partial, ["node"], lambda gb: gb.agg(d=("d", "sum")),
+        num_partitions,
+    ).materialize()     # O(nodes); probed by both endpoint joins
+
+    with_da = exchange.hash_join(
+        edges,
+        deg.map_batches(lambda b: b.rename(columns={"d": "da"}),
+                        batch_format="pandas"),
+        "a", "node",
+        {"a": "object", "b": "object"},
+        {"node": "object", "da": "int64"},
+        num_partitions=num_partitions,
+    )
+    with_both = exchange.hash_join(
+        with_da,
+        deg.map_batches(lambda b: b.rename(columns={"d": "db"}),
+                        batch_format="pandas"),
+        "b", "node",
+        {"a": "object", "b": "object", "da": "int64"},
+        {"node": "object", "db": "int64"},
+        num_partitions=num_partitions,
+    )
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        lo = (b["da"] < b["db"]) | ((b["da"] == b["db"]) & (b["a"] < b["b"]))
+        lo = lo.to_numpy()
+        return pd.DataFrame({
+            "src": np.where(lo, b["a"], b["b"]),
+            "dst": np.where(lo, b["b"], b["a"]),
+            "dst_d": np.where(lo, b["db"], b["da"]).astype("int64"),
+        })
+
+    oriented = with_both.map_batches(
+        orient, batch_format="pandas",
+    ).materialize()     # consumed by wedge generation + the closure join
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="src", suffixes=("_x", "_y"))
+        lo = ((m["dst_d_x"] < m["dst_d_y"])
+              | ((m["dst_d_x"] == m["dst_d_y"])
+                 & (m["dst_x"] < m["dst_y"]))).to_numpy()
+        m = m[lo]
+        return pd.DataFrame({
+            "key": m["dst_x"] + _TRI_SEP + m["dst_y"],
+            "u": m["src"].to_numpy(),
+            "v": m["dst_x"].to_numpy(),
+            "w": m["dst_y"].to_numpy(),
+        })
+
+    wedge_ds = exchange.partitioned_apply(
+        oriented, ["src"], wedges, num_partitions)
+    closed = exchange.hash_join(
+        wedge_ds,
+        oriented.map_batches(
+            lambda b: pd.DataFrame({"key": b["src"] + _TRI_SEP + b["dst"]}),
+            batch_format="pandas",
+        ),
+        "key", "key",
+        {"key": "object", "u": "object", "v": "object", "w": "object"},
+        {"key": "object"},
+        how="semi", num_partitions=num_partitions,
+    )
+
+    corner_partial = closed.map_batches(
+        lambda b: pd.DataFrame({
+            "node": np.concatenate([b["u"].to_numpy(), b["v"].to_numpy(),
+                                    b["w"].to_numpy()]),
+            "n": np.int64(1),
+        }).groupby("node", sort=False).agg(n=("n", "sum")).reset_index(),
+        batch_format="pandas",
+    )
+    return exchange.grouped_agg(
+        corner_partial, ["node"],
+        lambda gb: gb.agg(n_triangles=("n", "sum")),
+        num_partitions,
+    )
+
+
+def kg_triangles(sf_dir: str, num_partitions: int = 32,
+                 trips: rd.Dataset | None = None) -> rd.Dataset:
+    """(node, n_triangles) over the entity co-occurrence graph — the
+    community-structure probe an ontology pipeline runs on its
+    constructed KG (entities sharing documents pairwise form cliques).
+    Nodes in no triangle emit no row (the composite's LEFT join
+    restores the exact 0 like the SQL COALESCE)."""
+    pairs = entity_cooccurrence(sf_dir, num_partitions, trips=trips)
+    return triangles_from_edges(pairs, num_partitions)
 
 
 def _cooc_edges(sf_dir: str, num_partitions: int) -> rd.Dataset:

@@ -285,3 +285,69 @@ def test_reach_duplicate_edges_collapse():
 def test_reach_rejects_zero_hops():
     with pytest.raises(ValueError):
         _run_reach(chain_plus_hub(), 0)
+
+
+# ---- triangle counting (triangles_from_edges / kg_triangles) ----
+
+def _ref_triangles(edges) -> dict:
+    """Brute-force reference: adjacency sets, count closed u<v<w."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    nodes = sorted(adj)
+    for u in nodes:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w <= v:
+                    continue
+                for x in (u, v, w):
+                    counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def _tri_counts(edge_list, parts=4) -> dict:
+    from ontology_matcher_ray.pipelines.graph import triangles_from_edges
+
+    ds = rd.from_pandas(pd.DataFrame(edge_list, columns=["a", "b"]))
+    df = triangles_from_edges(ds, num_partitions=parts).to_pandas()
+    if not len(df):        # triangle-free graph: schema-less empty
+        return {}
+    return dict(zip(df["node"], df["n_triangles"]))
+
+
+def test_triangles_k4_plus_pendant():
+    # K4 = 4 triangles, 3 per corner; pendant node e joins none
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    got = _tri_counts(k4)
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}   # e emits no row
+
+
+def test_triangles_hub_star_and_mixed():
+    # star hub h with leaves l0..l5 has no triangles; closing l0-l1
+    # creates exactly one through the hub
+    star = [("h", f"l{i}") for i in range(6)]
+    assert _tri_counts(star) == {}
+    assert _tri_counts(star + [("l0", "l1")]) == {"h": 1, "l0": 1, "l1": 1}
+
+
+def test_triangles_match_reference_random():
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)})
+    want = _ref_triangles(edges)
+    assert sum(want.values()) > 0           # fixture must be non-trivial
+    assert _tri_counts(edges) == want
+
+
+@pytest.mark.parametrize("parts", [1, 3, 8])
+def test_triangles_partition_invariant(parts):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("a", "d"), ("d", "e"), ("c", "e")]
+    assert _tri_counts(edges, parts) == _ref_triangles(edges)
