@@ -298,7 +298,13 @@ def cmd_analyze(args) -> int:
     res = getattr(mod, attr)(args.sf_dir)
     if hasattr(res, "materialize"):
         ds = res.materialize()          # one execution: write + count
-        ds.write_parquet(args.output_dir)
+        if args.range_key:
+            from ontology_matcher_ray.sources.io import write_range_partitioned
+
+            write_range_partitioned(ds, args.output_dir, args.range_key,
+                                    num_ranges=args.num_ranges)
+        else:
+            ds.write_parquet(args.output_dir)
         n = ds.count()
     else:                               # bounded driver-side result (top-N)
         import os
@@ -389,6 +395,12 @@ def main(argv=None) -> int:
                      help="directory holding documents.parquet / embeddings.parquet")
     pa_.add_argument("--output-dir", required=True)
     pa_.add_argument("--op", required=True, choices=sorted(ANALYZE_OPS))
+    pa_.add_argument("--range-key", default=None,
+                     help="write range-partitioned sorted parquet keyed "
+                          "by this column (resumable: reruns skip "
+                          "completed range dirs)")
+    pa_.add_argument("--num-ranges", type=int, default=16,
+                     help="key ranges for --range-key (default 16)")
     pa_.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)

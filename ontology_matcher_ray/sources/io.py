@@ -327,3 +327,183 @@ def read_jsonl(
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioned sorted Parquet sink — the resumable-output layout a
+# 100-TB job needs: one directory per key range (range=NNNN/), each
+# internally SORTED by the key, cut points persisted so a rerun assigns
+# identically, completed ranges committed by atomic rename and skipped
+# (filtered out BEFORE the exchange) on resume.  The Spark-
+# RangePartitioner recipe expressed over the engine's own exchange:
+# one bounded sampling pass picks equi-depth cuts, one identity-
+# partitioned exchange co-locates each range, a per-range kernel sorts
+# and writes.  Never one giant file: num_ranges bounds per-file volume
+# and a failed run re-does only its missing ranges.
+# ---------------------------------------------------------------------------
+
+_CUTS_FILE = "_cuts.json"
+
+
+def _range_dir(out_dir: str, rid: int) -> str:
+    return os.path.join(out_dir, f"range={rid:05d}")
+
+
+def _load_or_sample_cuts(
+    ds: rd.Dataset, out_dir: str, key: str, num_ranges: int,
+    sample_per_block: int,
+) -> list:
+    """Equi-depth cut points from a bounded stride sample (<=
+    sample_per_block keys leave each block — the driver read is
+    O(blocks), never O(rows)).  Persisted atomically on first write so
+    RESUMED runs partition identically even though Ray may re-block the
+    input differently."""
+    import json
+
+    cuts_path = os.path.join(out_dir, _CUTS_FILE)
+    if os.path.exists(cuts_path):
+        with open(cuts_path) as f:
+            saved = json.load(f)
+        if saved["key"] != key or saved["num_ranges"] != num_ranges:
+            raise FormatError(
+                f"{out_dir} was range-partitioned with "
+                f"key={saved['key']!r}/num_ranges={saved['num_ranges']} — "
+                f"got key={key!r}/num_ranges={num_ranges}; use a fresh "
+                "directory to re-partition differently")
+        return saved["cuts"]
+
+    import numpy as np
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        take = min(sample_per_block, n)
+        idx = np.unique(np.linspace(0, n - 1, take).astype(np.int64))
+        return pd.DataFrame({"k": b[key].iloc[idx]})
+
+    ks = ds.map_batches(sample, batch_format="pandas").to_pandas()["k"]
+    ks = ks.sort_values(kind="mergesort", ignore_index=True)
+    if len(ks) == 0 or num_ranges <= 1:
+        cuts = []
+    else:
+        # equi-depth: cut after each 1/num_ranges quantile of the sample
+        pos = (np.arange(1, num_ranges) * len(ks)) // num_ranges
+        cuts = sorted(set(ks.iloc[pos].tolist()))
+    cuts = [c.item() if hasattr(c, "item") else c for c in cuts]
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = cuts_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "num_ranges": num_ranges, "cuts": cuts}, f)
+    os.rename(tmp, cuts_path)
+    return cuts
+
+
+def write_range_partitioned(
+    ds: rd.Dataset,
+    out_dir: str,
+    key: str,
+    num_ranges: int = 16,
+    sample_per_block: int = 64,
+    resume: bool = True,
+) -> pd.DataFrame:
+    """Write ``ds`` as per-key-range SORTED Parquet directories.
+
+    Returns the bounded per-range stats frame (range_id, rows, key_min,
+    key_max) for the ranges written THIS run; completed ranges are
+    filtered out before the exchange on resume, so a rerun streams past
+    them without shuffling a byte.  ``resume=False`` clears the
+    directory first.  The input is consumed twice (sampling pass +
+    write pass — the two-scan RangePartitioner contract, deliberately
+    NOT materialized: at 100 TB a second pruned scan is cheap, holding
+    the dataset is not); pass a pre-materialized ``ds`` if its lineage
+    is expensive and small.  Keys must be a total order under numpy
+    comparison (ints or strings)."""
+    import shutil
+
+    import numpy as np
+
+    from ontology_matcher_ray.stages.exchange import (
+        PARTITION_COL,
+        partitioned_apply_prepartitioned,
+    )
+
+    if num_ranges < 1:
+        raise ValueError(f"num_ranges must be >= 1, got {num_ranges}")
+    if not resume and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    cuts = _load_or_sample_cuts(ds, out_dir, key, num_ranges,
+                                sample_per_block)
+    cuts_arr = np.asarray(cuts)
+    done = frozenset(
+        rid for rid in range(len(cuts) + 1)
+        if os.path.isdir(_range_dir(out_dir, rid))
+    )
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        rid = (np.searchsorted(cuts_arr, b[key].to_numpy(), side="right")
+               .astype("int64") if len(cuts_arr)
+               else np.zeros(len(b), dtype=np.int64))
+        b = b.copy()
+        b[PARTITION_COL] = rid
+        if done:
+            b = b[~np.isin(rid, list(done))]
+        return b
+
+    _EMPTY = pd.DataFrame({
+        "range_id": pd.Series(dtype="int64"),
+        "rows": pd.Series(dtype="int64"),
+        "key_min": pd.Series(dtype=object),
+        "key_max": pd.Series(dtype=object),
+    })
+
+    def write_range(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY.copy()
+        g = g.sort_values(key, kind="mergesort", ignore_index=True)
+        rid = (int(np.searchsorted(cuts_arr, g[key].iloc[0], side="right"))
+               if len(cuts_arr) else 0)
+        final = _range_dir(out_dir, rid)
+        tmp = final + ".tmp"       # deterministic: a task RETRY overwrites
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        g.to_parquet(os.path.join(tmp, "part-000.parquet"), index=False)
+        os.rename(tmp, final)
+        return pd.DataFrame({
+            "range_id": [rid], "rows": [len(g)],
+            "key_min": [g[key].iloc[0]], "key_max": [g[key].iloc[-1]],
+        })
+
+    keyed = ds.map_batches(assign, batch_format="pandas")
+    stats = partitioned_apply_prepartitioned(keyed, write_range, [key])
+    df = stats.to_pandas()          # bounded: one row per range
+    if not len(df):
+        return _EMPTY.copy()
+    return (df.astype({"range_id": "int64", "rows": "int64"})
+            .sort_values("range_id", ignore_index=True))
+
+
+def read_range_partitioned(
+    out_dir: str,
+    columns: Optional[List[str]] = None,
+    ranges: Optional[List[int]] = None,
+) -> rd.Dataset:
+    """Source for ``write_range_partitioned`` output.  ``ranges``
+    selects specific key ranges (partition pruning: unselected
+    directories are never opened)."""
+    import glob
+
+    dirs = sorted(glob.glob(os.path.join(out_dir, "range=*")))
+    dirs = [d for d in dirs if not d.endswith(".tmp")]
+    if ranges is not None:
+        want = {f"range={r:05d}" for r in ranges}
+        dirs = [d for d in dirs if os.path.basename(d) in want]
+    # a list of FILES, not directories: ray.data.read_parquet accepts a
+    # directory only as a single path, and pruning needs the explicit list
+    files = sorted(f for d in dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        raise FormatError(f"no completed range directories under {out_dir}")
+    # partitioning=None: the range=NNNNN path segment is a COMMIT unit,
+    # not a hive partition column — inference would add a 'range' column
+    # and break the write->read round trip
+    return read_parquet_clean(files, columns=columns, partitioning=None)

@@ -132,3 +132,24 @@ def test_idtypes_links_notice(capsys):
     for spec in SPECS.values():
         assert set(spec.choices) <= set(spec.ontology_links), spec.type
         assert spec.database_url
+
+
+def test_analyze_range_partitioned_output(tmp_path):
+    """--range-key writes resumable range=NNNNN/ sorted parquet dirs."""
+    import glob
+    import json
+
+    out = tmp_path / "rp"
+    assert main([
+        "analyze", "--sf-dir", "/root/testdata/sf0.001",
+        "--output-dir", str(out), "--op", "pii-scrub",
+        "--range-key", "doc_id", "--num-ranges", "4",
+    ]) == 0
+    dirs = sorted(glob.glob(str(out / "range=*")))
+    assert len(dirs) == 4
+    assert json.load(open(out / "_cuts.json"))["key"] == "doc_id"
+    parts = [pd.read_parquet(d) for d in dirs]
+    assert sum(len(p) for p in parts) == 500
+    assert all(p["doc_id"].is_monotonic_increasing for p in parts)
+    assert all(parts[i]["doc_id"].max() < parts[i + 1]["doc_id"].min()
+               for i in range(3))
