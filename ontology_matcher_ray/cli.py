@@ -251,6 +251,8 @@ ANALYZE_OPS = {
                  "k-means-blocked semantic near-dup pairs (SemDeDup)"),
     "semdedup-keep": ("docs_text", "semdedup_keep",
                       "per-vector SemDeDup pruning decision (cluster+keep)"),
+    "inverted-index": ("docs_text", "inverted_index",
+                       "token -> sorted postings list with df band"),
     "heavy-hitters": ("docs_text", "token_heavy_hitters",
                       "frequent tokens via two-pass Misra-Gries sketch"),
     # graph analytics
