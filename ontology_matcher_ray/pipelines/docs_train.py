@@ -494,11 +494,54 @@ def shuffle_shards(
     )
 
 
+def _bpe_local_loop(vdf: pd.DataFrame, k: int, min_count: int) -> list:
+    """Driver-side mirror of the distributed BPE iteration: identical
+    pair weighting, (count desc, 'left right' asc) tie-break, and
+    greedy-left non-overlapping apply — over the already-symbolized
+    vocab frame.  Rows that converge to the same pieces after a merge
+    coalesce here but stay separate rows in the distributed path; pair
+    SUMS are identical either way, so the selected merges match."""
+    vocab: dict = {}
+    for pieces, cnt in zip(vdf["pieces"], vdf["cnt"]):
+        t = tuple(str(pieces).split(" "))
+        vocab[t] = vocab.get(t, 0) + int(cnt)
+    merges = []
+    for rank in range(1, k + 1):
+        pairs: dict = {}
+        for t, c in vocab.items():
+            for i in range(len(t) - 1):
+                p = (t[i], t[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        if n < min_count:
+            break
+        merged = left + right
+        new: dict = {}
+        for t, c in vocab.items():
+            out, i, last = [], 0, len(t) - 1
+            while i < len(t):
+                if i < last and t[i] == left and t[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            tt = tuple(out)
+            new[tt] = new.get(tt, 0) + c
+        vocab = new
+        merges.append((rank, left, right, int(n)))
+    return merges
+
+
 def bpe_merges(
     sf_dir: str,
     k: int = 20,
     num_partitions: int = 16,
     min_count: int = 2,
+    driver_vocab_max: int = 200_000,
 ) -> rd.Dataset:
     """Distributed BPE tokenizer-vocabulary training: the first ``k``
     byte-pair merges over the corpus, (rank, left, right, n) — the
@@ -541,6 +584,23 @@ def bpe_merges(
 
     vocab = token_freq(sf_dir).map_batches(
         symbolize, batch_format="pandas").materialize()
+
+    # Size-gated driver fast path (the union-find fast-path pattern in
+    # stages/dedup.near_dup_clusters): the iterative loop touches only
+    # the DISTINCT-WORD table, so when that table is driver-sized
+    # (<= driver_vocab_max rows — the corpus itself was already reduced
+    # by token_freq's combiner) the k exchange+materialize rounds are
+    # pure fixed cost; one bounded read + the identical greedy-left /
+    # (count desc, pair asc) loop in local pandas produces the SAME
+    # merges (tests force both paths onto one fixture and compare).
+    # Above the gate the distributed loop runs unchanged.
+    if vocab.count() <= driver_vocab_max:       # metadata-only count
+        vdf = vocab.to_pandas()
+        merges = _bpe_local_loop(vdf, k, min_count)
+        return rd.from_pandas(pd.DataFrame(
+            merges, columns=["rank", "left", "right", "n"],
+        ).astype({"rank": "int64", "left": "object", "right": "object",
+                  "n": "int64"}))
 
     _EMPTY = pd.DataFrame({"pair": pd.Series(dtype=object),
                            "n": pd.Series(dtype="int64")})

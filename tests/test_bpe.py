@@ -180,3 +180,17 @@ def test_bpe_encode_reproduces_training_vocab(tiny_dir):
     enc = BpeEncoder(list(zip(merges["left"], merges["right"])))
     for w in counts:
         assert enc._encode_len(w) == len(_reference_encode(w, merges)), w
+
+
+def test_bpe_driver_and_distributed_paths_identical(tiny_dir):
+    """The size-gated driver fast path and the exchange loop must pick
+    the same merges (same weighting, tie-break, greedy-left apply)."""
+    fast = bpe_merges(tiny_dir, k=12).to_pandas()                # gated
+    dist = bpe_merges(tiny_dir, k=12, driver_vocab_max=0).to_pandas()
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_bpe_distributed_path_matches_reference():
+    got = bpe_merges(SF, k=6, driver_vocab_max=0).to_pandas()
+    want = _reference_bpe(_corpus_word_counts(SF), 6)
+    pd.testing.assert_frame_equal(got, want)
