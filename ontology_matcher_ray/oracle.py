@@ -1516,6 +1516,18 @@ FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
 GROUP BY token
 """
 
+    # postings lists (docs_text.inverted_index, full index — no df band
+    # in the driver composite): df + ascending comma-joined doc ids
+    sql["inverted_index"] = """
+WITH ipairs AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM ipairs GROUP BY token
+"""
+
     # exact recount above the phi=0.2% support threshold — the SQL mirror
     # of token_heavy_hitters' pass 2 (the MG sketch only bounds the
     # candidate exchange; the OUTPUT is this pure threshold filter)
@@ -2139,13 +2151,17 @@ SELECT 'semdedup', a, b, cos_sim_micro FROM ({sd})
     # --- global + per-language token frequencies + heavy hitters ---------
     tf, tt = take("token_freq"), take("top_tokens_per_lang")
     hh = take("token_heavy_hitters")
+    ii = take("inverted_index")
     sql["token_freq"] = f"""
-SELECT 'global' AS scope, '*' AS lang, token, n, CAST(0 AS BIGINT) AS rank
+SELECT 'global' AS scope, '*' AS lang, token, n, CAST(0 AS BIGINT) AS rank,
+       '' AS postings
 FROM ({tf})
 UNION ALL
-SELECT 'per_lang', lang, token, n, rank FROM ({tt})
+SELECT 'per_lang', lang, token, n, rank, '' FROM ({tt})
 UNION ALL
-SELECT 'heavy', '*', token, n, CAST(0 AS BIGINT) FROM ({hh})
+SELECT 'heavy', '*', token, n, CAST(0 AS BIGINT), '' FROM ({hh})
+UNION ALL
+SELECT 'postings', '*', token, df, CAST(0 AS BIGINT), postings FROM ({ii})
 """
 
     # --- per-document profile: one row per doc from each component -------

@@ -244,34 +244,49 @@ def dedup_pairs(sf_dir: str) -> rd.Dataset:
     return out
 
 
-_TOKFREQ_COLS = ["lang", "token", "n", "rank"]
+_TOKFREQ_COLS = ["lang", "token", "n", "rank", "postings"]
 
 
 def token_freq_all(sf_dir: str) -> rd.Dataset:
     """Global token frequencies (scope='global', lang='*', rank=0), the
-    per-language top-k (scope='per_lang'), and the two-pass Misra-Gries
+    per-language top-k (scope='per_lang'), the two-pass Misra-Gries
     heavy hitters (scope='heavy', exact counts above the phi support
-    threshold) in one row set."""
+    threshold), and the full inverted index (scope='postings', n=df,
+    postings=ascending comma-joined doc ids) in one row set."""
 
     def widen(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
         out["lang"] = "*"
         out["rank"] = np.int64(0)
         out["n"] = out["n"].astype("int64")
+        out["postings"] = ""
         return out
 
     g = _tagged(
         docs_text.token_freq(sf_dir).map_batches(widen, batch_format="pandas"),
         "scope", "global", _TOKFREQ_COLS,
     )
-    p = _tagged(docs_text.top_tokens_per_lang(sf_dir), "scope", "per_lang",
-                _TOKFREQ_COLS)
+    p = _tagged(
+        docs_text.top_tokens_per_lang(sf_dir).map_batches(
+            lambda b: b.assign(postings=""), batch_format="pandas"),
+        "scope", "per_lang", _TOKFREQ_COLS,
+    )
     h = _tagged(
         docs_text.token_heavy_hitters(sf_dir).map_batches(
             widen, batch_format="pandas"),
         "scope", "heavy", _TOKFREQ_COLS,
     )
-    return g.union(p).union(h)
+    ii = _tagged(
+        docs_text.inverted_index(sf_dir).map_batches(
+            lambda b: pd.DataFrame({
+                "lang": "*", "token": b["token"],
+                "n": b["df"].astype("int64"), "rank": np.int64(0),
+                "postings": b["postings"],
+            }),
+            batch_format="pandas"),
+        "scope", "postings", _TOKFREQ_COLS,
+    )
+    return g.union(p).union(h).union(ii)
 
 
 # ---------------------------------------------------------------------------
