@@ -943,6 +943,111 @@ def _oracle_video_feat(i: int) -> bytes:
     return struct.pack("<16f", *f)
 
 
+def bpe_expected_parquet(k: int = 20, min_count: int = 2) -> str:
+    """Expected per-doc BPE fertility (docs_train.bpe_encode), recomputed
+    OUTSIDE the engine: a straight dict-based transcription of the
+    Sennrich learn-BPE loop over each testdata documents table's word
+    counts (no Ray, no pandas exchange), then a memoized greedy-left
+    apply per word and a plain sum per document.  Slices are keyed by a
+    SQL-recomputable table fingerprint count(*)*1e9 + sum(n_chars)
+    (texts differ across sf dirs, so a row-count key alone would not
+    pin the corpus)."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    fps = []
+    for p in paths:
+        t = pq.read_table(p, columns=["n_chars"])
+        fps.append(t.num_rows * 1_000_000_000
+                   + int(pd.Series(t["n_chars"].to_numpy()).sum()))
+    out_dir = "/tmp/onto_ray_oracle"
+    os.makedirs(out_dir, exist_ok=True)
+    tag = "%x" % (sum(abs(f) for f in fps) & 0xFFFFFFFF)
+    path = os.path.join(out_dir, f"expected_bpe_{tag}_{k}_{min_count}.parquet")
+    if os.path.exists(path):
+        return path
+
+    def learn(word_counts: dict) -> list:
+        vocab = {tuple(w): c for w, c in word_counts.items() if len(w) >= 2}
+        merges = []
+        for _rank in range(1, k + 1):
+            pairs: dict = {}
+            for pieces, c in vocab.items():
+                for i in range(len(pieces) - 1):
+                    pr = (pieces[i], pieces[i + 1])
+                    pairs[pr] = pairs.get(pr, 0) + c
+            if not pairs:
+                break
+            (left, right), n = min(
+                pairs.items(),
+                key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            if n < min_count:
+                break
+            new = {}
+            for pieces, c in vocab.items():
+                out, i = [], 0
+                while i < len(pieces):
+                    if (i < len(pieces) - 1 and pieces[i] == left
+                            and pieces[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(pieces[i])
+                        i += 1
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            vocab = new
+            merges.append((left, right))
+        return merges
+
+    def encode_len(word: str, merges: list, memo: dict) -> int:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        pieces = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(pieces):
+                if (i < len(pieces) - 1 and pieces[i] == left
+                        and pieces[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            pieces = out
+        memo[word] = len(pieces)
+        return len(pieces)
+
+    frames, seen = [], set()
+    for p, fp in zip(paths, fps):
+        if fp in seen:
+            continue
+        seen.add(fp)
+        t = pq.read_table(p, columns=["doc_id", "text"])
+        texts = [str(x) for x in t["text"].to_pylist()]
+        counts: dict = {}
+        for tx in texts:
+            for w in tx.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        merges = learn(counts)
+        memo: dict = {}
+        frames.append(pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy().astype("int64"),
+            "n_bpe_tokens": [
+                sum(encode_len(w, merges, memo) for w in tx.split(" "))
+                for tx in texts
+            ],
+            "doc_fp": fp,
+        }))
+    return _write_expected(path, pd.concat(frames, ignore_index=True)
+                           .astype({"n_bpe_tokens": "int64",
+                                    "doc_fp": "int64"}))
+
+
 def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> str:
     """Expected ``media_featurize`` output, independently recomputed.
 
@@ -2173,12 +2278,17 @@ SELECT s.doc_id, s.lang, s.n_tokens, s.n_distinct_tokens, s.n_chars,
        s.stopword_ratio_micro, s.avg_token_len_micro, s.quality_micro,
        q.top_token_frac_micro, q.repeat_ratio_micro, q.bigram_repeat_micro,
        q.quality_band, f.fingerprint, d.contaminated,
-       i.n_bigrams, i.dsir_score_micro
+       i.n_bigrams, i.dsir_score_micro, bp.n_bpe_tokens
 FROM ({st}) s
 JOIN ({q}) q ON s.doc_id = q.doc_id
 JOIN ({fp}) f ON s.doc_id = f.doc_id
 JOIN ({dc}) d ON s.doc_id = d.doc_id
 JOIN ({ds_imp}) i ON s.doc_id = i.doc_id
+JOIN (SELECT doc_id, n_bpe_tokens FROM read_parquet('{bpe_expected_parquet()}')
+      WHERE doc_fp = (SELECT count(*) * 1000000000
+                             + CAST(sum(n_chars) AS BIGINT)
+                      FROM documents)) bp
+  ON s.doc_id = bp.doc_id
 """
 
     # --- per-document dedup state + end-to-end curation decision ---------

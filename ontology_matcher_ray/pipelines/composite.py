@@ -336,8 +336,17 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     imp = docs_train.dsir_importance(sf_dir)
     imp_schema = {"doc_id": "int64", "n_bigrams": "int64",
                   "dsir_score_micro": "int64"}
-    return exchange.hash_join(j3, imp, "doc_id", "doc_id", j3_schema,
-                              imp_schema, num_partitions=num_partitions)
+    j4 = exchange.hash_join(j3, imp, "doc_id", "doc_id", j3_schema,
+                            imp_schema, num_partitions=num_partitions)
+    j4_schema = {**j3_schema, "n_bigrams": "int64",
+                 "dsir_score_micro": "int64"}
+    # BPE fertility (train + memoized apply); n_tokens duplicates
+    # doc_stats' (same whitespace tokenizer) and is dropped pre-join
+    bpe = docs_train.bpe_encode(sf_dir).map_batches(
+        lambda b: b.drop(columns=["n_tokens"]), batch_format="pandas")
+    bpe_schema = {"doc_id": "int64", "n_bpe_tokens": "int64"}
+    return exchange.hash_join(j4, bpe, "doc_id", "doc_id", j4_schema,
+                              bpe_schema, num_partitions=num_partitions)
 
 
 def doc_pack_shuffled(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
