@@ -1028,9 +1028,13 @@ def bpe_expected_parquet(k: int = 20, min_count: int = 2) -> str:
             continue
         seen.add(fp)
         t = pq.read_table(p, columns=["doc_id", "text"])
-        texts = [str(x) for x in t["text"].to_pylist()]
+        # null text mirrors the engine's Arrow semantics (null list ->
+        # zero tokens), NOT str(None) == "None"
+        texts = [None if x is None else str(x) for x in t["text"].to_pylist()]
         counts: dict = {}
         for tx in texts:
+            if tx is None:
+                continue
             for w in tx.split(" "):
                 counts[w] = counts.get(w, 0) + 1
         merges = learn(counts)
@@ -1038,6 +1042,7 @@ def bpe_expected_parquet(k: int = 20, min_count: int = 2) -> str:
         frames.append(pd.DataFrame({
             "doc_id": t["doc_id"].to_numpy().astype("int64"),
             "n_bpe_tokens": [
+                0 if tx is None else
                 sum(encode_len(w, merges, memo) for w in tx.split(" "))
                 for tx in texts
             ],

@@ -471,22 +471,15 @@ def inverted_index(sf_dir: str, min_df: int = 1,
     comma-joined doc_id list in ascending order — the search-index /
     exact-dedup-lookup structure a corpus pipeline materializes once.
 
-    Scale design: (1) per-batch DISTINCT (token, doc_id) pairs are
-    globally distinct for free (docs never straddle batches), so df is
-    a plain combiner sum — one token-keyed exchange of bounded partial
-    counts, never a distinct pass; (2) the postings exchange ships the
-    pairs AND the (token, -1, df) marker rows co-partitioned on the
-    same key, so the per-partition kernel applies the [min_df, max_df]
-    band with a local lookup — the df table is never collected to the
-    driver (the keep set is vocabulary-sized) and min_df=2 alone drops
-    the singleton long tail from the output without a second job.  The
-    pair stream is built twice (df pass + postings pass) rather than
-    materialized — the two-scan contract (see
-    sources/io.write_range_partitioned): at corpus scale a second
-    pruned streaming scan beats holding O(corpus tokens) pairs.  A
-    stopword token's postings land in one partition by construction;
-    ``max_df`` is the knob that bounds that (drop bands you would
-    never query), and ``num_partitions`` must scale with pair volume.
+    Scale design: per-batch DISTINCT (token, doc_id) pairs are globally
+    distinct for free (docs never straddle batches), so after the one
+    token-keyed exchange every token's full pair group sits in exactly
+    one partition — df is the LOCAL group size and the [min_df, max_df]
+    band is a local filter.  One corpus scan, one exchange, no df
+    pre-pass and no driver-side vocabulary.  A stopword token's
+    postings land in one partition by construction; ``max_df`` is the
+    knob that bounds that (drop bands you would never query), and
+    ``num_partitions`` must scale with pair volume.
     """
     from ontology_matcher_ray.stages import exchange
 
@@ -496,50 +489,26 @@ def inverted_index(sf_dir: str, min_df: int = 1,
         raise ValueError(f"max_df {max_df} < min_df {min_df}")
     hi = np.int64(max_df if max_df is not None else 2**62)
 
-    df_partial = _token_doc_pairs(sf_dir).map_batches(
-        lambda t: t.group_by("token").aggregate([("doc_id", "count")])
-        .rename_columns(["token", "df"]),
-        batch_format="pyarrow",
-    )
-    dfs = exchange.grouped_agg(
-        df_partial, ["token"], lambda gb: gb.agg(df=("df", "sum")),
-        num_partitions,
-    )
-
-    markers = dfs.map_batches(
-        lambda b: pd.DataFrame({
-            "token": b["token"].astype(str),
-            "doc_id": np.int64(-1),
-            "df": b["df"].astype("int64"),
-        }),
-        batch_format="pandas",
-    )
     pair_rows = _token_doc_pairs(sf_dir).map_batches(
         lambda b: pd.DataFrame({
             "token": b["token"].astype(str),
             "doc_id": b["doc_id"].astype("int64"),
-            "df": np.int64(0),
         }),
         batch_format="pandas",
     )
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
-        dfm = g[g["doc_id"] < 0]
-        keep = dfm[(dfm["df"] >= min_df) & (dfm["df"] <= hi)]
-        ps = g[(g["doc_id"] >= 0) & g["token"].isin(set(keep["token"]))]
-        if not len(ps):
-            return pd.DataFrame({"token": pd.Series(dtype=object),
-                                 "df": pd.Series(dtype="int64"),
-                                 "postings": pd.Series(dtype=object)})
-        ps = ps.sort_values(["token", "doc_id"], kind="mergesort")
-        agg = (ps.assign(s=ps["doc_id"].astype(str))
-               .groupby("token", sort=False)["s"]
-               .agg(",".join).reset_index(name="postings"))
-        return agg.merge(keep[["token", "df"]], on="token")[
-            ["token", "df", "postings"]]
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        agg = (g.assign(s=g["doc_id"].astype(str))
+               .groupby("token", sort=False)
+               .agg(df=("doc_id", "size"), postings=("s", ",".join))
+               .reset_index())
+        agg = agg[(agg["df"].to_numpy() >= min_df)
+                  & (agg["df"].to_numpy() <= hi)]
+        return agg[["token", "df", "postings"]].astype({"df": "int64"})
 
-    return exchange.partitioned_apply(
-        pair_rows.union(markers), ["token"], build, num_partitions)
+    return exchange.partitioned_apply(pair_rows, ["token"], build,
+                                      num_partitions)
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
