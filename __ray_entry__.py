@@ -26,7 +26,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """EXACTLY 50 queries covering all 69 verified operator surfaces.
+    """EXACTLY 50 queries covering all 72 verified operator surfaces.
 
     The driver's correctness harness records at most 50 queries per round
     (round 3: exactly the first 50 of 67, in dict order; round 2: all 36
@@ -56,7 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": docs_train.stratified_sample,  # per-lang rates
         "pii_scrub": docs_train.pii_scrub,                  # RE2 redaction map
         "doc_pack": composite.doc_pack_shuffled,            # prefix-sum pack ⋈ shard shuffle
-        "lang_stats": docs_text.lang_stats,
+        "lang_stats": composite.lang_profile,  # + capped mixture weights
         "source_lang_matrix": docs_text.source_lang_matrix,  # pivot / wide aggregate
         "doc_rollup": docs_text.doc_rollup,                 # GROUPING SETS one-pass
         "embedding_quantize": docs_train.embedding_quantize,  # int8 fixed-point

@@ -178,8 +178,8 @@ def _bench_once() -> dict:
         # flags joined into one decision per doc
         "curate": lambda: docs_train.curate_decisions(sf_dir),
         "token_heavy_hitters": lambda: docs_text.token_heavy_hitters(sf_dir),
-        # postings-list build (distinct pairs -> df combiner -> co-
-        # partitioned band filter + sorted join)
+        # postings-list build (distinct pairs -> one token exchange ->
+        # local df + band filter + sorted join)
         "inverted_index": lambda: docs_text.inverted_index(sf_dir),
         # BPE train (k merges over the distinct-word table) + shuffle-free
         # memoized apply over every document

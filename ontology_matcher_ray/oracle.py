@@ -1611,13 +1611,30 @@ SELECT doc_id, n_tokens,
 FROM m
 """
 
+    # lang_stats ⋈ mixture weights (composite.lang_profile): the capped
+    # data-mixing normalization recomputed in SQL — HUGEINT intermediates
+    # mirror the engine's arbitrary-precision driver math, final BIGINT
     sql["lang_stats"] = f"""
-WITH ds AS ({DOC_STATS_SQL})
-SELECT lang,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(sum(quality_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_quality_micro
-FROM ds GROUP BY lang
+WITH ds AS ({DOC_STATS_SQL}),
+ls AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(quality_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_quality_micro
+  FROM ds GROUP BY lang),
+sh AS (
+  SELECT *, CAST(total_tokens AS HUGEINT) * 1000000
+            // (SELECT CAST(greatest(sum(total_tokens), 1) AS HUGEINT) FROM ls)
+            AS share_h
+  FROM ls),
+cp AS (SELECT *, least(share_h, 300000) AS capped_h FROM sh)
+SELECT lang, n_docs, total_tokens, avg_quality_micro,
+       CAST(share_h AS BIGINT) AS share_micro,
+       CAST(capped_h AS BIGINT) AS capped_micro,
+       CAST(capped_h * 1000000
+            // (SELECT CAST(greatest(sum(capped_h), 1) AS HUGEINT) FROM cp)
+            AS BIGINT) AS weight_micro
+FROM cp
 """
 
     sql["token_freq"] = """

@@ -495,3 +495,17 @@ def event_type_profile(sf_dir: str) -> pd.DataFrame:
     d = events.event_type_distinct_users(sf_dir)
     k = events.event_props_stats(sf_dir)
     return d.merge(k, on="event_type", how="inner")
+
+
+def lang_profile(sf_dir: str) -> pd.DataFrame:
+    """lang_stats ⋈ mixture_weights on lang (one row per language from
+    each side): the per-language aggregate plus the capped data-mixing
+    sampling weights, verified in one driver query.  The distributed
+    two-phase aggregation runs ONCE; the weight normalization is
+    driver-side integer math over the bounded language table
+    (docs_train.mixture_weights_from_stats)."""
+    ls = docs_text.lang_stats(sf_dir).to_pandas()
+    w = docs_train.mixture_weights_from_stats(ls)
+    out = ls.merge(w, on="lang")
+    return out[["lang", "n_docs", "total_tokens", "avg_quality_micro",
+                "share_micro", "capped_micro", "weight_micro"]]

@@ -962,3 +962,48 @@ def curate_text(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
         how="semi",
         num_partitions=num_partitions,
     )
+
+
+MIXTURE_CAP_MICRO = 300_000  # default per-language share cap (30%)
+
+
+def mixture_weights_from_stats(ls: pd.DataFrame,
+                               cap_micro: int = MIXTURE_CAP_MICRO) -> pd.DataFrame:
+    """Capped, renormalized per-language sampling weights from a
+    ``lang_stats`` aggregate — the data-mixing step of a multilingual
+    training pipeline (cap the dominant language's share, renormalize
+    the rest up; cf. the sampling-temperature / cap schemes of
+    multilingual LM data recipes).
+
+    Integer-exact: ``share_micro = tokens * 1e6 // total`` (floor),
+    ``capped_micro = min(share, cap)``, ``weight_micro = capped * 1e6 //
+    sum(capped)``.  Runs on the DRIVER over the per-language aggregate —
+    legitimately bounded (the language domain is fixed and tiny at any
+    corpus size) — with arbitrary-precision Python ints, so the
+    ``tokens * 1e6`` intermediate cannot overflow int64 even at 100-TB
+    token counts (the distributed part is lang_stats itself)."""
+    if cap_micro <= 0:
+        raise ValueError(f"cap_micro must be > 0, got {cap_micro}")
+    toks = [int(x) for x in ls["total_tokens"]]
+    total = max(sum(toks), 1)
+    share = [t * 1_000_000 // total for t in toks]
+    capped = [min(s, int(cap_micro)) for s in share]
+    ct = max(sum(capped), 1)
+    weight = [c * 1_000_000 // ct for c in capped]
+    return pd.DataFrame({
+        "lang": ls["lang"].to_numpy(),
+        "share_micro": pd.Series(share, dtype="int64"),
+        "capped_micro": pd.Series(capped, dtype="int64"),
+        "weight_micro": pd.Series(weight, dtype="int64"),
+    })
+
+
+def mixture_weights(sf_dir: str,
+                    cap_micro: int = MIXTURE_CAP_MICRO) -> pd.DataFrame:
+    """Per-language training-mixture sampling weights over the corpus
+    (distributed ``lang_stats`` two-phase aggregate -> driver-side
+    integer normalization over the bounded language table)."""
+    from ontology_matcher_ray.pipelines.docs_text import lang_stats
+
+    return mixture_weights_from_stats(lang_stats(sf_dir).to_pandas(),
+                                      cap_micro)
