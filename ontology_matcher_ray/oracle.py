@@ -2322,13 +2322,19 @@ JOIN (SELECT doc_id, n_bpe_tokens FROM read_parquet('{bpe_expected_parquet()}')
     sql["dedup_assignments"] = f"""
 SELECT e.doc_id, e.content_sha256, e.n_dups,
        c.cluster_id, c.keep, h.simhash, h.bucket, i.in_prior,
+       q2.quality_band,
        (c.keep AND q2.quality_band <> 'low' AND d2.contaminated = 0
         AND i.in_prior = 0) AS curate_keep,
        CASE WHEN NOT c.keep THEN 'near_dup'
             WHEN q2.quality_band = 'low' THEN 'low_quality'
             WHEN d2.contaminated = 1 THEN 'contaminated'
             WHEN i.in_prior = 1 THEN 'in_prior'
-            ELSE '' END AS drop_reason
+            ELSE '' END AS drop_reason,
+       (row_number() OVER (
+          PARTITION BY c.cluster_id
+          ORDER BY CASE q2.quality_band WHEN 'high' THEN 2
+                   WHEN 'medium' THEN 1 ELSE 0 END DESC,
+                   e.doc_id ASC) = 1) AS keep_best_quality
 FROM ({de}) e
 JOIN ({cl}) c ON e.doc_id = c.doc_id
 JOIN ({sh}) h ON e.doc_id = h.doc_id

@@ -474,7 +474,7 @@ def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     j5 = exchange.hash_join(j4, dc, "doc_id", "doc_id", j4_schema,
                             dc_schema, num_partitions=num_partitions)
 
-    out_cols = list(j3_schema)
+    out_cols = list(j3_schema) + ["quality_band"]
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         keep, reason = docs_train.curation_decision(b)
@@ -483,7 +483,13 @@ def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
         out["drop_reason"] = reason
         return out
 
-    return j5.map_batches(finish, batch_format="pandas")
+    decided = j5.map_batches(finish, batch_format="pandas")
+    # quality-priority survivor per near-dup cluster (the keep-best
+    # curation variant): one cluster_id exchange, argmax local per group
+    return exchange.partitioned_apply(
+        decided, ["cluster_id"], docs_train.quality_priority_keep,
+        num_partitions,
+    )
 
 
 def event_type_profile(sf_dir: str) -> pd.DataFrame:

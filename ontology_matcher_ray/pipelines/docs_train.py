@@ -1007,3 +1007,32 @@ def mixture_weights(sf_dir: str,
 
     return mixture_weights_from_stats(lang_stats(sf_dir).to_pandas(),
                                       cap_micro)
+
+
+QUALITY_RANK = {"low": 0, "medium": 1, "high": 2}
+
+
+def quality_priority_keep(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-cluster quality-priority survivor selection — the curation
+    variant that keeps the HIGHEST-QUALITY member of each near-dup
+    cluster rather than the min-id one (ties break to the smaller
+    doc_id, so the choice is deterministic).  Runs as the per-partition
+    kernel of a cluster_id exchange: a cluster's rows are co-located by
+    construction, so the argmax is local.  Adds ``keep_best_quality``;
+    every input column passes through."""
+    out = g.copy()
+    if not len(g):
+        out["keep_best_quality"] = np.zeros(0, dtype=bool)
+        return out
+    rank = (g["quality_band"].map(QUALITY_RANK).fillna(0)
+            .to_numpy(dtype=np.int64))
+    order = np.lexsort((g["doc_id"].to_numpy(dtype=np.int64), -rank,
+                        g["cluster_id"].to_numpy(dtype=np.int64)))
+    sorted_cl = g["cluster_id"].to_numpy(dtype=np.int64)[order]
+    first = np.empty(len(g), dtype=bool)
+    first[0] = True
+    first[1:] = sorted_cl[1:] != sorted_cl[:-1]
+    keep = np.zeros(len(g), dtype=bool)
+    keep[order] = first
+    out["keep_best_quality"] = keep
+    return out
