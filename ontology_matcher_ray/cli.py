@@ -243,6 +243,8 @@ ANALYZE_OPS = {
                    "per-doc BPE token counts (train + memoized apply)"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
+    "mixture": ("docs_train", "mixture_weights",
+                "capped per-language data-mixing sampling weights"),
     "substring-dups": ("docs_text", "dedup_substring",
                        "exact duplicated-span pairs (Lee-et-al-style)"),
     "incremental-dups": ("docs_text", "dedup_incremental",
