@@ -231,6 +231,8 @@ ANALYZE_OPS = {
                     "PII-scrubbed text of curation survivors"),
     "dsir": ("docs_train", "dsir_importance",
              "DSIR-shaped bigram importance score vs the eval slice"),
+    "lm-ppl": ("docs_train", "lm_perplexity",
+               "CCNet-style bigram-LM cross-entropy (perplexity filter)"),
     "reach": ("graph", "kg_reach",
               "per-node 2-hop reachability count over the KG"),
     "triangles": ("graph", "kg_triangles",

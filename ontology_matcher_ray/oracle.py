@@ -1729,6 +1729,51 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)
 """
 
+    # CCNet-style stupid-backoff bigram LM cross-entropy
+    # (docs_train.lm_perplexity): per-position log-probs quantized to
+    # integer micro-nats BEFORE summation (L(x) = floor(1e6*ln(x)) on
+    # integer counts), so the SQL recompute is bit-exact.  Train slice =
+    # the decontamination eval convention; alpha = 4/10 composed from
+    # separately-quantized L(4)-L(10) exactly as the engine does.
+    _L = "CAST(floor(1000000 * ln(greatest({x}, 1))) AS BIGINT)"
+    _l_alpha = f"({_L.format(x=4)} - {_L.format(x=10)})"
+    sql["lm_perplexity"] = f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+bgl AS (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS b FROM t),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bgl GROUP BY 1, 2),
+tuni AS (SELECT w, count(*) AS c1 FROM
+           (SELECT unnest(toks) AS w FROM t
+            WHERE doc_id % {DECON_EVAL_MOD} = 0) GROUP BY 1),
+tot AS (SELECT CAST(COALESCE(sum(c1), 0) AS BIGINT) AS tt,
+               CAST(count(*) AS BIGINT) AS vv FROM tuni),
+tbig AS (SELECT b, count(*) AS c2 FROM bgl
+         WHERE doc_id % {DECON_EVAL_MOD} = 0 GROUP BY 1),
+big2 AS (SELECT tb.b, tb.c2, tu.c1 AS c1u
+         FROM tbig tb JOIN tuni tu ON str_split(tb.b, ' ')[1] = tu.w),
+s AS (SELECT bc.doc_id,
+        sum(bc.c * CASE
+          WHEN b2.c2 IS NOT NULL THEN
+            {_L.format(x='b2.c2')} - {_L.format(x='b2.c1u')}
+          WHEN u.c1 IS NOT NULL THEN
+            {_l_alpha} + {_L.format(x='u.c1')}
+            - {_L.format(x='(SELECT tt FROM tot)')}
+          ELSE
+            {_l_alpha} - {_L.format(x='(SELECT tt + vv FROM tot)')}
+          END) AS slp,
+        sum(bc.c) AS n
+      FROM bc
+      LEFT JOIN big2 b2 ON bc.b = b2.b
+      LEFT JOIN tuni u ON str_split(bc.b, ' ')[2] = u.w
+      GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS lm_n_scored,
+       CAST(COALESCE((-s.slp) // greatest(s.n, 1), 0) AS BIGINT)
+         AS lm_xent_micro
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
     sql["dedup_jaccard_adjacent"] = """
 WITH sh AS (
   SELECT doc_id,
@@ -2295,12 +2340,13 @@ SELECT 'postings', '*', token, df, CAST(0 AS BIGINT), postings FROM ({ii})
     st, q = take("doc_stats"), take("doc_quality")
     fp, dc = take("fingerprints"), take("decontaminate")
     ds_imp = take("dsir_importance")
+    lm = take("lm_perplexity")
     sql["doc_profile"] = f"""
 SELECT s.doc_id, s.lang, s.n_tokens, s.n_distinct_tokens, s.n_chars,
        s.stopword_ratio_micro, s.avg_token_len_micro, s.quality_micro,
        q.top_token_frac_micro, q.repeat_ratio_micro, q.bigram_repeat_micro,
        q.quality_band, f.fingerprint, d.contaminated,
-       i.n_bigrams, i.dsir_score_micro, bp.n_bpe_tokens
+       i.n_bigrams, i.dsir_score_micro, bp.n_bpe_tokens, lm.lm_xent_micro
 FROM ({st}) s
 JOIN ({q}) q ON s.doc_id = q.doc_id
 JOIN ({fp}) f ON s.doc_id = f.doc_id
@@ -2311,6 +2357,8 @@ JOIN (SELECT doc_id, n_bpe_tokens FROM read_parquet('{bpe_expected_parquet()}')
                              + CAST(sum(n_chars) AS BIGINT)
                       FROM documents)) bp
   ON s.doc_id = bp.doc_id
+JOIN (SELECT doc_id, lm_xent_micro FROM ({lm})) lm
+  ON s.doc_id = lm.doc_id
 """
 
     # --- per-document dedup state + end-to-end curation decision ---------

@@ -868,6 +868,182 @@ def dsir_importance(sf_dir: str, num_partitions: int = 16,
     )
 
 
+LM_ALPHA_NUM, LM_ALPHA_DEN = 4, 10  # stupid-backoff alpha = 0.4 as a rational
+
+
+def _ilog_micro(x: np.ndarray) -> np.ndarray:
+    """``floor(1e6 * ln(x))`` as int64 — the integer micro-nat log both
+    the engine and the DuckDB oracle compute.  Arguments are always
+    integer COUNTS (possibly float64-boxed by a LEFT join), so the two
+    sides evaluate the same IEEE double; a divergence would need
+    ``1e6*ln(n)`` within ~1 ulp of an integer, and ``ln(n)`` is
+    transcendental for integer n>1 — the same negligible-risk class as
+    the engine's documented md5-low-half collision bounds.  NaN (an
+    unmatched LEFT-join row whose branch is never selected) and 0 are
+    clamped to 1 -> 0 micro-nats before the log."""
+    v = np.nan_to_num(np.asarray(x, dtype="float64"), nan=1.0)
+    return np.floor(SCALE * np.log(np.maximum(v, 1.0))).astype(np.int64)
+
+
+def lm_perplexity(sf_dir: str, num_partitions: int = 16,
+                  salt: int = 1) -> rd.Dataset:
+    """CCNet-style language-model fluency scoring (Wenzek et al. 2020):
+    score every document's cross-entropy under a bigram LM trained on a
+    clean reference slice — the classic "perplexity filter" stage of a
+    web-scale training-data pipeline (CCNet buckets Common Crawl by
+    KenLM-on-Wikipedia perplexity).
+
+    Deviations from CCNet, chosen for distributed exactness: the LM is a
+    STUPID-BACKOFF bigram model (Brants et al. 2007) instead of
+    Kneser-Ney — backoff weight alpha = 0.4 as the exact rational 4/10 —
+    and every per-token log-probability is quantized to integer
+    micro-nats (``_ilog_micro``) BEFORE summation, so the per-doc sum is
+    order-independent, partition-invariant, and bit-exactly recomputable
+    by the DuckDB oracle (no float-accumulation anywhere).  The train
+    slice reuses the decontamination convention (every
+    ``DECON_EVAL_MOD``-th doc stands in for the curated reference
+    corpus).  Per-token log-prob, with L(x) = floor(1e6*ln(max(x,1))):
+
+        seen bigram (u,w):  L(c2(u,w)) - L(c1(u))
+        unseen, w known:    (L(4)-L(10)) + L(c1(w)) - L(T)
+        OOV w:              (L(4)-L(10)) - L(T+V)
+
+    (T = total train tokens, V = train vocabulary size.)  Output is one
+    row per document: ``lm_n_scored`` (bigram positions scored; 0 for
+    docs under 2 tokens) and ``lm_xent_micro`` = cross-entropy in
+    micro-nats per position (perplexity = exp(xent/1e6); the monotone
+    integer form is kept to stay hash-exact).
+
+    Shape (mirrors ``dsir_importance``): (1) one pruned corpus pass each
+    for the train-slice unigram and bigram count tables (per-batch
+    combiner + ONE exchange; the unigram table is vocab-sized and
+    materialized because it feeds two joins and the T/V scalars — the
+    bounded-materialization pattern of ``graph.kg_pagerank``); (2) a
+    vocab⋈vocab ``hash_join`` attaches the context count c1(prev) to
+    each bigram row (prev is recoverable from the bigram string: tokens
+    are space-free, so the key has exactly one space); (3) the per-doc
+    (doc_id, bigram, c) pair stream LEFT-joins the bigram table then the
+    unigram table (``salt`` spreads "of the"-hot keys; the count sides
+    are pre-aggregated so replication is cheap); (4) one exchange on
+    doc_id sums integer (score, n) — text never enters any shuffle.
+    Headroom: |lp| <= ~1e6*ln(T+V) ~ 35e6 micro-nats/position at 100 TB,
+    so int64 per-doc sums hold to ~2.6e11 positions per document."""
+    import pyarrow.compute as pc
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def uni_partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].astype("int64") % DECON_EVAL_MOD == 0]
+        if not len(b):
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "c1": pd.Series([], dtype="int64")})
+        flat = pc.split_pattern(
+            pa.array(b["text"].astype(str)), pattern=" ").flatten()
+        vc = pd.Series(flat.to_pandas()).value_counts(sort=False)
+        return pd.DataFrame({"w": vc.index.to_numpy(dtype=object),
+                             "c1": vc.to_numpy().astype("int64")})
+
+    uni = exchange.partitioned_apply(
+        docs.map_batches(uni_partials, batch_format="pandas"),
+        ["w"],
+        lambda g: g.groupby("w", sort=False, as_index=False)["c1"].sum(),
+        num_partitions,
+    ).materialize()  # vocab-sized: feeds T/V scalars + two joins
+    T = int(uni.sum("c1") or 0)
+    V = int(uni.count())
+
+    def big_partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].astype("int64") % DECON_EVAL_MOD == 0]
+        if not len(b):
+            return pd.DataFrame({"b": pd.Series([], dtype=object),
+                                 "c2": pd.Series([], dtype="int64")})
+        g = _bigram_counts(b)
+        g = g[g["c"] > 0]  # short-doc markers carry no mass
+        out = g.groupby("b", sort=False, as_index=False)["c"].sum()
+        return out.rename(columns={"c": "c2"})
+
+    bg = exchange.partitioned_apply(
+        docs.map_batches(big_partials, batch_format="pandas"),
+        ["b"],
+        lambda g: g.groupby("b", sort=False, as_index=False)["c2"].sum(),
+        num_partitions,
+    )
+
+    def with_prev(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.copy()
+        f["prev"] = f["b"].str.split(" ", n=1).str[0]
+        return f
+
+    big2 = exchange.hash_join(
+        bg.map_batches(with_prev, batch_format="pandas"),
+        uni.map_batches(lambda f: f.rename(columns={"c1": "c1u"}),
+                        batch_format="pandas"),
+        "prev", "w",
+        {"b": "object", "c2": "int64", "prev": "object"},
+        {"w": "object", "c1u": "int64"},
+        num_partitions=num_partitions, salt=salt,
+    ).map_batches(lambda f: f.drop(columns=["prev"]), batch_format="pandas")
+
+    pairs = docs.map_batches(_bigram_counts, batch_format="pandas")
+    j1 = exchange.hash_join(
+        pairs, big2, "b", "b",
+        {"doc_id": "int64", "b": "object", "c": "int64"},
+        {"b": "object", "c2": "int64", "c1u": "int64"},
+        how="left", num_partitions=num_partitions, salt=salt,
+    )
+
+    def with_cur(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.copy()
+        # markers (b='') split to a single piece -> no [1] element -> ''
+        f["cur"] = f["b"].str.split(" ", n=1).str[1].fillna("")
+        return f
+
+    j2 = exchange.hash_join(
+        j1.map_batches(with_cur, batch_format="pandas"),
+        uni.map_batches(lambda f: f.rename(columns={"c1": "c1w"}),
+                        batch_format="pandas"),
+        "cur", "w",
+        {"doc_id": "int64", "b": "object", "c": "int64",
+         "c2": "float64", "c1u": "float64", "cur": "object"},
+        {"w": "object", "c1w": "int64"},
+        how="left", num_partitions=num_partitions, salt=salt,
+    )
+
+    l_alpha = int(_ilog_micro(np.array([LM_ALPHA_NUM]))[0]
+                  - _ilog_micro(np.array([LM_ALPHA_DEN]))[0])
+    l_t = int(_ilog_micro(np.array([T]))[0])
+    l_tv = int(_ilog_micro(np.array([T + V]))[0])
+
+    def score(f: pd.DataFrame) -> pd.DataFrame:
+        c2 = f["c2"].to_numpy(dtype="float64")
+        seen = ~np.isnan(c2)
+        c1w = f["c1w"].to_numpy(dtype="float64")
+        known = ~np.isnan(c1w)
+        lp = np.where(
+            seen,
+            _ilog_micro(c2) - _ilog_micro(f["c1u"].to_numpy(dtype="float64")),
+            l_alpha + np.where(known, _ilog_micro(c1w) - l_t, -l_tv),
+        )
+        c = f["c"].to_numpy().astype("int64")
+        return pd.DataFrame({"doc_id": f["doc_id"].to_numpy(),
+                             "s": lp * c, "n": c})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("doc_id", sort=False, as_index=False)[["s", "n"]].sum()
+        return pd.DataFrame({
+            "doc_id": a["doc_id"].astype("int64"),
+            "lm_n_scored": a["n"].astype("int64"),
+            "lm_xent_micro": ((-a["s"].to_numpy())
+                              // np.maximum(a["n"].to_numpy(), 1)
+                              ).astype("int64"),
+        })
+
+    return exchange.partitioned_apply(
+        j2.map_batches(score, batch_format="pandas"),
+        ["doc_id"], finalize, num_partitions,
+    )
+
+
 def curate_decisions(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """End-to-end corpus-curation decision: one row per document,
     (doc_id, curate_keep, drop_reason), combining the independently
