@@ -326,23 +326,40 @@ def big_orders(sf_dir: str, num_partitions=None, native=False) -> rd.Dataset:
     return j.map_batches(finalize, batch_format="pandas")
 
 
-def priority_semi_counts(sf_dir: str, num_partitions=None, native=False) -> pd.DataFrame:
+def priority_semi_counts(sf_dir: str, num_partitions=None, native=False,
+                         bloom: bool = True) -> pd.DataFrame:
     """Order count per priority for orders having >= 1 near-max-quantity
     line item — a semi join (EXISTS), so an order with five qualifying
     lines still counts once.
 
     Plan: filter lineitem in the scan (only matching keys leave the read)
-    -> ``left_semi`` hash-shuffle join (dedups the filter side inside the
-    exchange) -> per-block count combiner -> 5-row final exchange.
+    -> bloom-prune the orders PROBE side against the filtered key set
+    (Spark's runtime-bloom-join shape: the filter is selective, so most
+    orders rows drop BEFORE the exchange — false positives pass through
+    and the exact semi join removes them, so the result is identical;
+    set ``bloom=False`` to skip) -> ``left_semi`` hash-shuffle join
+    (dedups the filter side inside the exchange) -> per-block count
+    combiner -> 5-row final exchange.  The filtered key scan runs twice
+    (bloom build + join side) — a pruned column scan, cheaper than
+    shuffling the unpruned probe side.
     """
     num_partitions = _join_partitions(num_partitions)
-    hits = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
-        lambda b: b[b["l_quantity"].to_numpy() >= SEMI_MIN_QTY][["l_orderkey"]],
-        batch_format="pandas",
-    )
+
+    def hits():
+        return _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            lambda b: b[b["l_quantity"].to_numpy() >= SEMI_MIN_QTY][
+                ["l_orderkey"]],
+            batch_format="pandas",
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    if bloom and not native:
+        bits = exchange.bloom_build(hits(), "l_orderkey")
+        orders = exchange.bloom_prune(orders, "o_orderkey", bits)
     semi = _join(
-        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
-        hits, "o_orderkey", "l_orderkey",
+        orders,
+        hits(), "o_orderkey", "l_orderkey",
         {"o_orderkey": "int64", "o_orderpriority": "object"},
         {"l_orderkey": "int64"},
         how="semi", num_partitions=num_partitions, native=native,

@@ -382,3 +382,105 @@ def grouped_agg(
         return agg_fn(g.groupby(cols, sort=False)).reset_index()
 
     return partitioned_apply(ds, cols, per_partition, num_partitions)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter shuffle pruning (Spark's "runtime bloom join" shape)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS_DEFAULT = 1 << 23   # 1 MiB bitmap: <1% FP to ~1.2M distinct keys
+BLOOM_PROBES = 4
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, probes: int) -> np.ndarray:
+    """(len(keys) x probes) uint64 bit positions by double hashing: two
+    independent splitmix64 streams h1, h2, probe_i = h1 + i*h2 (mod m).
+    ``keys`` is int64-viewed-uint64 (integer keys) or the pandas string
+    hash (object keys) — identical on build and probe side by
+    construction."""
+    h1 = _mix64(keys)
+    h2 = _mix64(keys ^ np.uint64(0xA5A5A5A55A5A5A5A)) | np.uint64(1)
+    i = np.arange(probes, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def _bloom_key_hash(s: pd.Series) -> np.ndarray:
+    if pd.api.types.is_integer_dtype(s):
+        return s.to_numpy(dtype=np.int64).view(np.uint64)
+    return pd.util.hash_pandas_object(s.astype(str), index=False).to_numpy()
+
+
+def bloom_build(
+    ds: rd.Dataset,
+    col: str,
+    m_bits: int = BLOOM_BITS_DEFAULT,
+    probes: int = BLOOM_PROBES,
+    num_reduce: int = 8,
+) -> "ray.ObjectRef":
+    """Distributed bloom filter over ``ds[col]``, returned as a
+    ``ray.put`` ObjectRef to a packed uint64 bitmap (``m_bits/8`` bytes,
+    FIXED regardless of key volume — the scale contract).
+
+    Shape: one pruned pass emits a 1-row packed partial bitmap per batch
+    (bounded by batch count x m/8 bytes, never by key count), a
+    ``num_reduce``-way exchange ORs partials per group, and the driver
+    ORs the final ``num_reduce`` blobs — the ANN tree-combine pattern, so
+    the driver read is ~num_reduce x m/8 bytes no matter the corpus.
+    """
+    import ray
+
+    words = m_bits // 64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(words, dtype=np.uint64)
+        h = _bloom_key_hash(b[col])
+        pos = _bloom_positions(h, m_bits, probes).ravel()
+        np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        # reduce-group from batch CONTENT (each partial is one row, so a
+        # position-based assignment would collapse every blob into one
+        # OR task); any assignment is correct for an OR-reduce
+        g = int(_mix64(np.array([h.sum()], dtype=np.uint64))[0]
+                % np.uint64(max(num_reduce, 1)))
+        return pd.DataFrame({"g": np.full(1, g, dtype=np.int64),
+                             "bm": [bm.tobytes()]})
+
+    def or_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(words, dtype=np.uint64)
+        for blob in g["bm"]:
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return pd.DataFrame({"bm": [acc.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    blobs = partitioned_apply(parts, ["g"], or_group, num_reduce).take_all()
+    acc = np.zeros(words, dtype=np.uint64)
+    for row in blobs:
+        acc |= np.frombuffer(row["bm"], dtype=np.uint64)
+    return ray.put(acc)
+
+
+def bloom_prune(
+    ds: rd.Dataset,
+    col: str,
+    bits_ref: "ray.ObjectRef",
+    m_bits: int = BLOOM_BITS_DEFAULT,
+    probes: int = BLOOM_PROBES,
+) -> rd.Dataset:
+    """Drop rows whose ``col`` is definitely absent from the bloom built
+    by ``bloom_build`` — a pre-exchange prune that cuts shuffle volume
+    for inner/semi joins where the probe side is much wider than the key
+    side (false positives pass through and the exact join removes them;
+    false negatives cannot happen, so the join RESULT is identical).
+    NOT valid before left/anti/outer joins (pruned rows must survive
+    those).  The bitmap is read zero-copy from the object store once per
+    task (``ray.get`` of a numpy blob), never re-shipped per batch."""
+    import ray
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bits_ref)
+        pos = _bloom_positions(_bloom_key_hash(b[col]), m_bits, probes)
+        hit = (bm[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        return b[hit.all(axis=1).astype(bool)]
+
+    return ds.map_batches(keep, batch_format="pandas")
