@@ -184,6 +184,8 @@ def _bench_once() -> dict:
         # BPE train (k merges over the distinct-word table) + shuffle-free
         # memoized apply over every document
         "bpe_encode": lambda: docs_train.bpe_encode(sf_dir),
+        # CCNet-style bigram-LM cross-entropy (perplexity filter)
+        "lm_ppl": lambda: docs_train.lm_perplexity(sf_dir),
         # cross-file duplicated-line (boilerplate) removal over the
         # headline code corpus itself
         "corpus_line_dedup": lambda: corpus_curate.corpus_line_dedup(

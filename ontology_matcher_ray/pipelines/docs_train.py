@@ -914,11 +914,12 @@ def lm_perplexity(sf_dir: str, num_partitions: int = 16,
     micro-nats per position (perplexity = exp(xent/1e6); the monotone
     integer form is kept to stay hash-exact).
 
-    Shape (mirrors ``dsir_importance``): (1) one pruned corpus pass each
-    for the train-slice unigram and bigram count tables (per-batch
-    combiner + ONE exchange; the unigram table is vocab-sized and
-    materialized because it feeds two joins and the T/V scalars — the
-    bounded-materialization pattern of ``graph.kg_pagerank``); (2) a
+    Shape (mirrors ``dsir_importance``): (1) ONE pruned corpus pass
+    emits the train-slice unigram AND bigram count partials as a tagged
+    union (per-batch combiner + ONE (kind,key)-co-partitioned exchange;
+    the resulting vocab-sized table is materialized because it feeds
+    three joins and the T/V scalars — the bounded-materialization
+    pattern of ``graph.kg_pagerank``); (2) a
     vocab⋈vocab ``hash_join`` attaches the context count c1(prev) to
     each bigram row (prev is recoverable from the bigram string: tokens
     are space-free, so the key has exactly one space); (3) the per-doc
@@ -932,42 +933,55 @@ def lm_perplexity(sf_dir: str, num_partitions: int = 16,
 
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
 
-    def uni_partials(b: pd.DataFrame) -> pd.DataFrame:
+    def count_partials(b: pd.DataFrame) -> pd.DataFrame:
+        # ONE tokenization of the train slice emits BOTH unigram and
+        # bigram count partials as a tagged union (kind 'u'/'b') — one
+        # corpus read instead of two; the exchange co-partitions by
+        # (kind, key) so both tables still sum exactly
         b = b[b["doc_id"].astype("int64") % DECON_EVAL_MOD == 0]
+        empty = pd.DataFrame({"kind": pd.Series([], dtype=object),
+                              "key": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64")})
         if not len(b):
-            return pd.DataFrame({"w": pd.Series([], dtype=object),
-                                 "c1": pd.Series([], dtype="int64")})
+            return empty
         flat = pc.split_pattern(
             pa.array(b["text"].astype(str)), pattern=" ").flatten()
         vc = pd.Series(flat.to_pandas()).value_counts(sort=False)
-        return pd.DataFrame({"w": vc.index.to_numpy(dtype=object),
-                             "c1": vc.to_numpy().astype("int64")})
-
-    uni = exchange.partitioned_apply(
-        docs.map_batches(uni_partials, batch_format="pandas"),
-        ["w"],
-        lambda g: g.groupby("w", sort=False, as_index=False)["c1"].sum(),
-        num_partitions,
-    ).materialize()  # vocab-sized: feeds T/V scalars + two joins
-    T = int(uni.sum("c1") or 0)
-    V = int(uni.count())
-
-    def big_partials(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["doc_id"].astype("int64") % DECON_EVAL_MOD == 0]
-        if not len(b):
-            return pd.DataFrame({"b": pd.Series([], dtype=object),
-                                 "c2": pd.Series([], dtype="int64")})
+        uni = pd.DataFrame({"kind": "u",
+                            "key": vc.index.to_numpy(dtype=object),
+                            "n": vc.to_numpy().astype("int64")})
         g = _bigram_counts(b)
         g = g[g["c"] > 0]  # short-doc markers carry no mass
-        out = g.groupby("b", sort=False, as_index=False)["c"].sum()
-        return out.rename(columns={"c": "c2"})
+        bg = g.groupby("b", sort=False, as_index=False)["c"].sum()
+        big = pd.DataFrame({"kind": "b",
+                            "key": bg["b"].to_numpy(dtype=object),
+                            "n": bg["c"].to_numpy().astype("int64")})
+        return pd.concat([uni, big], ignore_index=True)
 
-    bg = exchange.partitioned_apply(
-        docs.map_batches(big_partials, batch_format="pandas"),
-        ["b"],
-        lambda g: g.groupby("b", sort=False, as_index=False)["c2"].sum(),
+    counts = exchange.partitioned_apply(
+        docs.map_batches(count_partials, batch_format="pandas"),
+        ["kind", "key"],
+        lambda g: g.groupby(["kind", "key"], sort=False,
+                            as_index=False)["n"].sum(),
         num_partitions,
-    )
+    ).materialize()  # (vocab + bigram-vocab)-sized: feeds T/V + 3 joins
+
+    uni = counts.map_batches(
+        lambda f: (f.loc[f["kind"] == "u", ["key", "n"]]
+                   .rename(columns={"key": "w", "n": "c1"})),
+        batch_format="pandas")
+    bg = counts.map_batches(
+        lambda f: (f.loc[f["kind"] == "b", ["key", "n"]]
+                   .rename(columns={"key": "b", "n": "c2"})),
+        batch_format="pandas")
+    # T/V scalars via a bounded aggregate over the materialized table
+    T = int(counts.map_batches(
+        lambda f: pd.DataFrame(
+            {"t": [int(f.loc[f["kind"] == "u", "n"].sum())]}),
+        batch_format="pandas").sum("t") or 0)
+    V = int(counts.map_batches(
+        lambda f: pd.DataFrame({"v": [int((f["kind"] == "u").sum())]}),
+        batch_format="pandas").sum("v") or 0)
 
     def with_prev(f: pd.DataFrame) -> pd.DataFrame:
         f = f.copy()
