@@ -233,6 +233,9 @@ ANALYZE_OPS = {
              "DSIR-shaped bigram importance score vs the eval slice"),
     "lm-ppl": ("docs_train", "lm_perplexity",
                "CCNet-style bigram-LM cross-entropy (perplexity filter)"),
+    "lm-ppl-buckets": ("docs_train", "lm_ppl_buckets",
+                       "CCNet head/middle/tail corpus split by LM "
+                       "cross-entropy quantiles"),
     "reach": ("graph", "kg_reach",
               "per-node 2-hop reachability count over the KG"),
     "triangles": ("graph", "kg_triangles",

@@ -1774,6 +1774,27 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)
 """
 
+    # CCNet head/middle/tail bucketing over the LM cross-entropy
+    # (docs_train.lm_ppl_buckets): thresholds = quantile_disc over the
+    # top-5-bit sketch buckets (same integer sketch as
+    # order_price_quantiles_approx) of scored docs at the float-safe
+    # 0.25/0.75 cuts; docs under 2 tokens are 'unscored'.
+    _skb = ("(lm_xent_micro >> greatest(length(bin(lm_xent_micro)) - 5, 0))"
+            " << greatest(length(bin(lm_xent_micro)) - 5, 0)")
+    sql["lm_ppl_buckets"] = f"""
+WITH lm AS ({sql['lm_perplexity']}),
+sk AS (SELECT doc_id, lm_n_scored, lm_xent_micro, {_skb} AS skb FROM lm),
+th AS (SELECT quantile_disc(skb, 0.25) AS t_head,
+              quantile_disc(skb, 0.75) AS t_tail
+       FROM sk WHERE lm_n_scored > 0)
+SELECT doc_id, lm_n_scored, lm_xent_micro,
+       CASE WHEN lm_n_scored = 0 THEN 'unscored'
+            WHEN skb <= (SELECT t_head FROM th) THEN 'head'
+            WHEN skb > (SELECT t_tail FROM th) THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket
+FROM sk
+"""
+
     sql["dedup_jaccard_adjacent"] = """
 WITH sh AS (
   SELECT doc_id,
@@ -2340,13 +2361,15 @@ SELECT 'postings', '*', token, df, CAST(0 AS BIGINT), postings FROM ({ii})
     st, q = take("doc_stats"), take("doc_quality")
     fp, dc = take("fingerprints"), take("decontaminate")
     ds_imp = take("dsir_importance")
-    lm = take("lm_perplexity")
+    take("lm_perplexity")  # embedded verbatim inside lm_ppl_buckets
+    lm = take("lm_ppl_buckets")
     sql["doc_profile"] = f"""
 SELECT s.doc_id, s.lang, s.n_tokens, s.n_distinct_tokens, s.n_chars,
        s.stopword_ratio_micro, s.avg_token_len_micro, s.quality_micro,
        q.top_token_frac_micro, q.repeat_ratio_micro, q.bigram_repeat_micro,
        q.quality_band, f.fingerprint, d.contaminated,
-       i.n_bigrams, i.dsir_score_micro, bp.n_bpe_tokens, lm.lm_xent_micro
+       i.n_bigrams, i.dsir_score_micro, bp.n_bpe_tokens,
+       lm.lm_xent_micro, lm.ppl_bucket
 FROM ({st}) s
 JOIN ({q}) q ON s.doc_id = q.doc_id
 JOIN ({fp}) f ON s.doc_id = f.doc_id
@@ -2357,7 +2380,7 @@ JOIN (SELECT doc_id, n_bpe_tokens FROM read_parquet('{bpe_expected_parquet()}')
                              + CAST(sum(n_chars) AS BIGINT)
                       FROM documents)) bp
   ON s.doc_id = bp.doc_id
-JOIN (SELECT doc_id, lm_xent_micro FROM ({lm})) lm
+JOIN (SELECT doc_id, lm_xent_micro, ppl_bucket FROM ({lm})) lm
   ON s.doc_id = lm.doc_id
 """
 

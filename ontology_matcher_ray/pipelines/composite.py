@@ -348,11 +348,12 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     j5 = exchange.hash_join(j4, bpe, "doc_id", "doc_id", j4_schema,
                             bpe_schema, num_partitions=num_partitions)
     j5_schema = {**j4_schema, "n_bpe_tokens": "int64"}
-    # LM cross-entropy (CCNet-style perplexity filter); lm_n_scored
+    # LM cross-entropy + CCNet head/middle/tail bucket; lm_n_scored
     # duplicates dsir's n_bigrams (same positions) and is dropped pre-join
-    lm = docs_train.lm_perplexity(sf_dir).map_batches(
+    lm = docs_train.lm_ppl_buckets(sf_dir).map_batches(
         lambda b: b.drop(columns=["lm_n_scored"]), batch_format="pandas")
-    lm_schema = {"doc_id": "int64", "lm_xent_micro": "int64"}
+    lm_schema = {"doc_id": "int64", "lm_xent_micro": "int64",
+                 "ppl_bucket": "object"}
     return exchange.hash_join(j5, lm, "doc_id", "doc_id", j5_schema,
                               lm_schema, num_partitions=num_partitions)
 

@@ -1058,6 +1058,82 @@ def lm_perplexity(sf_dir: str, num_partitions: int = 16,
     )
 
 
+PPL_HEAD_Q, PPL_TAIL_Q = 0.25, 0.75  # exact binary floats: ceil(q*n) is
+#                                      float-boundary-safe in both engines
+
+
+def lm_ppl_buckets(sf_dir: str, num_partitions: int = 16,
+                   salt: int = 1) -> rd.Dataset:
+    """CCNet's head/middle/tail corpus partitioning: bucket every
+    document by its LM cross-entropy relative to the corpus-wide
+    distribution (Wenzek et al. 2020 split Common Crawl into
+    head/middle/tail by KenLM perplexity tertiles; this engine uses the
+    float-safe 25%/75% cuts — 0.25/0.75 are exact binary fractions, so
+    the ``ceil(q*n)`` selection index cannot straddle a float-rounding
+    boundary between numpy and DuckDB, unlike 1/3).
+
+    Scale shape: thresholds are quantiles over a corpus-sized value
+    column, so the exact (value, count) selection exchange would move
+    one row per DISTINCT cross-entropy — effectively per doc.  Instead
+    values collapse to the top-5-bit mergeable sketch buckets of
+    ``relational._bucket_lower_bound`` (the same sketch the approx
+    order-price quantiles use, <1/16 relative error — coarse on purpose,
+    CCNet's buckets are coarse): the combiner emits at most ~500
+    distinct bucket rows per block, ONE single-partition exchange
+    cum-selects the two thresholds (driver reads 1 row), and a
+    vectorized label pass compares each doc's own sketch bucket against
+    them.  The per-doc score table is materialized once (3 int columns
+    per doc — the bounded-materialization pattern; recomputing the LM
+    for the second consumer would cost two more corpus passes).
+    Unscored docs (< 2 tokens) get bucket 'unscored'."""
+    import math
+
+    from ontology_matcher_ray.pipelines.relational import (
+        _bucket_lower_bound,
+    )
+
+    lm = lm_perplexity(sf_dir, num_partitions, salt).materialize()
+
+    def sketch_partials(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[b["lm_n_scored"].to_numpy() > 0]
+        f = pd.DataFrame({
+            "skb": _bucket_lower_bound(s["lm_xent_micro"].to_numpy()),
+            "cnt": np.ones(len(s), dtype=np.int64),
+            "g": np.zeros(len(s), dtype=np.int64),
+        })
+        return f.groupby(["g", "skb"], sort=False, as_index=False).sum()
+
+    def select_thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("skb", sort=True)["cnt"].sum()
+        values = grp.index.to_numpy()
+        cum = grp.to_numpy().cumsum()
+        n = int(cum[-1]) if len(cum) else 0
+        if n == 0:
+            return pd.DataFrame({"t_head": [0], "t_tail": [0]})
+        pick = lambda q: int(values[np.searchsorted(
+            cum, max(0, math.ceil(q * n) - 1) + 1, side="left")])
+        return pd.DataFrame({"t_head": [pick(PPL_HEAD_Q)],
+                             "t_tail": [pick(PPL_TAIL_Q)]})
+
+    th = exchange.partitioned_apply(
+        lm.map_batches(sketch_partials, batch_format="pandas"),
+        ["g"], select_thresholds, num_partitions=1,
+    ).take_all()
+    t_head = int(th[0]["t_head"]) if th else 0
+    t_tail = int(th[0]["t_tail"]) if th else 0
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        skb = _bucket_lower_bound(b["lm_xent_micro"].to_numpy())
+        scored = b["lm_n_scored"].to_numpy() > 0
+        b["ppl_bucket"] = np.select(
+            [~scored, skb <= t_head, skb > t_tail],
+            ["unscored", "head", "tail"], default="middle")
+        return b
+
+    return lm.map_batches(label, batch_format="pandas")
+
+
 def curate_decisions(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """End-to-end corpus-curation decision: one row per document,
     (doc_id, curate_keep, drop_reason), combining the independently

@@ -42,13 +42,10 @@ def edge_dir(tmp_path_factory):
     return str(d)
 
 
-def _oracle(sf: str) -> pd.DataFrame:
+def _lm_sql() -> str:
     L = "CAST(floor(1000000 * ln(greatest({x}, 1))) AS BIGINT)"
     la = f"({L.format(x=4)} - {L.format(x=10)})"
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{sf}/documents.parquet')")
-    return con.execute(f"""
+    return f"""
 WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
 bgl AS (SELECT doc_id,
           unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -81,8 +78,15 @@ SELECT d.doc_id,
        CAST(COALESCE(s.n, 0) AS BIGINT) AS lm_n_scored,
        CAST(COALESCE((-s.slp) // greatest(s.n, 1), 0) AS BIGINT)
          AS lm_xent_micro
-FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
-""").df()
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def _oracle(sf: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    return con.execute(_lm_sql() + " ORDER BY doc_id").df()
 
 
 def _pure(sf: str) -> pd.DataFrame:
@@ -155,3 +159,53 @@ def test_lm_ppl_partition_and_salt_invariant(edge_dir):
     base = _run(edge_dir)
     pd.testing.assert_frame_equal(base, _run(edge_dir, num_partitions=3))
     pd.testing.assert_frame_equal(base, _run(edge_dir, salt=4))
+
+
+def _bucket_oracle(sf: str) -> pd.DataFrame:
+    """Independent DuckDB recompute of lm_ppl_buckets (thresholds over
+    the top-5-bit sketch at the 0.25/0.75 cuts)."""
+    skb = ("(lm_xent_micro >> greatest(length(bin(lm_xent_micro)) - 5, 0))"
+           " << greatest(length(bin(lm_xent_micro)) - 5, 0)")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    return con.execute(f"""
+WITH lm AS ({_lm_sql()}),
+sk AS (SELECT doc_id, lm_n_scored, lm_xent_micro, {skb} AS skb FROM lm),
+th AS (SELECT quantile_disc(skb, 0.25) AS t_head,
+              quantile_disc(skb, 0.75) AS t_tail
+       FROM sk WHERE lm_n_scored > 0)
+SELECT doc_id, lm_n_scored, lm_xent_micro,
+       CASE WHEN lm_n_scored = 0 THEN 'unscored'
+            WHEN skb <= (SELECT t_head FROM th) THEN 'head'
+            WHEN skb > (SELECT t_tail FROM th) THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket
+FROM sk ORDER BY doc_id
+""").df()
+
+
+def test_lm_ppl_buckets_match_duckdb(edge_dir):
+    from ontology_matcher_ray.pipelines.docs_train import lm_ppl_buckets
+
+    got = (lm_ppl_buckets(edge_dir).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    want = _bucket_oracle(edge_dir)
+    pd.testing.assert_frame_equal(got, want)
+    # unscored == exactly the short docs; the max-entropy ties sit AT the
+    # 75% threshold here, so 'tail' is legitimately empty on this fixture
+    assert ((got["ppl_bucket"] == "unscored")
+            == (got["lm_n_scored"] == 0)).all()
+    assert set(got["ppl_bucket"]) <= {"head", "middle", "tail", "unscored"}
+    # the planted OOV docs never land in the fluent head
+    oov = got[(got["doc_id"] % 13 == 0) & (got["lm_n_scored"] > 0)]
+    assert not (oov["ppl_bucket"] == "head").any()
+
+
+def test_lm_ppl_buckets_sf_match_duckdb():
+    from ontology_matcher_ray.pipelines.docs_train import lm_ppl_buckets
+
+    got = (lm_ppl_buckets(SF).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(got, _bucket_oracle(SF))
+    # the sf corpus has a spread distribution: all three scored buckets
+    assert {"head", "middle", "tail"} <= set(got["ppl_bucket"])
