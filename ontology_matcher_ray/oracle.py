@@ -485,6 +485,48 @@ def corpus_expected_parquet(dict_size: int = 2000, seed: int = 42) -> str:
     return path
 
 
+def code_stats_sql(parquet_path: str) -> str:
+    """The ``code_token_stats`` oracle over an arbitrary corpus parquet
+    path: DuckDB recomputes every token count / ratio / curation signal
+    with its own RE2 and list-lambda kernels (shared only the regex
+    LITERALS with the engine, per the PII-scrub convention)."""
+    return f"""
+WITH f AS (
+  SELECT *, str_split(content, chr(10)) AS ls
+  FROM read_parquet('{parquet_path}')
+)
+SELECT repo, path, lang,
+       CAST(len(regexp_extract_all(content,
+            '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\\s]')) AS BIGINT)
+         AS n_tokens,
+       CAST(length(content) AS BIGINT) AS n_chars,
+       (len(regexp_extract_all(content, '[^A-Za-z0-9\\s]')) * 1000000)
+         // greatest(length(content), 1) AS punct_micro,
+       (len(regexp_extract_all(content, '[0-9]')) * 1000000)
+         // greatest(length(content), 1) AS digit_micro,
+       (len(regexp_extract_all(content, '[A-Z]')) * 1000000)
+         // greatest(length(content), 1) AS upper_micro,
+       (len(regexp_extract_all(content, '[A-Za-z0-9]')) * 1000000)
+         // greatest(length(content), 1) AS alnum_micro,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(list_max(list_transform(ls, l -> length(l))) AS BIGINT)
+         AS max_line_len,
+       CAST(len(list_filter(ls, l -> length(l) > 120)) * 1000000
+            // len(ls) AS BIGINT) AS long_line_micro,
+       CAST(CASE WHEN regexp_matches(content,
+            'SPDX-License-Identifier|Licensed under|MIT License|Apache License')
+            THEN 1 ELSE 0 END AS BIGINT) AS has_license,
+       CAST(CASE WHEN regexp_matches(content,
+            '(?i)auto-generated|do not edit|generated by')
+            THEN 1 ELSE 0 END AS BIGINT) AS autogen,
+       CAST(len(regexp_extract_all(content, 'AKIA[0-9A-Z]{{16}}'))
+            + len(regexp_extract_all(content,
+                  '-----BEGIN [A-Z ]+PRIVATE KEY-----')) AS BIGINT)
+         AS n_secrets
+FROM f
+"""
+
+
 def corpus_rows_parquet(n_files: int = 2000, dict_size: int = 2000,
                         seed: int = 42) -> str:
     """Ray-free regeneration of the fixed-scale corpus INPUT rows for the
@@ -1564,20 +1606,7 @@ GROUP BY 1
     # BPE-ish code token counting: DuckDB recomputes every count with its
     # own regexp_extract_all pass over a Ray-free regeneration of the
     # same fixed-scale corpus rows (corpus_rows_parquet).
-    sql["code_token_stats"] = f"""
-SELECT repo, path, lang,
-       CAST(len(regexp_extract_all(content,
-            '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\\s]')) AS BIGINT)
-         AS n_tokens,
-       CAST(length(content) AS BIGINT) AS n_chars,
-       (len(regexp_extract_all(content, '[^A-Za-z0-9\\s]')) * 1000000)
-         // greatest(length(content), 1) AS punct_micro,
-       (len(regexp_extract_all(content, '[0-9]')) * 1000000)
-         // greatest(length(content), 1) AS digit_micro,
-       (len(regexp_extract_all(content, '[A-Z]')) * 1000000)
-         // greatest(length(content), 1) AS upper_micro
-FROM read_parquet('{corpus_rows_parquet()}')
-"""
+    sql["code_token_stats"] = code_stats_sql(corpus_rows_parquet())
 
     # Gopher-style repetition heuristics (docs_text.doc_quality): the
     # token/bigram counting is fully recomputed with DuckDB list/lambda

@@ -1027,20 +1027,34 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
 # the DuckDB oracle (also RE2) count identically.
 CODE_TOKEN_RE = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\s]"
 _PUNCT_RE = r"[^A-Za-z0-9\s]"
+_ALNUM_RE = r"[A-Za-z0-9]"
+# StarCoder/BigCode-style curation signals (all RE2, shared verbatim with
+# the DuckDB oracle which also runs RE2):
+LICENSE_RE = r"SPDX-License-Identifier|Licensed under|MIT License|Apache License"
+AUTOGEN_RE = r"(?i)auto-generated|do not edit|generated by"
+SECRET_RES = (r"AKIA[0-9A-Z]{16}", r"-----BEGIN [A-Z ]+PRIVATE KEY-----")
+LONG_LINE_CHARS = 120
 _DIGIT_RE = r"[0-9]"
 _UPPER_RE = r"[A-Z]"
 
 
 def code_token_stats(corpus_dir: str) -> rd.Dataset:
-    """Per-file token counting + character-class ratios over the
-    source-code corpus ``(repo, path, commit, lang, content)``.
+    """Per-file token counting + character-class ratios + curation
+    signals over the source-code corpus ``(repo, path, commit, lang,
+    content)``.
 
     The "BPE-ish" tokenizer is the standard byte-level pre-tokenization
     regex family (identifier runs / digit runs / punctuation singles),
     counted with ``pc.count_substring_regex`` — one vectorized RE2 pass
     per pattern, zero-copy Arrow batches, no shuffle; column pruning at
     the read keeps ``commit`` (and any future payload columns) off the
-    wire.  Streams at any corpus size."""
+    wire.  Streams at any corpus size.
+
+    Curation columns follow the StarCoder/BigCode per-file filters:
+    line-shape stats (``pc.split_pattern`` once + ``np.*.reduceat`` over
+    the list offsets — no per-row Python), alphanumeric fraction,
+    license-header / auto-generated-banner flags, and a credential scan
+    (AWS-shaped access keys, PEM private-key blocks)."""
     import pyarrow.compute as pc
 
     from ontology_matcher_ray.sources.io import read_parquet_clean
@@ -1048,7 +1062,7 @@ def code_token_stats(corpus_dir: str) -> rd.Dataset:
     ds = read_parquet_clean(corpus_dir, columns=["repo", "path", "lang", "content"])
 
     def stage(t: pa.Table) -> pa.Table:
-        content = pc.cast(t["content"], pa.string())
+        content = pc.cast(t["content"].combine_chunks(), pa.string())
         n_chars = pc.cast(pc.utf8_length(content), pa.int64()).to_numpy()
         n_tok = pc.cast(
             pc.count_substring_regex(content, CODE_TOKEN_RE), pa.int64()
@@ -1060,6 +1074,24 @@ def code_token_stats(corpus_dir: str) -> rd.Dataset:
             c = pc.cast(pc.count_substring_regex(content, pat), pa.int64())
             return c.to_numpy() * mil // denom
 
+        def flag(pat):
+            return pc.cast(pc.match_substring_regex(content, pat), pa.int64())
+
+        # line-shape stats: ONE split, segment reductions over offsets
+        # (split_pattern builds a fresh ListArray, so offsets are
+        # 0-based; every file has >=1 line, so no empty segments)
+        la = pc.split_pattern(content, "\n")
+        offs = la.offsets.to_numpy()
+        lens = pc.cast(pc.utf8_length(la.values), pa.int64()).to_numpy()
+        n_lines = np.diff(offs)
+        max_line = np.maximum.reduceat(lens, offs[:-1])
+        n_long = np.add.reduceat((lens > LONG_LINE_CHARS).astype(np.int64),
+                                 offs[:-1])
+        n_secrets = sum(
+            pc.cast(pc.count_substring_regex(content, p), pa.int64()).to_numpy()
+            for p in SECRET_RES
+        )
+
         return pa.table({
             "repo": t["repo"],
             "path": t["path"],
@@ -1069,6 +1101,13 @@ def code_token_stats(corpus_dir: str) -> rd.Dataset:
             "punct_micro": pa.array(ratio(_PUNCT_RE), pa.int64()),
             "digit_micro": pa.array(ratio(_DIGIT_RE), pa.int64()),
             "upper_micro": pa.array(ratio(_UPPER_RE), pa.int64()),
+            "alnum_micro": pa.array(ratio(_ALNUM_RE), pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "max_line_len": pa.array(max_line, pa.int64()),
+            "long_line_micro": pa.array(n_long * mil // n_lines, pa.int64()),
+            "has_license": flag(LICENSE_RE),
+            "autogen": flag(AUTOGEN_RE),
+            "n_secrets": pa.array(n_secrets, pa.int64()),
         })
 
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
