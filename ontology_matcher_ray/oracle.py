@@ -489,12 +489,14 @@ def code_stats_sql(parquet_path: str) -> str:
     """The ``code_token_stats`` oracle over an arbitrary corpus parquet
     path: DuckDB recomputes every token count / ratio / curation signal
     with its own RE2 and list-lambda kernels (shared only the regex
-    LITERALS with the engine, per the PII-scrub convention)."""
+    LITERALS with the engine, per the PII-scrub convention); the
+    keep/drop decision CASE mirrors the engine's fixed precedence
+    (autogen -> secrets -> long_lines -> low_alnum)."""
     return f"""
 WITH f AS (
   SELECT *, str_split(content, chr(10)) AS ls
   FROM read_parquet('{parquet_path}')
-)
+), s AS (
 SELECT repo, path, lang,
        CAST(len(regexp_extract_all(content,
             '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_\\s]')) AS BIGINT)
@@ -513,6 +515,8 @@ SELECT repo, path, lang,
          AS max_line_len,
        CAST(len(list_filter(ls, l -> length(l) > 120)) * 1000000
             // len(ls) AS BIGINT) AS long_line_micro,
+       CAST(len(list_filter(ls, l -> regexp_matches(l, '^[\\t ]*(//|#)')))
+            * 1000000 // len(ls) AS BIGINT) AS comment_line_micro,
        CAST(CASE WHEN regexp_matches(content,
             'SPDX-License-Identifier|Licensed under|MIT License|Apache License')
             THEN 1 ELSE 0 END AS BIGINT) AS has_license,
@@ -524,6 +528,17 @@ SELECT repo, path, lang,
                   '-----BEGIN [A-Z ]+PRIVATE KEY-----')) AS BIGINT)
          AS n_secrets
 FROM f
+)
+SELECT *,
+       CASE WHEN autogen = 1 THEN 'autogen'
+            WHEN n_secrets > 0 THEN 'secrets'
+            WHEN max_line_len > 120 THEN 'long_lines'
+            WHEN alnum_micro < 250000 THEN 'low_alnum'
+            ELSE '' END AS drop_reason,
+       CAST(CASE WHEN autogen = 1 OR n_secrets > 0
+                   OR max_line_len > 120 OR alnum_micro < 250000
+            THEN 0 ELSE 1 END AS BIGINT) AS curate_keep
+FROM s
 """
 
 

@@ -1034,6 +1034,13 @@ LICENSE_RE = r"SPDX-License-Identifier|Licensed under|MIT License|Apache License
 AUTOGEN_RE = r"(?i)auto-generated|do not edit|generated by"
 SECRET_RES = (r"AKIA[0-9A-Z]{16}", r"-----BEGIN [A-Z ]+PRIVATE KEY-----")
 LONG_LINE_CHARS = 120
+# per-LINE comment shape (RE2 '^' anchors each split line, not multiline)
+COMMENT_LINE_RE = r"^[\t ]*(//|#)"
+# StarCoder's 25% alphanumeric-fraction floor, in integer micro-units
+MIN_ALNUM_MICRO = 250_000
+# fixed drop-reason precedence for the per-file keep/drop decision
+# (first matching rule wins; mirrored verbatim by the oracle's CASE)
+DROP_RULES = ("autogen", "secrets", "long_lines", "low_alnum")
 _DIGIT_RE = r"[0-9]"
 _UPPER_RE = r"[A-Z]"
 
@@ -1053,8 +1060,10 @@ def code_token_stats(corpus_dir: str) -> rd.Dataset:
     Curation columns follow the StarCoder/BigCode per-file filters:
     line-shape stats (``pc.split_pattern`` once + ``np.*.reduceat`` over
     the list offsets — no per-row Python), alphanumeric fraction,
-    license-header / auto-generated-banner flags, and a credential scan
-    (AWS-shaped access keys, PEM private-key blocks)."""
+    license-header / auto-generated-banner flags, a credential scan
+    (AWS-shaped access keys, PEM private-key blocks), comment-line
+    fraction, and a per-file keep/drop decision with a fixed drop-reason
+    precedence (``DROP_RULES``) mirrored by the oracle's CASE."""
     import pyarrow.compute as pc
 
     from ontology_matcher_ray.sources.io import read_parquet_clean
@@ -1087,9 +1096,24 @@ def code_token_stats(corpus_dir: str) -> rd.Dataset:
         max_line = np.maximum.reduceat(lens, offs[:-1])
         n_long = np.add.reduceat((lens > LONG_LINE_CHARS).astype(np.int64),
                                  offs[:-1])
+        is_comment = pc.cast(
+            pc.match_substring_regex(la.values, COMMENT_LINE_RE), pa.int64()
+        ).to_numpy()
+        n_comment = np.add.reduceat(is_comment, offs[:-1])
         n_secrets = sum(
             pc.cast(pc.count_substring_regex(content, p), pa.int64()).to_numpy()
             for p in SECRET_RES
+        )
+
+        # keep/drop decision: fixed precedence over the signals above
+        # (the thresholds are sized to the synthetic corpus; StarCoder's
+        # production cuts are max_line>1000 / alnum<0.25)
+        alnum = ratio(_ALNUM_RE)
+        autogen = flag(AUTOGEN_RE)
+        drop_reason = np.select(
+            [autogen.to_numpy().astype(bool), n_secrets > 0,
+             max_line > LONG_LINE_CHARS, alnum < MIN_ALNUM_MICRO],
+            list(DROP_RULES), default="",
         )
 
         return pa.table({
@@ -1101,13 +1125,18 @@ def code_token_stats(corpus_dir: str) -> rd.Dataset:
             "punct_micro": pa.array(ratio(_PUNCT_RE), pa.int64()),
             "digit_micro": pa.array(ratio(_DIGIT_RE), pa.int64()),
             "upper_micro": pa.array(ratio(_UPPER_RE), pa.int64()),
-            "alnum_micro": pa.array(ratio(_ALNUM_RE), pa.int64()),
+            "alnum_micro": pa.array(alnum, pa.int64()),
             "n_lines": pa.array(n_lines, pa.int64()),
             "max_line_len": pa.array(max_line, pa.int64()),
             "long_line_micro": pa.array(n_long * mil // n_lines, pa.int64()),
+            "comment_line_micro": pa.array(n_comment * mil // n_lines,
+                                           pa.int64()),
             "has_license": flag(LICENSE_RE),
-            "autogen": flag(AUTOGEN_RE),
+            "autogen": autogen,
             "n_secrets": pa.array(n_secrets, pa.int64()),
+            "drop_reason": pa.array(drop_reason, pa.string()),
+            "curate_keep": pa.array((drop_reason == "").astype(np.int64),
+                                    pa.int64()),
         })
 
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)

@@ -67,6 +67,42 @@ def test_planted_long_lines(stats):
     assert (stats["long_line_micro"].to_numpy() == want).all()
 
 
+def test_curation_decision_precedence(stats):
+    """drop_reason follows the fixed rule order over the planted residues
+    (autogen beats secrets beats long_lines); low_alnum never fires on
+    this corpus, which the alnum floor assertion pins."""
+    i = stats.index.to_numpy()
+    assert (stats["alnum_micro"].to_numpy() >= 250_000).all()
+    want = np.select(
+        [i % 9 == 4, (i % 11 == 7) | (i % 11 == 3), i % 13 == 6],
+        ["autogen", "secrets", "long_lines"], default="",
+    )
+    assert (stats["drop_reason"].to_numpy() == want).all()
+    assert (stats["curate_keep"].to_numpy() == (want == "")).all()
+    # every precedence collision actually occurs in 300 files
+    assert ((i % 9 == 4) & (i % 11 == 3)).any()
+    assert ((i % 11 == 7) & (i % 13 == 6)).any()
+
+
+def test_comment_fraction_closed_form(stats):
+    """comment_line_micro recomputed from the generator rows with plain
+    Python (lines starting with optional blanks then // or #)."""
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=200, seed=42)
+    raw_ids = corpus_mod._raw_id_universe(snap)
+    terms = corpus_mod.token_lexicon_terms(snap)
+    pool = corpus_mod._typo_pool(terms)
+    for i in range(0, N_FILES, 11):
+        lines = corpus_mod.file_row(i, raw_ids, terms, typo_pool=pool)[
+            "content"
+        ].split("\n")
+        n_comment = sum(
+            1 for ln in lines if ln.lstrip("\t ").startswith(("//", "#"))
+        )
+        assert stats.loc[i, "comment_line_micro"] == (
+            n_comment * 1_000_000 // len(lines)
+        )
+
+
 def test_line_stats_closed_form(stats):
     """n_lines / max_line_len recomputed from the generator rows with
     plain Python string ops (independent of both engines)."""
