@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_assignments": composite.dedup_assignments,   # exact ⋈ clusters ⋈ simhash ⋈ in_prior + curate decision
         "doc_profile": composite.doc_profile,               # stats ⋈ quality ⋈ fp ⋈ decontam ⋈ dsir
         # --- graph analytics over the constructed KG ---
-        "entity_cooccurrence": graph.entity_cooccurrence,   # two-exchange pairs
+        "entity_cooccurrence": composite.entity_link_scores,  # pairs ⋈ Adamic-Adar
         "kg_degrees": composite.kg_topology,                # degrees ⋈ 2-hop reach
         "kg_pagerank": graph.kg_pagerank_pinned,            # Pregel engine; ranks bit-identical to graph.kg_pagerank
         # --- relational big⋈big family (pipelines/relational.py) ---

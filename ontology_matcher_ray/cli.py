@@ -269,6 +269,9 @@ ANALYZE_OPS = {
                  "integer PageRank over the entity graph"),
     "pagerank-pinned": ("graph", "kg_pagerank_pinned",
                         "same ranks via pinned-partition Pregel actors"),
+    "link-predict": ("graph", "kg_link_prediction",
+                     "Adamic-Adar link-prediction scores over the "
+                     "co-occurrence graph"),
     # relational
     "pricing": ("relational", "pricing_summary", "wide aggregate over lineitem"),
     "revenue": ("relational", "revenue_by_nation",

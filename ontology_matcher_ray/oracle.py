@@ -1468,10 +1468,30 @@ FROM documents
 WHERE md5_number_lower(text) % (md5_number_lower(lang) % 7 + 2) = 0
 """
 
+    # co-occurrence pairs + Adamic-Adar link prediction
+    # (graph.adamic_adar_from_pairs): per-wedge score floor(1e6/ln(deg))
+    # quantized BEFORE summation so the int64 sum is order-independent;
+    # the 10k stop-center cap mirrors the engine's max_center_degree
     sql["entity_cooccurrence"] = f"""
 WITH {terms},
-{GRAPH_CTES}
-SELECT a, b, CAST(n_docs AS BIGINT) AS n_docs FROM cpairs
+{GRAPH_CTES},
+aawedge AS (
+  SELECT n1.dst AS a, n2.dst AS b,
+         CAST(floor(1000000.0 / ln(g.deg)) AS BIGINT) AS s
+  FROM gedges n1
+  JOIN gedges n2 ON n2.src = n1.src AND n1.dst < n2.dst
+  JOIN gdeg g ON g.node = n1.src
+  WHERE g.deg <= 10000
+),
+aascore AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(s) AS BIGINT) AS aa_micro
+  FROM aawedge GROUP BY 1, 2
+)
+SELECT c.a, c.b, CAST(c.n_docs AS BIGINT) AS n_docs,
+       COALESCE(s.common_neighbors, 0) AS common_neighbors,
+       COALESCE(s.aa_micro, 0) AS aa_micro
+FROM cpairs c LEFT JOIN aascore s ON s.a = c.a AND s.b = c.b
 """
 
     sql["kg_degrees"] = f"""

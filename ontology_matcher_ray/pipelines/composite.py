@@ -524,3 +524,49 @@ def lang_profile(sf_dir: str) -> pd.DataFrame:
     out = ls.merge(w, on="lang")
     return out[["lang", "n_docs", "total_tokens", "avg_quality_micro",
                 "share_micro", "capped_micro", "weight_micro"]]
+
+
+def entity_link_scores(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+    """Co-occurrence pairs LEFT⋈ Adamic-Adar link-prediction scores on
+    the (a, b) pair key, through the engine's distributed
+    ``exchange.hash_join``.  Emits (a, b, n_docs, common_neighbors,
+    aa_micro) — one row per co-occurring entity pair; pairs whose
+    endpoints share no third neighbor get the exact 0 the SQL COALESCE
+    produces.  The pair list is materialized once and shared by the
+    co-occurrence aggregate and the AA wedge passes."""
+    from ontology_matcher_ray.pipelines import graph
+    from ontology_matcher_ray.stages import exchange
+
+    pairs = graph.entity_cooccurrence(sf_dir, num_partitions).materialize()
+    aa = graph.adamic_adar_from_pairs(
+        pairs.select_columns(["a", "b"]), num_partitions)
+    sep = "\x1f"
+    left = pairs.map_batches(
+        lambda b: pd.DataFrame({"pk": b["a"] + sep + b["b"],
+                                "a": b["a"], "b": b["b"],
+                                "n_docs": b["n_docs"].astype("int64")}),
+        batch_format="pandas",
+    )
+    right = aa.map_batches(
+        lambda b: pd.DataFrame({
+            "pk": b["a"] + sep + b["b"],
+            "common_neighbors": b["common_neighbors"].astype("int64"),
+            "aa_micro": b["aa_micro"].astype("int64")}),
+        batch_format="pandas",
+    )
+    joined = exchange.hash_join(
+        left, right, "pk", "pk",
+        {"pk": "object", "a": "object", "b": "object", "n_docs": "int64"},
+        {"pk": "object", "common_neighbors": "int64", "aa_micro": "int64"},
+        how="left", num_partitions=num_partitions,
+    )
+    return joined.map_batches(
+        lambda b: pd.DataFrame({
+            "a": b["a"], "b": b["b"],
+            "n_docs": b["n_docs"].astype("int64"),
+            "common_neighbors":
+                b["common_neighbors"].fillna(0).astype("int64"),
+            "aa_micro": b["aa_micro"].fillna(0).astype("int64"),
+        }),
+        batch_format="pandas",
+    )

@@ -731,3 +731,92 @@ def _pagerank_pinned_run(
         for a in actors:
             ray.kill(a)
     return rd.from_pandas(pd.concat(frames, ignore_index=True))
+
+
+def adamic_adar_from_pairs(
+    pairs: rd.Dataset,
+    num_partitions: int = 32,
+    max_center_degree: int = 10_000,
+) -> rd.Dataset:
+    """(a, b, common_neighbors, aa_micro) link-prediction scores over an
+    undirected simple edge list (a, b) with a < b.
+
+    Adamic-Adar (Adamic & Adar 2003): for a node pair (a, b), the score
+    is ``sum over common neighbors w of 1 / ln(deg(w))`` — shared rare
+    neighbors are stronger evidence of a link than shared hubs.  Scores
+    are integer micro-units, quantized PER WEDGE as
+    ``floor(1e6 / ln(deg_w))`` before summation (the lm_perplexity
+    convention) so the int64 sum is order-independent under any
+    partitioning and bit-exactly SQL-recomputable.
+
+    Shape: one degree aggregation, one degree-attach ``hash_join``, one
+    center-keyed exchange whose per-partition kernel self-merges each
+    center's neighbor list into wedges and PRE-AGGREGATES them per pair
+    (the combiner — wedge rows leave the partition already summed), and
+    one final pair-keyed exchange.  A center of degree d yields d^2/2
+    wedges, so unlike the triangle count (which orients edges to bound
+    wedge work at O(m^1.5)) the exact all-pairs common-neighbor table is
+    inherently quadratic in hub degree; ``max_center_degree`` is the
+    stop-node cap (the substring dedup's max_df convention): centers
+    above it are skipped, which for AA is also the standard
+    approximation — a 10k-degree hub contributes at most
+    1/ln(10^4) ~= 0.11 per pair.  The cap is mirrored verbatim in the
+    SQL oracle.  Emits one row per pair with >= 1 common neighbor
+    (every pair, not only existing edges — the non-edge rows ARE the
+    link predictions); callers wanting scores for existing edges join
+    this against the edge list (composite.entity_link_scores).
+    """
+    pairs = pairs.materialize()  # consumed by the neighbor + degree passes
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "w": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+            "u": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()]),
+        })
+
+    nb = pairs.map_batches(both, batch_format="pandas")
+    deg_partial = nb.map_batches(
+        lambda b: b.groupby("w", sort=False).size().reset_index(name="d"),
+        batch_format="pandas",
+    )
+    deg = exchange.grouped_agg(
+        deg_partial, ["w"], lambda gb: gb.agg(d=("d", "sum")),
+        num_partitions,
+    )
+    nbd = exchange.hash_join(
+        pairs.map_batches(both, batch_format="pandas"),
+        deg.map_batches(
+            lambda b: b[b["d"] <= max_center_degree], batch_format="pandas"
+        ),
+        "w", "w",
+        {"w": "object", "u": "object"}, {"w": "object", "d": "int64"},
+        num_partitions=num_partitions,
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g[["w", "u"]], on="w", suffixes=("", "_y"))
+        m = m[m["u"] < m["u_y"]]
+        s = np.floor(1e6 / np.log(m["d"].to_numpy(np.float64))).astype(np.int64)
+        out = pd.DataFrame({"a": m["u"].to_numpy(), "b": m["u_y"].to_numpy(),
+                            "cn": np.int64(1), "s": s})
+        return (out.groupby(["a", "b"], sort=False)
+                   .agg(cn=("cn", "sum"), s=("s", "sum")).reset_index())
+
+    wedge_ds = exchange.partitioned_apply(nbd, ["w"], wedges, num_partitions)
+    return exchange.grouped_agg(
+        wedge_ds, ["a", "b"],
+        lambda gb: gb.agg(common_neighbors=("cn", "sum"),
+                          aa_micro=("s", "sum")),
+        num_partitions,
+    )
+
+
+def kg_link_prediction(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
+    """Adamic-Adar link prediction over the entity co-occurrence graph —
+    the "which entities SHOULD co-occur" probe an ontology pipeline runs
+    to propose missing KG edges.  Emits every pair with >= 1 common
+    neighbor (existing edges and predicted ones); the driver composite
+    (composite.entity_link_scores) restricts to existing pairs."""
+    pairs = entity_cooccurrence(sf_dir, num_partitions)
+    return adamic_adar_from_pairs(
+        pairs.select_columns(["a", "b"]), num_partitions)

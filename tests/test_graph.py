@@ -5,6 +5,7 @@ star graph where the hub MUST outrank the leaves, and check the integer
 recurrence against a local reference implementation plus
 partition-count invariance (the order-independence claim)."""
 
+import numpy as np
 import pandas as pd
 import pytest
 import ray.data as rd
@@ -351,3 +352,83 @@ def test_triangles_partition_invariant(parts):
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
              ("c", "d"), ("a", "d"), ("d", "e"), ("c", "e")]
     assert _tri_counts(edges, parts) == _ref_triangles(edges)
+
+
+# ---------------------------------------------------------------- Adamic-Adar
+
+
+def _ref_adamic_adar(edge_list, max_center_degree=10_000) -> dict:
+    """Brute-force reference: for every pair sharing >= 1 neighbor,
+    (common_neighbors, sum of floor(1e6 / ln(deg(center))))."""
+    import math
+
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {}
+    for w, nbrs in adj.items():
+        d = len(nbrs)
+        if d > max_center_degree:
+            continue
+        s = math.floor(1e6 / math.log(d)) if d >= 2 else 0
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cn, sm = scores.get((ns[i], ns[j]), (0, 0))
+                scores[(ns[i], ns[j])] = (cn + 1, sm + s)
+    return scores
+
+
+def _aa_table(edge_list, parts=4, **kw) -> dict:
+    from ontology_matcher_ray.pipelines.graph import adamic_adar_from_pairs
+
+    ds = rd.from_pandas(pd.DataFrame(edge_list, columns=["a", "b"]))
+    df = adamic_adar_from_pairs(ds, num_partitions=parts, **kw).to_pandas()
+    if not len(df):
+        return {}
+    return {(r.a, r.b): (r.common_neighbors, r.aa_micro)
+            for r in df.itertuples()}
+
+
+def test_adamic_adar_closed_form():
+    # path a-b-c: pair (a,c) shares exactly center b (deg 2)
+    got = _aa_table([("a", "b"), ("b", "c")])
+    assert got == {("a", "c"): (1, int(1e6 / np.log(2)))}
+
+
+def test_adamic_adar_star_scores_every_leaf_pair():
+    # hub h with 5 leaves: every leaf pair shares only h (deg 5)
+    edges = [("h", f"l{i}") for i in range(5)]
+    got = _aa_table(edges)
+    want = _ref_adamic_adar(edges)
+    assert got == want
+    assert len(got) == 10  # C(5,2)
+    s = int(np.floor(1e6 / np.log(5)))
+    assert all(v == (1, s) for v in got.values())
+
+
+def _undirected(edges: pd.DataFrame) -> list:
+    """_random_edges' symmetric (src,dst) frame -> unique a<b edge list."""
+    e = edges[edges["src"] < edges["dst"]]
+    return sorted(set(zip(e["src"], e["dst"])))
+
+
+def test_adamic_adar_matches_reference_random():
+    el = _undirected(_random_edges(n_nodes=30, n_edges=120, seed=7))
+    assert _aa_table(el) == _ref_adamic_adar(el)
+
+
+@pytest.mark.parametrize("parts", [1, 3, 8])
+def test_adamic_adar_partition_invariant(parts):
+    el = _undirected(_random_edges(n_nodes=20, n_edges=60, seed=11))
+    assert _aa_table(el, parts=parts) == _ref_adamic_adar(el)
+
+
+def test_adamic_adar_center_degree_cap_skips_hubs():
+    # hub h (deg 4) capped out; only the square's own wedges remain
+    edges = [("h", x) for x in "abcd"] + [("a", "b"), ("c", "d")]
+    got = _aa_table(edges, max_center_degree=3)
+    assert got == _ref_adamic_adar(edges, max_center_degree=3)
+    # with the cap off, leaf pairs through h appear
+    assert len(_aa_table(edges)) > len(got)
