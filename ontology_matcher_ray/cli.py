@@ -233,6 +233,8 @@ ANALYZE_OPS = {
              "DSIR-shaped bigram importance score vs the eval slice"),
     "lm-ppl": ("docs_train", "lm_perplexity",
                "CCNet-style bigram-LM cross-entropy (perplexity filter)"),
+    "bm25": ("docs_train", "bm25_scores",
+             "Okapi BM25 relevance to the fixed retrieval query"),
     "lm-ppl-buckets": ("docs_train", "lm_ppl_buckets",
                        "CCNet head/middle/tail corpus split by LM "
                        "cross-entropy quantiles"),

@@ -1793,6 +1793,39 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s USING (doc_id)
 """
 
+    # Okapi BM25 relevance to the fixed query (docs_train.bm25_scores,
+    # Lucene +1 idf): the per-(doc, term) contribution is floored to
+    # integer micro-units BEFORE the per-doc sum, and every double
+    # sub-expression is written in the engine's literal evaluation
+    # order (k1 + 1 and 1 - b composed, dl*N exact under 2^53, then the
+    # single float division) so the recompute is bit-exact.  The term
+    # list mirrors docs_train.BM25_QUERY verbatim.
+    _bm_terms = "'merge', 'join', 'window', 'spark', 'customer', 'zzzoov'"
+    sql["bm25_scores"] = f"""
+WITH btoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+               FROM documents),
+bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM btoks GROUP BY 1),
+bgl AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS t FROM bdl),
+bq AS (SELECT unnest([{_bm_terms}]) AS term),
+bqdf AS (SELECT q.term, CAST(COALESCE(d.df, 0) AS BIGINT) AS df
+         FROM bq q LEFT JOIN
+           (SELECT token, count(DISTINCT doc_id) AS df FROM btoks
+            WHERE token IN ({_bm_terms}) GROUP BY 1) d ON d.token = q.term),
+btf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM btoks
+        WHERE token IN ({_bm_terms}) GROUP BY 1, 2),
+bsc AS (SELECT d.doc_id,
+          floor(1000000.0
+                * ln((g.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                * (COALESCE(f.tf, 0) * (1.2 + 1.0))
+                / (COALESCE(f.tf, 0)
+                   + 1.2 * ((1.0 - 0.75) + d.dl * g.n / g.t * 0.75))) AS sc
+        FROM bdl d CROSS JOIN bgl g
+        JOIN bqdf q ON TRUE
+        LEFT JOIN btf f ON f.doc_id = d.doc_id AND f.token = q.term)
+SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro FROM bsc GROUP BY 1
+"""
+
     # CCNet-style stupid-backoff bigram LM cross-entropy
     # (docs_train.lm_perplexity): per-position log-probs quantized to
     # integer micro-nats BEFORE summation (L(x) = floor(1e6*ln(x)) on
@@ -2427,13 +2460,14 @@ SELECT 'postings', '*', token, df, CAST(0 AS BIGINT), postings FROM ({ii})
     ds_imp = take("dsir_importance")
     take("lm_perplexity")  # embedded verbatim inside lm_ppl_buckets
     lm = take("lm_ppl_buckets")
+    bm = take("bm25_scores")
     sql["doc_profile"] = f"""
 SELECT s.doc_id, s.lang, s.n_tokens, s.n_distinct_tokens, s.n_chars,
        s.stopword_ratio_micro, s.avg_token_len_micro, s.quality_micro,
        q.top_token_frac_micro, q.repeat_ratio_micro, q.bigram_repeat_micro,
        q.quality_band, f.fingerprint, d.contaminated,
        i.n_bigrams, i.dsir_score_micro, bp.n_bpe_tokens,
-       lm.lm_xent_micro, lm.ppl_bucket
+       lm.lm_xent_micro, lm.ppl_bucket, bm.bm25_micro
 FROM ({st}) s
 JOIN ({q}) q ON s.doc_id = q.doc_id
 JOIN ({fp}) f ON s.doc_id = f.doc_id
@@ -2446,6 +2480,7 @@ JOIN (SELECT doc_id, n_bpe_tokens FROM read_parquet('{bpe_expected_parquet()}')
   ON s.doc_id = bp.doc_id
 JOIN (SELECT doc_id, lm_xent_micro, ppl_bucket FROM ({lm})) lm
   ON s.doc_id = lm.doc_id
+JOIN ({bm}) bm ON s.doc_id = bm.doc_id
 """
 
     # --- per-document dedup state + end-to-end curation decision ---------

@@ -354,8 +354,15 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
         lambda b: b.drop(columns=["lm_n_scored"]), batch_format="pandas")
     lm_schema = {"doc_id": "int64", "lm_xent_micro": "int64",
                  "ppl_bucket": "object"}
-    return exchange.hash_join(j5, lm, "doc_id", "doc_id", j5_schema,
-                              lm_schema, num_partitions=num_partitions)
+    j6 = exchange.hash_join(j5, lm, "doc_id", "doc_id", j5_schema,
+                            lm_schema, num_partitions=num_partitions)
+    j6_schema = {**j5_schema, "lm_xent_micro": "int64",
+                 "ppl_bucket": "object"}
+    # Okapi BM25 relevance to the fixed retrieval query (shuffle-free)
+    bm = docs_train.bm25_scores(sf_dir)
+    bm_schema = {"doc_id": "int64", "bm25_micro": "int64"}
+    return exchange.hash_join(j6, bm, "doc_id", "doc_id", j6_schema,
+                              bm_schema, num_partitions=num_partitions)
 
 
 def doc_pack_shuffled(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:

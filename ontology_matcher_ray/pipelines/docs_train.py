@@ -1302,3 +1302,100 @@ def quality_priority_keep(g: pd.DataFrame) -> pd.DataFrame:
     keep[order] = first
     out["keep_best_quality"] = keep
     return out
+
+
+# Fixed retrieval query for the driver-checked BM25 surface: five terms
+# from the sf vocabulary + one guaranteed-OOV term (df = 0 exercises the
+# idf upper branch).  A production caller passes its own terms.
+BM25_QUERY = ("merge", "join", "window", "spark", "customer", "zzzoov")
+
+
+def bm25_scores(
+    sf_dir: str,
+    query_terms: tuple = BM25_QUERY,
+    k1: float = 1.2,
+    b: float = 0.75,
+    batch_size: int | None = None,
+) -> rd.Dataset:
+    """(doc_id, bm25_micro): Okapi BM25 relevance of every document to a
+    fixed query — the lexical-retrieval scorer (Robertson & Zaragoza
+    2009, the Lucene ``+1`` idf variant so scores are never negative)
+    a training pipeline uses to mine corpus documents relevant to a
+    target task.
+
+    Determinism contract: the per-(doc, term) contribution is quantized
+    to integer micro-units ``floor(1e6 * idf * tf*(k1+1) / (tf + k1*(1
+    - b + b*dl*N/T)))`` BEFORE the per-doc summation, so the int64 doc
+    score is order-independent under any partitioning and the SQL
+    oracle recomputes the identical double expression term for term
+    (the lm_perplexity convention).
+
+    Shape: pass 1 is a per-batch combiner of the global statistics —
+    per-query-term document frequencies plus (N, T) — reduced on the
+    driver via ``small_grouped_agg`` (bounded: blocks x (|terms| + 1)
+    rows; |terms| is a handful).  Pass 2 is SHUFFLE-FREE: the scalar
+    stats ride the task closure, tokenization is one
+    ``pc.split_pattern`` and tf per term one vectorized equality +
+    ``np.add.reduceat`` over the list offsets.  Document text never
+    shuffles; streams at any corpus size.
+    """
+    import pyarrow.compute as pc
+
+    from ontology_matcher_ray.pipelines.docs_text import read_documents
+
+    terms = list(query_terms)
+    if len(set(terms)) != len(terms) or not terms:
+        raise ValueError("query_terms must be non-empty and distinct")
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def _tok(t: pa.Table):
+        la = pc.split_pattern(
+            pc.cast(t["text"].combine_chunks(), pa.string()), " ")
+        offs = la.offsets.to_numpy()
+        return la, offs, np.diff(offs).astype(np.int64)
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        la, offs, dl = _tok(t)
+        flat = la.flatten()
+        rows = [("", np.int64(len(dl)), dl.sum())]   # (N, T) carrier row
+        for q in terms:
+            eq = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            tf = np.add.reduceat(eq.astype(np.int64), offs[:-1]) \
+                if len(dl) else np.zeros(0, np.int64)
+            rows.append((q, np.int64((tf > 0).sum()), np.int64(0)))
+        return pd.DataFrame(rows, columns=["term", "a", "b"])
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    g = exchange.small_grouped_agg(
+        parts, ["term"], lambda gb: gb.agg(a=("a", "sum"), b=("b", "sum")))
+    carrier = g[g["term"] == ""]
+    n_docs = int(carrier["a"].iloc[0])
+    total_tokens = int(carrier["b"].iloc[0])
+    df_map = dict(zip(g["term"], g["a"]))
+    dfs = {q: int(df_map.get(q, 0)) for q in terms}
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        la, offs, dl = _tok(t)
+        flat = la.flatten()
+        dlf = dl.astype(np.float64)
+        total = np.zeros(len(dl), dtype=np.int64)
+        # same literal double expression as the SQL oracle, floored per
+        # (doc, term) — tf = 0 contributes an exact 0
+        den_base = dlf * n_docs / total_tokens * b
+        for q in terms:
+            eq = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            tf = (np.add.reduceat(eq.astype(np.int64), offs[:-1])
+                  if len(dl) else np.zeros(0, np.int64)).astype(np.float64)
+            idf = np.log((n_docs - dfs[q] + 0.5) / (dfs[q] + 0.5) + 1.0)
+            s = np.floor(1e6 * idf * (tf * (k1 + 1.0))
+                         / (tf + k1 * ((1.0 - b) + den_base)))
+            total += s.astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "bm25_micro": total,
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
