@@ -197,6 +197,45 @@ def _bench_once() -> dict:
         consume(fn())
         qtimes[name] = round(time.time() - tq, 3)
 
+    # ---- co-partitioned zero-shuffle join: pay the range exchange once
+    # at write time (copart_write), then every subsequent join on the
+    # key is a per-range merge with NO shuffle (copart_join); compare
+    # against the per-query exchange joins above (revenue_by_nation) ----
+    from ontology_matcher_ray.sources.io import (
+        load_cuts,
+        merge_join_range_partitioned,
+        write_range_partitioned,
+    )
+
+    cp_base = f"/tmp/onto_ray_bench/copart_{num_cpus}"
+    if os.path.isdir(cp_base):
+        shutil.rmtree(cp_base)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey"],
+    ).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    tq = time.time()
+    write_range_partitioned(orders, f"{cp_base}/orders", "custkey",
+                            num_ranges=32)
+    write_range_partitioned(cust, f"{cp_base}/customer", "custkey",
+                            num_ranges=32,
+                            cuts=load_cuts(f"{cp_base}/orders")["cuts"])
+    qtimes["copart_write"] = round(time.time() - tq, 3)
+    tq = time.time()
+    consume(merge_join_range_partitioned(
+        f"{cp_base}/orders", f"{cp_base}/customer", "custkey"))
+    qtimes["copart_join"] = round(time.time() - tq, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_build_sec",

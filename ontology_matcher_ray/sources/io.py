@@ -349,9 +349,22 @@ def _range_dir(out_dir: str, rid: int) -> str:
     return os.path.join(out_dir, f"range={rid:05d}")
 
 
+def load_cuts(out_dir: str) -> dict:
+    """The persisted partitioning contract of a range-partitioned
+    directory: ``{"key": ..., "num_ranges": ..., "cuts": [...]}``."""
+    import json
+
+    cuts_path = os.path.join(out_dir, _CUTS_FILE)
+    if not os.path.exists(cuts_path):
+        raise FormatError(f"{out_dir} has no {_CUTS_FILE} — not a "
+                          "range-partitioned directory")
+    with open(cuts_path) as f:
+        return json.load(f)
+
+
 def _load_or_sample_cuts(
     ds: rd.Dataset, out_dir: str, key: str, num_ranges: int,
-    sample_per_block: int,
+    sample_per_block: int, forced_cuts: Optional[list] = None,
 ) -> list:
     """Equi-depth cut points from a bounded stride sample (<=
     sample_per_block keys leave each block — the driver read is
@@ -370,7 +383,23 @@ def _load_or_sample_cuts(
                 f"key={saved['key']!r}/num_ranges={saved['num_ranges']} — "
                 f"got key={key!r}/num_ranges={num_ranges}; use a fresh "
                 "directory to re-partition differently")
+        if forced_cuts is not None and list(forced_cuts) != saved["cuts"]:
+            raise FormatError(
+                f"{out_dir} already partitioned with different cuts than "
+                "the forced ones; use a fresh directory")
         return saved["cuts"]
+
+    if forced_cuts is not None:
+        cuts = [c.item() if hasattr(c, "item") else c for c in forced_cuts]
+        if sorted(set(cuts)) != cuts:
+            raise FormatError("forced cuts must be sorted and distinct")
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = cuts_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"key": key, "num_ranges": num_ranges, "cuts": cuts},
+                      f)
+        os.rename(tmp, cuts_path)
+        return cuts
 
     import numpy as np
 
@@ -404,6 +433,7 @@ def write_range_partitioned(
     num_ranges: int = 16,
     sample_per_block: int = 64,
     resume: bool = True,
+    cuts: Optional[list] = None,
 ) -> pd.DataFrame:
     """Write ``ds`` as per-key-range SORTED Parquet directories.
 
@@ -416,7 +446,12 @@ def write_range_partitioned(
     NOT materialized: at 100 TB a second pruned scan is cheap, holding
     the dataset is not); pass a pre-materialized ``ds`` if its lineage
     is expensive and small.  Keys must be a total order under numpy
-    comparison (ints or strings)."""
+    comparison (ints or strings).
+
+    ``cuts`` forces explicit cut points instead of sampling — pass
+    ``load_cuts(other_dir)["cuts"]`` to CO-PARTITION this dataset with
+    one already written on the same key, which is what makes
+    ``merge_join_range_partitioned`` a zero-shuffle join."""
     import shutil
 
     import numpy as np
@@ -431,7 +466,7 @@ def write_range_partitioned(
     if not resume and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     cuts = _load_or_sample_cuts(ds, out_dir, key, num_ranges,
-                                sample_per_block)
+                                sample_per_block, forced_cuts=cuts)
     cuts_arr = np.asarray(cuts)
     done = frozenset(
         rid for rid in range(len(cuts) + 1)
@@ -507,3 +542,89 @@ def read_range_partitioned(
     # not a hive partition column — inference would add a 'range' column
     # and break the write->read round trip
     return read_parquet_clean(files, columns=columns, partitioning=None)
+
+
+def merge_join_range_partitioned(
+    left_dir: str,
+    right_dir: str,
+    on: str,
+    how: str = "inner",
+) -> rd.Dataset:
+    """ZERO-SHUFFLE equi-join of two range-partitioned directories that
+    share the same key and cut points (write the second side with
+    ``cuts=load_cuts(first_dir)["cuts"]`` to co-partition them).
+
+    This is the "pick ONE partitioning key and reuse it across stages"
+    scale path: the all-to-all exchange ``exchange.hash_join`` pays per
+    query is paid ONCE at write time, and every subsequent join on the
+    key is an embarrassingly-parallel per-range merge — range i of the
+    left can only match range i of the right, because both sides were
+    split at identical cut points.  Each Ray task reads exactly one
+    range pair (a pure re-runnable read: retries and speculative copies
+    are safe), so nothing moves between workers and the join streams at
+    any scale; at 100 TB this is the difference between re-shuffling
+    the fact table per query and never shuffling it again.
+
+    ``how``: "inner" or "left".  Non-key column names must be disjoint
+    (the ``hash_join`` contract).  A range directory absent on one side
+    means that range held no rows on that side (the writer materializes
+    only non-empty ranges) — inner emits nothing for it, left keeps the
+    left rows with NaN right columns, exactly like the exchange join.
+    """
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join how={how!r}")
+    lc, rc = load_cuts(left_dir), load_cuts(right_dir)
+    if lc["key"] != on or rc["key"] != on:
+        raise FormatError(
+            f"both sides must be partitioned on {on!r}; got "
+            f"{lc['key']!r} / {rc['key']!r}")
+    if lc["cuts"] != rc["cuts"]:
+        raise FormatError(
+            "cut points differ — the sides are not co-partitioned; "
+            "rewrite one with cuts=load_cuts(other)['cuts']")
+
+    def _side_empty(d: str) -> pd.DataFrame:
+        """Typed empty frame of a side (real dtypes, so a merge against
+        an absent range keeps key/int columns intact)."""
+        files = sorted(glob.glob(os.path.join(d, "range=*", "*.parquet")))
+        if not files:
+            raise FormatError(f"no completed range directories under {d}")
+        return pq.read_schema(files[0]).empty_table().to_pandas()
+
+    empty_l, empty_r = _side_empty(left_dir), _side_empty(right_dir)
+    l_cols, r_cols = list(empty_l.columns), list(empty_r.columns)
+    overlap = (set(l_cols) - {on}) & (set(r_cols) - {on})
+    if overlap:
+        raise ValueError(f"non-key column names must be disjoint: {overlap}")
+
+    n_ranges = len(lc["cuts"]) + 1
+
+    def _read_range(d: str, rid: int, empty: pd.DataFrame) -> pd.DataFrame:
+        p = _range_dir(d, rid)
+        if not os.path.isdir(p):
+            return empty.copy()
+        files = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        return pd.concat([pd.read_parquet(f) for f in files],
+                         ignore_index=True)
+
+    def join_range(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for rid in b["rid"].tolist():
+            left = _read_range(left_dir, int(rid), empty_l)
+            if not len(left):
+                continue        # inner AND left emit nothing without left rows
+            right = _read_range(right_dir, int(rid), empty_r)
+            frames.append(left.merge(right, on=on, how=how))
+        if not frames:
+            return empty_l.merge(empty_r, on=on, how=how)
+        return pd.concat(frames, ignore_index=True)
+
+    rids = rd.from_pandas(pd.DataFrame({"rid": np.arange(n_ranges,
+                                                         dtype=np.int64)}))
+    # one range pair per task: batch_size=1 over the bounded rid list
+    return rids.map_batches(join_range, batch_format="pandas", batch_size=1)

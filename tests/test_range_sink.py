@@ -129,3 +129,115 @@ def test_single_range_and_rejects_zero(tmp_path):
     assert len(glob.glob(os.path.join(out, "range=*"))) == 1
     with pytest.raises(ValueError):
         write_range_partitioned(rd.from_pandas(df), out, "k", num_ranges=0)
+
+
+# ------------------------------------------ co-partitioned zero-shuffle join
+
+
+def _two_sides(tmp_path, n_left=400, n_right=300, ranges=6):
+    """Left/right frames with partial key overlap, right co-partitioned
+    with the left's cuts."""
+    import numpy as np
+
+    from ontology_matcher_ray.sources.io import load_cuts
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 500, n_left).astype("int64"),
+        "lv": np.arange(n_left, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(250, 750, n_right).astype("int64"),
+        "rv": [f"r{i}" for i in range(n_right)],
+    })
+    ld, rdir = str(tmp_path / "L"), str(tmp_path / "R")
+    write_range_partitioned(rd.from_pandas(left), ld, "k",
+                            num_ranges=ranges)
+    write_range_partitioned(rd.from_pandas(right), rdir, "k",
+                            num_ranges=ranges,
+                            cuts=load_cuts(ld)["cuts"])
+    return left, right, ld, rdir
+
+
+def _norm(df, how):
+    df = df.sort_values(list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_merge_join_matches_pandas(tmp_path, ray_session, how):
+    from ontology_matcher_ray.sources.io import merge_join_range_partitioned
+
+    left, right, ld, rdir = _two_sides(tmp_path)
+    got = merge_join_range_partitioned(ld, rdir, "k", how=how).to_pandas()
+    want = left.merge(right, on="k", how=how)
+    pd.testing.assert_frame_equal(
+        _norm(got, how), _norm(want, how), check_dtype=False)
+
+
+def test_merge_join_empty_right_ranges(tmp_path, ray_session):
+    # right side confined to a narrow key band: most ranges have no
+    # right directory at all; inner drops them, left NaN-pads them
+    import numpy as np
+
+    from ontology_matcher_ray.sources.io import (
+        load_cuts,
+        merge_join_range_partitioned,
+    )
+
+    left = pd.DataFrame({"k": np.arange(300, dtype="int64"),
+                         "lv": np.arange(300, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(10, 20, dtype="int64"),
+                          "rv": ["x"] * 10})
+    ld, rdir = str(tmp_path / "L2"), str(tmp_path / "R2")
+    write_range_partitioned(rd.from_pandas(left), ld, "k", num_ranges=8)
+    write_range_partitioned(rd.from_pandas(right), rdir, "k", num_ranges=8,
+                            cuts=load_cuts(ld)["cuts"])
+    inner = merge_join_range_partitioned(ld, rdir, "k").to_pandas()
+    assert sorted(inner["k"]) == list(range(10, 20))
+    lj = merge_join_range_partitioned(ld, rdir, "k", how="left").to_pandas()
+    assert len(lj) == 300
+    assert lj["rv"].notna().sum() == 10
+
+
+def test_merge_join_rejects_mismatched_cuts(tmp_path, ray_session):
+    from ontology_matcher_ray.sources.io import merge_join_range_partitioned
+
+    a, b = _mk(200, seed=1), _mk(200, seed=2)
+    ld, rdir = str(tmp_path / "La"), str(tmp_path / "Rb")
+    write_range_partitioned(rd.from_pandas(a), ld, "k", num_ranges=4)
+    write_range_partitioned(rd.from_pandas(b), rdir, "k", num_ranges=5)
+    with pytest.raises(FormatError, match="not co-partitioned|cut points"):
+        merge_join_range_partitioned(ld, rdir, "k")
+
+
+def test_merge_join_matches_hash_join(tmp_path, ray_session):
+    from ontology_matcher_ray.sources.io import merge_join_range_partitioned
+    from ontology_matcher_ray.stages import exchange
+
+    left, right, ld, rdir = _two_sides(tmp_path, n_left=250, n_right=250)
+    got = merge_join_range_partitioned(ld, rdir, "k").to_pandas()
+    hj = exchange.hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "k",
+        {"k": "int64", "lv": "int64"}, {"k": "int64", "rv": "object"},
+        num_partitions=8,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(got, "inner"), _norm(hj[got.columns.tolist()], "inner"),
+        check_dtype=False)
+
+
+def test_forced_cuts_validation(tmp_path, ray_session):
+    from ontology_matcher_ray.sources.io import load_cuts
+
+    a = _mk(100, seed=5)
+    d = str(tmp_path / "F")
+    with pytest.raises(FormatError, match="sorted and distinct"):
+        write_range_partitioned(rd.from_pandas(a), d, "k", cuts=[5, 3])
+    write_range_partitioned(rd.from_pandas(a), str(tmp_path / "F2"), "k",
+                            num_ranges=4, cuts=[10, 50, 80])
+    assert load_cuts(str(tmp_path / "F2"))["cuts"] == [10, 50, 80]
+    # re-writing the same dir with DIFFERENT forced cuts is refused
+    with pytest.raises(FormatError, match="different cuts"):
+        write_range_partitioned(rd.from_pandas(a), str(tmp_path / "F2"),
+                                "k", num_ranges=4, cuts=[11, 50, 80])
