@@ -23,8 +23,10 @@ sf0.01, not production pipelines — e.g. ``kg_triples_roundtrip``
 materializes the triples once so the write and the union read the same
 computation (at production scale the flagship is consumed streaming via
 ``docs_kg.kg_triples`` / ``corpus_kg.build_kg``), and the doc_id joins
-deliberately route through the engine's own distributed
-``exchange.hash_join`` so the composition itself stays shuffle-clean.
+deliberately route through the engine's own distributed joins —
+``exchange.multi_join`` where 3+ flag tables meet on one key (ONE
+all-to-all instead of k), binary ``exchange.hash_join`` elsewhere — so
+the composition itself stays shuffle-clean.
 """
 
 from __future__ import annotations
@@ -295,11 +297,14 @@ def token_freq_all(sf_dir: str) -> rd.Dataset:
 
 def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """Per-document profile: doc_stats ⋈ doc_quality ⋈ fingerprints ⋈
-    decontaminate ⋈ dsir_importance on doc_id (inner; all five emit
-    exactly one row per document) through the engine's own distributed
-    hash-join exchange.
-    doc_quality's n_tokens duplicates doc_stats' (same tokenizer) and is
-    dropped before the join (hash_join requires disjoint non-key names)."""
+    decontaminate ⋈ dsir_importance ⋈ bpe_encode ⋈ lm_ppl_buckets ⋈
+    bm25_scores on doc_id (inner; all eight emit exactly one row per
+    document) through ONE ``exchange.multi_join`` pass — the 8-way
+    chain of binary joins would pay 7 all-to-all exchanges on the SAME
+    key; the n-ary join pays exactly one.
+    doc_quality's n_tokens / bpe's n_tokens / lm's lm_n_scored duplicate
+    columns already carried by another side (same tokenizer/positions)
+    and are dropped before the join (disjoint non-key names)."""
     from ontology_matcher_ray.stages import exchange
 
     stats = docs_text.doc_stats(sf_dir)
@@ -308,6 +313,12 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     )
     fps = docs_text.fingerprints(sf_dir)
     decon = docs_train.decontaminate(sf_dir)
+    imp = docs_train.dsir_importance(sf_dir)
+    bpe = docs_train.bpe_encode(sf_dir).map_batches(
+        lambda b: b.drop(columns=["n_tokens"]), batch_format="pandas")
+    lm = docs_train.lm_ppl_buckets(sf_dir).map_batches(
+        lambda b: b.drop(columns=["lm_n_scored"]), batch_format="pandas")
+    bm = docs_train.bm25_scores(sf_dir)
 
     stats_schema = {
         "doc_id": "int64", "lang": "object", "n_tokens": "int64",
@@ -315,54 +326,30 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
         "stopword_ratio_micro": "int64", "avg_token_len_micro": "int64",
         "quality_micro": "int64",
     }
-    quality_schema = {
-        "doc_id": "int64", "top_token_frac_micro": "int64",
-        "repeat_ratio_micro": "int64", "bigram_repeat_micro": "int64",
-        "quality_band": "object",
-    }
-    j1_schema = {**stats_schema,
-                 **{k: v for k, v in quality_schema.items() if k != "doc_id"}}
-    j1 = exchange.hash_join(stats, quality, "doc_id", "doc_id",
-                            stats_schema, quality_schema,
-                            num_partitions=num_partitions)
-    fp_schema = {"doc_id": "int64", "fingerprint": "int64"}
-    j2_schema = {**j1_schema, "fingerprint": "int64"}
-    j2 = exchange.hash_join(j1, fps, "doc_id", "doc_id", j1_schema, fp_schema,
-                            num_partitions=num_partitions)
-    dc_schema = {"doc_id": "int64", "contaminated": "int64"}
-    j3 = exchange.hash_join(j2, decon, "doc_id", "doc_id", j2_schema,
-                            dc_schema, num_partitions=num_partitions)
-    j3_schema = {**j2_schema, "contaminated": "int64"}
-    imp = docs_train.dsir_importance(sf_dir)
-    imp_schema = {"doc_id": "int64", "n_bigrams": "int64",
-                  "dsir_score_micro": "int64"}
-    j4 = exchange.hash_join(j3, imp, "doc_id", "doc_id", j3_schema,
-                            imp_schema, num_partitions=num_partitions)
-    j4_schema = {**j3_schema, "n_bigrams": "int64",
-                 "dsir_score_micro": "int64"}
-    # BPE fertility (train + memoized apply); n_tokens duplicates
-    # doc_stats' (same whitespace tokenizer) and is dropped pre-join
-    bpe = docs_train.bpe_encode(sf_dir).map_batches(
-        lambda b: b.drop(columns=["n_tokens"]), batch_format="pandas")
-    bpe_schema = {"doc_id": "int64", "n_bpe_tokens": "int64"}
-    j5 = exchange.hash_join(j4, bpe, "doc_id", "doc_id", j4_schema,
-                            bpe_schema, num_partitions=num_partitions)
-    j5_schema = {**j4_schema, "n_bpe_tokens": "int64"}
-    # LM cross-entropy + CCNet head/middle/tail bucket; lm_n_scored
-    # duplicates dsir's n_bigrams (same positions) and is dropped pre-join
-    lm = docs_train.lm_ppl_buckets(sf_dir).map_batches(
-        lambda b: b.drop(columns=["lm_n_scored"]), batch_format="pandas")
-    lm_schema = {"doc_id": "int64", "lm_xent_micro": "int64",
-                 "ppl_bucket": "object"}
-    j6 = exchange.hash_join(j5, lm, "doc_id", "doc_id", j5_schema,
-                            lm_schema, num_partitions=num_partitions)
-    j6_schema = {**j5_schema, "lm_xent_micro": "int64",
-                 "ppl_bucket": "object"}
-    # Okapi BM25 relevance to the fixed retrieval query (shuffle-free)
-    bm = docs_train.bm25_scores(sf_dir)
-    bm_schema = {"doc_id": "int64", "bm25_micro": "int64"}
-    return exchange.hash_join(j6, bm, "doc_id", "doc_id", j6_schema,
-                              bm_schema, num_partitions=num_partitions)
+    return exchange.multi_join(
+        stats, stats_schema, "doc_id",
+        [
+            (quality, "doc_id",
+             {"doc_id": "int64", "top_token_frac_micro": "int64",
+              "repeat_ratio_micro": "int64", "bigram_repeat_micro": "int64",
+              "quality_band": "object"}, "inner"),
+            (fps, "doc_id",
+             {"doc_id": "int64", "fingerprint": "int64"}, "inner"),
+            (decon, "doc_id",
+             {"doc_id": "int64", "contaminated": "int64"}, "inner"),
+            (imp, "doc_id",
+             {"doc_id": "int64", "n_bigrams": "int64",
+              "dsir_score_micro": "int64"}, "inner"),
+            (bpe, "doc_id",
+             {"doc_id": "int64", "n_bpe_tokens": "int64"}, "inner"),
+            (lm, "doc_id",
+             {"doc_id": "int64", "lm_xent_micro": "int64",
+              "ppl_bucket": "object"}, "inner"),
+            (bm, "doc_id",
+             {"doc_id": "int64", "bm25_micro": "int64"}, "inner"),
+        ],
+        num_partitions=num_partitions,
+    )
 
 
 def doc_pack_shuffled(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
@@ -401,18 +388,16 @@ def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     reach = graph.kg_reach(sf_dir, num_partitions=num_partitions,
                            trips=trips)
     tri = graph.kg_triangles(sf_dir, num_partitions, trips=trips)
-    joined = exchange.hash_join(
-        deg, reach, "node", "node",
+    joined = exchange.multi_join(
+        deg,
         {"node": "object", "out_degree": "int64", "in_degree": "int64"},
-        {"node": "object", "n_reach": "int64"},
-        how="left", num_partitions=num_partitions,
-    )
-    joined = exchange.hash_join(
-        joined, tri, "node", "node",
-        {"node": "object", "out_degree": "int64", "in_degree": "int64",
-         "n_reach": "float64"},
-        {"node": "object", "n_triangles": "int64"},
-        how="left", num_partitions=num_partitions,
+        "node",
+        [
+            (reach, "node", {"node": "object", "n_reach": "int64"}, "left"),
+            (tri, "node", {"node": "object", "n_triangles": "int64"},
+             "left"),
+        ],
+        num_partitions=num_partitions,
     )
     return joined.map_batches(
         lambda b: pd.DataFrame({
@@ -457,40 +442,40 @@ def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     clusters = docs_text.dedup_clusters(sf_dir)
     sim = docs_text.dedup_simhash(sf_dir)
     inc = docs_text.dedup_incremental(sf_dir)
-
-    exact_schema = {"content_sha256": "object", "doc_id": "int64",
-                    "n_dups": "int64"}
-    cl_schema = {"doc_id": "int64", "cluster_id": "int64", "keep": "bool"}
-    j1_schema = {**exact_schema, "cluster_id": "int64", "keep": "bool"}
-    j1 = exchange.hash_join(exact, clusters, "doc_id", "doc_id",
-                            exact_schema, cl_schema,
-                            num_partitions=num_partitions)
-    sh_schema = {"doc_id": "int64", "simhash": "int64", "bucket": "int64"}
-    j2_schema = {**j1_schema, "simhash": "int64", "bucket": "int64"}
-    j2 = exchange.hash_join(j1, sim, "doc_id", "doc_id", j1_schema,
-                            sh_schema, num_partitions=num_partitions)
-    inc_schema = {"doc_id": "int64", "in_prior": "int64"}
-    j3_schema = {**j2_schema, "in_prior": "int64"}
-    j3 = exchange.hash_join(j2, inc, "doc_id", "doc_id", j2_schema,
-                            inc_schema, num_partitions=num_partitions)
-
-    # curation decision: j3 already carries keep/in_prior, so join only
-    # the two missing flags (quality band, contamination) and apply the
-    # shared precedence kernel — re-running curate_decisions here would
-    # execute the clustering and prior-snapshot subtrees a second time.
+    # curation decision inputs: the join already carries keep/in_prior,
+    # so attach only the two missing flags (quality band, contamination)
+    # and apply the shared precedence kernel — re-running
+    # curate_decisions here would execute the clustering and
+    # prior-snapshot subtrees a second time
     qual = docs_text.doc_quality(sf_dir).map_batches(
         lambda b: b[["doc_id", "quality_band"]], batch_format="pandas"
     )
-    q_schema = {"doc_id": "int64", "quality_band": "object"}
-    j4_schema = {**j3_schema, "quality_band": "object"}
-    j4 = exchange.hash_join(j3, qual, "doc_id", "doc_id", j3_schema,
-                            q_schema, num_partitions=num_partitions)
     dc = docs_train.decontaminate(sf_dir)
-    dc_schema = {"doc_id": "int64", "contaminated": "int64"}
-    j5 = exchange.hash_join(j4, dc, "doc_id", "doc_id", j4_schema,
-                            dc_schema, num_partitions=num_partitions)
 
-    out_cols = list(j3_schema) + ["quality_band"]
+    exact_schema = {"content_sha256": "object", "doc_id": "int64",
+                    "n_dups": "int64"}
+    # ONE exchange for the whole 6-way flag meet (exchange.multi_join)
+    j5 = exchange.multi_join(
+        exact, exact_schema, "doc_id",
+        [
+            (clusters, "doc_id",
+             {"doc_id": "int64", "cluster_id": "int64", "keep": "bool"},
+             "inner"),
+            (sim, "doc_id",
+             {"doc_id": "int64", "simhash": "int64", "bucket": "int64"},
+             "inner"),
+            (inc, "doc_id",
+             {"doc_id": "int64", "in_prior": "int64"}, "inner"),
+            (qual, "doc_id",
+             {"doc_id": "int64", "quality_band": "object"}, "inner"),
+            (dc, "doc_id",
+             {"doc_id": "int64", "contaminated": "int64"}, "inner"),
+        ],
+        num_partitions=num_partitions,
+    )
+
+    out_cols = list(exact_schema) + ["cluster_id", "keep", "simhash",
+                                     "bucket", "in_prior", "quality_band"]
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         keep, reason = docs_train.curation_decision(b)

@@ -1165,18 +1165,21 @@ def curate_decisions(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     dc = decontaminate(sf_dir)
     inc = docs_text.dedup_incremental(sf_dir)
 
-    cl_s = {"doc_id": "int64", "cluster_id": "int64", "keep": "bool"}
-    q_s = {"doc_id": "int64", "quality_band": "object"}
-    j1_s = {**cl_s, "quality_band": "object"}
-    j1 = exchange.hash_join(cl, q, "doc_id", "doc_id", cl_s, q_s,
-                            num_partitions=num_partitions)
-    dc_s = {"doc_id": "int64", "contaminated": "int64"}
-    j2_s = {**j1_s, "contaminated": "int64"}
-    j2 = exchange.hash_join(j1, dc, "doc_id", "doc_id", j1_s, dc_s,
-                            num_partitions=num_partitions)
-    inc_s = {"doc_id": "int64", "in_prior": "int64"}
-    j3 = exchange.hash_join(j2, inc, "doc_id", "doc_id", j2_s, inc_s,
-                            num_partitions=num_partitions)
+    # ONE exchange for the 4-way flag meet (exchange.multi_join) — the
+    # binary chain would pay 3 all-to-alls on the same doc_id key
+    j3 = exchange.multi_join(
+        cl, {"doc_id": "int64", "cluster_id": "int64", "keep": "bool"},
+        "doc_id",
+        [
+            (q, "doc_id", {"doc_id": "int64", "quality_band": "object"},
+             "inner"),
+            (dc, "doc_id", {"doc_id": "int64", "contaminated": "int64"},
+             "inner"),
+            (inc, "doc_id", {"doc_id": "int64", "in_prior": "int64"},
+             "inner"),
+        ],
+        num_partitions=num_partitions,
+    )
 
     def decide(b: pd.DataFrame) -> pd.DataFrame:
         keep, reason = curation_decision(b)

@@ -484,3 +484,97 @@ def bloom_prune(
         return b[hit.all(axis=1).astype(bool)]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def multi_join(
+    left: rd.Dataset,
+    left_schema: dict,
+    on: str,
+    rights: Sequence[tuple],
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """N-ary equi-join on ONE key through ONE exchange.
+
+    Semantically identical to folding ``hash_join`` over ``rights``
+    left-to-right, but a k-way chain pays k all-to-all exchanges on the
+    SAME key while this pays exactly one: every side is padded to the
+    union schema with typed sentinels, tagged, unioned, partitioned
+    once, and the per-partition kernel runs the (local, vectorized)
+    pandas merge chain.  At composite/profile shapes — half a dozen
+    one-row-per-key flag tables meeting on doc_id — that is the
+    difference between 6 shuffles and 1.
+
+    ``rights`` items are ``(ds, right_on, schema, how)`` with ``how``
+    in ("inner", "left"); "left" keeps unmatched rows with NaN/NaT from
+    that side (int64 upcasts to float64, the binary join's documented
+    OUTER-NULL convention — COALESCE/fillna downstream).  Non-key
+    column names must be disjoint across ALL sides.  No salt: sides
+    with HOT keys (many rows per key on 2+ sides) belong in the binary
+    ``hash_join``.
+    """
+    sides = [(left, on, dict(left_schema), "inner")] + [
+        (ds_, r_on, dict(sch), how) for ds_, r_on, sch, how in rights
+    ]
+    for _, _, _, how in sides[1:]:
+        if how not in ("inner", "left"):
+            raise ValueError(f"unsupported join how={how!r}")
+    seen: set = set()
+    key_dtypes = {str(sch[r_on]) for _, r_on, sch, _ in sides}
+    if len(key_dtypes) != 1:
+        raise ValueError(f"key dtype must agree across sides: {key_dtypes}")
+    for _, r_on, sch, _ in sides:
+        nonkey = set(sch) - {r_on}
+        dup = nonkey & seen
+        if dup:
+            raise ValueError(f"non-key column names must be disjoint: {dup}")
+        seen |= nonkey
+
+    # union schema: every side's columns with its key renamed to `on`
+    sentinels: dict = {}
+    side_cols: list = []
+    for _, r_on, sch, _ in sides:
+        cols = [on if c == r_on else c for c in sch]
+        side_cols.append(cols)
+        for c, dt in sch.items():
+            sentinels[on if c == r_on else c] = dt
+    all_cols = list(dict.fromkeys(c for cols in side_cols for c in cols))
+
+    def _pad(b: pd.DataFrame, side: int, rename) -> pd.DataFrame:
+        if rename:
+            b = b.rename(columns=rename)
+        n = len(b)
+        out = {}
+        for c in all_cols:
+            dt = np.dtype(sentinels[c])
+            if c in b.columns:
+                v = b[c].to_numpy()
+                out[c] = v if dt == object else v.astype(dt, copy=False)
+            elif dt == object:
+                out[c] = np.full(n, "", dtype=object)
+            else:
+                out[c] = np.zeros(n, dtype=dt)
+        f = pd.DataFrame(out)
+        f["_side"] = np.full(n, side, dtype=np.int8)
+        return f
+
+    tagged = None
+    for i, (ds_, r_on, _, _) in enumerate(sides):
+        rename = {r_on: on} if r_on != on else None
+        t = ds_.map_batches(
+            lambda b, i=i, rename=rename: _pad(b, i, rename),
+            batch_format="pandas",
+        )
+        tagged = t if tagged is None else tagged.union(t)
+
+    hows = [how for _, _, _, how in sides[1:]]
+    cols_per_side = side_cols
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["_side"].to_numpy()
+        out = g.loc[side == 0, cols_per_side[0]]
+        for i, how in enumerate(hows, start=1):
+            r = g.loc[side == i, cols_per_side[i]]
+            out = out.merge(r, on=on, how=how)
+        return out
+
+    return partitioned_apply(tagged, [on], per_partition, num_partitions)

@@ -3,8 +3,11 @@ join semantics edge cases.  Oracle parity for all five queries is covered
 by tests/test_queries_oracle.py (they auto-enroll via __ray_entry__)."""
 
 import pandas as pd
+import pytest
+import ray.data as rd
 
 from ontology_matcher_ray.pipelines import relational
+from ontology_matcher_ray.stages import exchange
 from tests.util import normalize, run_oracle, to_pandas
 
 SF = "/root/testdata/sf0.001"
@@ -215,3 +218,77 @@ def test_approx_quantiles_error_bound():
     for q in (25, 50, 75, 95):
         rel = (a[f"q{q}_lb"] - e[f"q{q}"]).abs() / e[f"q{q}"]
         assert (rel < 1 / 16).all()
+
+
+# ------------------------------------------------- n-ary one-exchange join
+
+
+def _mj_frames(seed=23):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"),
+                         "a": rng.integers(0, 9, 200).astype("int64")})
+    # partial key coverage on every right side
+    r1 = pd.DataFrame({"doc_id": np.arange(0, 180, dtype="int64"),
+                       "b": rng.integers(0, 9, 180).astype("int64")})
+    r2 = pd.DataFrame({"doc_id": np.arange(20, 200, dtype="int64"),
+                       "c": [f"s{i % 5}" for i in range(180)]})
+    r3 = pd.DataFrame({"vec_id": np.arange(0, 200, 2, dtype="int64"),
+                       "d": rng.integers(0, 9, 100).astype("int64")})
+    return base, r1, r2, r3
+
+
+@pytest.mark.parametrize("hows", [("inner", "inner", "inner"),
+                                  ("left", "left", "left"),
+                                  ("inner", "left", "inner")])
+def test_multi_join_equals_binary_chain(ray_session, hows):
+    base, r1, r2, r3 = _mj_frames()
+    b_s = {"doc_id": "int64", "a": "int64"}
+    r1_s = {"doc_id": "int64", "b": "int64"}
+    r2_s = {"doc_id": "int64", "c": "object"}
+    r3_s = {"vec_id": "int64", "d": "int64"}
+
+    got = exchange.multi_join(
+        rd.from_pandas(base), b_s, "doc_id",
+        [(rd.from_pandas(r1), "doc_id", r1_s, hows[0]),
+         (rd.from_pandas(r2), "doc_id", r2_s, hows[1]),
+         (rd.from_pandas(r3), "vec_id", r3_s, hows[2])],
+        num_partitions=8,
+    ).to_pandas()
+
+    j = exchange.hash_join(rd.from_pandas(base), rd.from_pandas(r1),
+                           "doc_id", "doc_id", b_s, r1_s, how=hows[0],
+                           num_partitions=8)
+    j1_s = {**b_s, "b": "float64" if hows[0] == "left" else "int64"}
+    j = exchange.hash_join(j, rd.from_pandas(r2), "doc_id", "doc_id",
+                           j1_s, r2_s, how=hows[1], num_partitions=8)
+    j2_s = {**j1_s, "c": "object"}
+    j = exchange.hash_join(j, rd.from_pandas(r3), "doc_id", "vec_id",
+                           j2_s, r3_s, how=hows[2], num_partitions=8)
+    want = j.to_pandas()
+
+    key = sorted(got.columns)
+    got = got[key].sort_values(key, ignore_index=True)
+    want = want[key].sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_multi_join_validation(ray_session):
+    base, r1, _, _ = _mj_frames()
+    b_s = {"doc_id": "int64", "a": "int64"}
+    with pytest.raises(ValueError, match="disjoint"):
+        exchange.multi_join(
+            rd.from_pandas(base), b_s, "doc_id",
+            [(rd.from_pandas(r1.rename(columns={"b": "a"})), "doc_id",
+              {"doc_id": "int64", "a": "int64"}, "inner")])
+    with pytest.raises(ValueError, match="how"):
+        exchange.multi_join(
+            rd.from_pandas(base), b_s, "doc_id",
+            [(rd.from_pandas(r1), "doc_id",
+              {"doc_id": "int64", "b": "int64"}, "outer")])
+    with pytest.raises(ValueError, match="key dtype"):
+        exchange.multi_join(
+            rd.from_pandas(base), b_s, "doc_id",
+            [(rd.from_pandas(r1), "doc_id",
+              {"doc_id": "object", "b": "int64"}, "inner")])
