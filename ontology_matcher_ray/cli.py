@@ -274,6 +274,8 @@ ANALYZE_OPS = {
     "link-predict": ("graph", "kg_link_prediction",
                      "Adamic-Adar link-prediction scores over the "
                      "co-occurrence graph"),
+    "transitions": ("events", "event_transition_matrix",
+                    "per-user Markov transition counts between event types"),
     # relational
     "pricing": ("relational", "pricing_summary", "wide aggregate over lineitem"),
     "revenue": ("relational", "revenue_by_nation",

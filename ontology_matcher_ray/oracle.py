@@ -2265,9 +2265,35 @@ kk AS (
         FROM events)
   GROUP BY event_type
 )
+,
+-- Markov transition profile (events.event_transition_matrix/_profile):
+-- consecutive pairs per user in (ts, event_id) order, deterministic
+-- (count desc, type asc) top-next argmax
+tr AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+tm AS (SELECT prev, nxt, count(*) AS n FROM tr
+       WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tp AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_out,
+              CAST(count(*) AS BIGINT) AS n_next_distinct
+       FROM tm GROUP BY 1),
+tt AS (SELECT prev, nxt AS top_next, CAST(n AS BIGINT) AS top_next_n
+       FROM (SELECT prev, nxt, n,
+                    row_number() OVER (PARTITION BY prev
+                                       ORDER BY n DESC, nxt ASC) AS rn
+             FROM tm) WHERE rn = 1)
 SELECT d.event_type, d.n_users, kk.n_events, kk.n_with_k,
-       kk.k_sum, kk.k_min, kk.k_max
+       kk.k_sum, kk.k_min, kk.k_max,
+       COALESCE(tp.n_out, 0) AS n_out,
+       COALESCE(tp.n_next_distinct, 0) AS n_next_distinct,
+       COALESCE(tt.top_next, '') AS top_next,
+       COALESCE(tt.top_next_n, 0) AS top_next_n
 FROM d JOIN kk USING (event_type)
+LEFT JOIN tp ON tp.prev = d.event_type
+LEFT JOIN tt ON tt.prev = d.event_type
 """
 
     sql["events_funnel"] = """

@@ -501,7 +501,17 @@ def event_type_profile(sf_dir: str) -> pd.DataFrame:
     strength is unchanged (every column of both survives)."""
     d = events.event_type_distinct_users(sf_dir)
     k = events.event_props_stats(sf_dir)
-    return d.merge(k, on="event_type", how="inner")
+    out = d.merge(k, on="event_type", how="inner")
+    # Markov transition profile (outgoing): LEFT — a type that is only
+    # ever a user's last event has no outgoing row; 0/'' sentinels
+    # mirror the oracle's COALESCE
+    t = events.event_transition_profile(sf_dir)
+    out = out.merge(t, on="event_type", how="left")
+    out["n_out"] = out["n_out"].fillna(0).astype("int64")
+    out["n_next_distinct"] = out["n_next_distinct"].fillna(0).astype("int64")
+    out["top_next"] = out["top_next"].fillna("")
+    out["top_next_n"] = out["top_next_n"].fillna(0).astype("int64")
+    return out
 
 
 def lang_profile(sf_dir: str) -> pd.DataFrame:

@@ -732,3 +732,76 @@ def event_type_distinct_users(sf_dir: str, num_partitions: int = 16) -> pd.DataF
         ["event_type"],
         lambda g: g.sum(),
     )
+
+
+def event_transition_matrix(sf_dir: str,
+                            num_partitions: int = 16) -> rd.Dataset:
+    """(prev_type, next_type, n): Markov transition counts over each
+    user's event stream in (ts, event_id) time order — the
+    user-journey / funnel-discovery aggregate.
+
+    One user-keyed exchange co-locates a user's events; the partition
+    kernel sorts locally, derives consecutive pairs with one shifted
+    comparison (no Python loop), and PRE-AGGREGATES to (prev, next, n)
+    before the second, pair-keyed exchange — so the pair shuffle is
+    bounded by the type-domain square per partition, not the event
+    count.  The (ts, event_id) tie-break makes equal-timestamp streams
+    deterministic on both engines (the SQL oracle orders identically).
+    A pathologically hot user concentrates one partition (the asof_join
+    trade-off); at cluster scale bucket the user key like ``sessionize``
+    does and stitch boundary pairs.
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    ds = read_events(sf_dir, columns=["user_id", "ts", "event_id",
+                                      "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"prev_type": pd.Series(dtype=object),
+                                 "next_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        same = u[1:] == u[:-1]
+        f = pd.DataFrame({"prev_type": t[:-1][same],
+                          "next_type": t[1:][same],
+                          "n": np.int64(1)})
+        return (f.groupby(["prev_type", "next_type"], sort=False)
+                 .agg(n=("n", "sum")).reset_index())
+
+    partial = exchange.partitioned_apply(ds, ["user_id"], pairs,
+                                         num_partitions)
+    return exchange.grouped_agg(
+        partial, ["prev_type", "next_type"],
+        lambda gb: gb.agg(n=("n", "sum")), num_partitions)
+
+
+def event_transition_profile(sf_dir: str,
+                             num_partitions: int = 16) -> pd.DataFrame:
+    """Per-source-type outgoing-transition profile over the matrix:
+    (event_type, n_out, n_next_distinct, top_next, top_next_n) with the
+    deterministic (count desc, type asc) argmax.  Bounded by the
+    type-domain square, so the finalize is a driver frame — the same
+    contract as the other event_type_profile components."""
+    tm = event_transition_matrix(sf_dir, num_partitions).to_pandas()
+    if not len(tm):
+        return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                             "n_out": pd.Series(dtype="int64"),
+                             "n_next_distinct": pd.Series(dtype="int64"),
+                             "top_next": pd.Series(dtype=object),
+                             "top_next_n": pd.Series(dtype="int64")})
+    agg = (tm.groupby("prev_type", sort=False)
+             .agg(n_out=("n", "sum"), n_next_distinct=("next_type", "size"))
+             .reset_index())
+    top = tm.sort_values(["prev_type", "n", "next_type"],
+                         ascending=[True, False, True],
+                         kind="mergesort").drop_duplicates("prev_type")
+    out = agg.merge(
+        top.rename(columns={"next_type": "top_next", "n": "top_next_n"})
+           [["prev_type", "top_next", "top_next_n"]],
+        on="prev_type")
+    return out.rename(columns={"prev_type": "event_type"}).astype(
+        {"n_out": "int64", "n_next_distinct": "int64",
+         "top_next_n": "int64"})
