@@ -57,7 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": docs_train.pii_scrub,                  # RE2 redaction map
         "doc_pack": composite.doc_pack_shuffled,            # prefix-sum pack ⋈ shard shuffle
         "lang_stats": composite.lang_profile,  # + capped mixture weights
-        "source_lang_matrix": docs_text.source_lang_matrix,  # pivot / wide aggregate
+        "source_lang_matrix": composite.source_profile,     # pivot ⋈ per-source KL
         "doc_rollup": docs_text.doc_rollup,                 # GROUPING SETS one-pass
         "embedding_quantize": docs_train.embedding_quantize,  # int8 fixed-point
         "lang_token_sketch": docs_train.lang_token_sketch,  # HLL registers

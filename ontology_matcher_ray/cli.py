@@ -250,6 +250,8 @@ ANALYZE_OPS = {
                    "per-doc BPE token counts (train + memoized apply)"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
+    "source-kl": ("docs_train", "source_kl",
+                  "per-source KL divergence to the corpus mixture"),
     "mixture": ("docs_train", "mixture_weights",
                 "capped per-language data-mixing sampling weights"),
     "substring-dups": ("docs_text", "dedup_substring",

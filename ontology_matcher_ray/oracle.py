@@ -2213,12 +2213,37 @@ GROUP BY o_orderpriority
         f"CAST(SUM(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lang}"
         for lang in PIVOT_LANGS
     )
+    # pivot + per-source KL(source ‖ corpus) in micro-nats
+    # (docs_train.source_kl): per-token contribution quantized with
+    # L(x) = floor(1e6*ln(x)) BEFORE the per-source sum, exactly as the
+    # engine computes it
+    _KL_L = "CAST(floor(1000000 * ln({x})) AS BIGINT)"
     sql["source_lang_matrix"] = f"""
-SELECT source,
-       {lang_cols},
-       CAST(COUNT(*) AS BIGINT) AS n_total
-FROM documents
-GROUP BY source
+WITH base AS (
+  SELECT source,
+         {lang_cols},
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM documents
+  GROUP BY source
+),
+tk AS (SELECT source, unnest(str_split(text, ' ')) AS token FROM documents),
+cst AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM tk GROUP BY 1, 2),
+ct AS (SELECT token, CAST(sum(c) AS BIGINT) AS ctot FROM cst GROUP BY 1),
+tsr AS (SELECT source, CAST(sum(c) AS BIGINT) AS tsrc FROM cst GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cst),
+skl AS (SELECT cst.source,
+          sum(cst.c * ({_KL_L.format(x='cst.c * (SELECT t FROM tot)')}
+                       - {_KL_L.format(x='tsr.tsrc * ct.ctot')})) AS s
+        FROM cst
+        JOIN ct USING (token)
+        JOIN tsr USING (source)
+        GROUP BY 1)
+SELECT base.*, tsr.tsrc AS n_tokens,
+       CAST(skl.s // tsr.tsrc AS BIGINT) AS kl_micro
+FROM base
+JOIN skl ON skl.source = base.source
+JOIN tsr ON tsr.source = base.source
 """
 
     from ontology_matcher_ray.pipelines.docs_text import ROLLUP_ALL

@@ -572,3 +572,13 @@ def entity_link_scores(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
         }),
         batch_format="pandas",
     )
+
+
+def source_profile(sf_dir: str) -> pd.DataFrame:
+    """source_lang_matrix (pivot) ⋈ per-source KL-divergence-to-corpus
+    (docs_train.source_kl) on source — both bounded by the source
+    domain, so the meet is a driver merge; per-component value-hash
+    strength is unchanged (every column of both survives)."""
+    m = docs_text.source_lang_matrix(sf_dir).to_pandas()
+    kl = docs_train.source_kl(sf_dir)
+    return m.merge(kl, on="source", how="inner")

@@ -1402,3 +1402,83 @@ def bm25_scores(
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size)
+
+
+def source_kl(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """(source, n_tokens, kl_micro): per-source token-distribution shift
+    vs the whole corpus — the KL(source ‖ corpus) diagnostic a
+    data-mixing pipeline uses to see which domain drifts furthest from
+    the mixture (the DoReMi-style domain-weighting signal).
+
+    Integer determinism (the lm_perplexity convention): with
+    L(x) = floor(1e6 * ln(x)) on integer arguments, each token's
+    contribution is ``c_st * (L(c_st * T) - L(T_s * c_t))`` — the
+    micro-nat log-likelihood ratio ln(p_s(t)/p(t)) quantized BEFORE the
+    per-source sum, so the int64 total is order-independent and
+    bit-exactly SQL-recomputable; the output divides by T_s (floor) for
+    the per-token average.  ln sees c*T as a double — exact below 2^53
+    (~9e15 token-count product; document-scale corpora cross that only
+    past ~10^8 tokens per cell, where the 0.1-micro-nat quantization
+    error is far below the signal anyway).
+
+    Shape: a tiny per-source token-total pre-pass (combiner +
+    ``small_grouped_agg``, bounded by blocks x |sources|), then ONE
+    token-keyed exchange of per-batch (source, token, c) partials whose
+    partition kernel computes the global token count locally (the token
+    is co-located) and PRE-SUMS per source — the vocabulary never
+    reaches the driver; the finalize is |partitions| x |sources| rows.
+    """
+    import pyarrow.compute as pc
+
+    from ontology_matcher_ray.pipelines.docs_text import read_documents
+
+    ds = read_documents(sf_dir, columns=["source", "text"])
+
+    def tok_partial(t: pa.Table) -> pd.DataFrame:
+        la = pc.split_pattern(
+            pc.cast(t["text"].combine_chunks(), pa.string()), " ")
+        offs = la.offsets.to_numpy()
+        n_tok = np.diff(offs).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({
+            "source": np.repeat(src, n_tok),
+            "token": la.flatten().to_numpy(zero_copy_only=False),
+            "c": np.int64(1),
+        })
+        return (f.groupby(["source", "token"], sort=False)
+                 .agg(c=("c", "sum")).reset_index())
+
+    partials = ds.map_batches(tok_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    totals = exchange.small_grouped_agg(
+        partials.map_batches(
+            lambda b: b.groupby("source", sort=False)
+                       .agg(n=("c", "sum")).reset_index(),
+            batch_format="pandas"),
+        ["source"], lambda gb: gb.agg(n=("n", "sum")))
+    t_src = dict(zip(totals["source"], totals["n"].astype("int64")))
+    t_all = int(totals["n"].sum())
+
+    def _L(x: np.ndarray) -> np.ndarray:
+        return np.floor(1e6 * np.log(x.astype(np.float64))).astype(np.int64)
+
+    def per_token(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["source", "token"], sort=False)
+              .agg(c=("c", "sum")).reset_index())
+        ctot = g.groupby("token", sort=False)["c"].transform("sum")
+        c = g["c"].to_numpy(np.int64)
+        ts = g["source"].map(t_src).to_numpy(np.int64)
+        contrib = c * (_L(c * t_all) - _L(ts * ctot.to_numpy(np.int64)))
+        return (pd.DataFrame({"source": g["source"], "s": contrib})
+                .groupby("source", sort=False)
+                .agg(s=("s", "sum")).reset_index())
+
+    part_sums = exchange.partitioned_apply(partials, ["token"], per_token,
+                                           num_partitions)
+    out = exchange.small_grouped_agg(
+        part_sums, ["source"], lambda gb: gb.agg(s=("s", "sum")))
+    out["n_tokens"] = out["source"].map(t_src).astype("int64")
+    out["kl_micro"] = (out["s"] // out["n_tokens"]).astype("int64")
+    return (out[["source", "n_tokens", "kl_micro"]]
+            .sort_values("source", ignore_index=True))
