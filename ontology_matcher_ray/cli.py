@@ -305,6 +305,37 @@ ANALYZE_OPS = {
 }
 
 
+def cmd_ivf(args) -> int:
+    """Build or query the disk-backed IVF vector index (one
+    range-partitioned directory per cluster + centroid sidecar)."""
+    _ensure_ray()
+    from ontology_matcher_ray.pipelines.docs_text import (
+        _query_vectors,
+        read_embeddings,
+    )
+    from ontology_matcher_ray.stages import ann
+
+    if args.build:
+        ds = read_embeddings(args.sf_dir, columns=["vec_id", "embedding"])
+        stats = ann.build_ivf_index(ds, args.index_dir, nlist=args.nlist)
+        print(f"ivf build: {int(stats['rows'].sum())} vectors in "
+              f"{len(stats)} clusters -> {args.index_dir}")
+        return 0
+    qids, qmat = _query_vectors(args.sf_dir, args.n_queries)
+    res = ann.ivf_query_index(args.index_dir, qmat, qids,
+                              top_k=args.top_k, nprobe=args.nprobe)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(res, preserve_index=False),
+                   os.path.join(args.output_dir, "part-0.parquet"))
+    print(f"ivf query: {len(res)} rows -> {args.output_dir}")
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """Run an analytics/training-prep operator over an sf-style table
     directory and write partitioned Parquet."""
@@ -420,6 +451,21 @@ def main(argv=None) -> int:
     pa_.add_argument("--num-ranges", type=int, default=16,
                      help="key ranges for --range-key (default 16)")
     pa_.set_defaults(fn=cmd_analyze)
+
+    pv = sub.add_parser(
+        "ivf", help="Disk-backed IVF vector index: build once, query "
+                    "with storage-level cluster pruning.")
+    pv.add_argument("--sf-dir", required=True)
+    pv.add_argument("--index-dir", required=True)
+    pv.add_argument("--build", action="store_true",
+                    help="build the index (default: query it)")
+    pv.add_argument("--nlist", type=int, default=16)
+    pv.add_argument("--nprobe", type=int, default=4)
+    pv.add_argument("--top-k", type=int, default=5)
+    pv.add_argument("--n-queries", type=int, default=4)
+    pv.add_argument("--output-dir", default="/tmp/ivf_query_out",
+                    help="query-result parquet dir (query mode)")
+    pv.set_defaults(fn=cmd_ivf)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -17,6 +17,7 @@ the global top-k would have kept.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -243,13 +244,7 @@ def ivf_topk(
     worker then derives the identical index without a shuffle.  Scoring is
     one masked (nq, n) matmul per batch, like the LSH variant.
     """
-    n_total = ds.count()                       # metadata-only
-    stride = max(1, n_total // 2048)
-    sample = ds.filter(
-        expr=f"{id_col} % {stride} == 0"
-    ).limit(2048).to_pandas() if stride > 1 else ds.limit(2048).to_pandas()
-    smat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
-    cents = _normalize(kmeanspp_centroids(smat, nlist, seed))
+    cents = _train_centroids(ds, nlist, seed, id_col, vec_col)
     qmat = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]    # (nq, nprobe)
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, cents, probe))
@@ -273,4 +268,122 @@ def ivf_topk(
             return _topk_rows(sims, ids, self.qids, self.top_k)
 
     partial = ds.map_batches(Stage, batch_format="pandas", concurrency=(1, 8), batch_size=4096)
+    return _reduce_topk(partial, top_k)
+
+
+def _train_centroids(ds: rd.Dataset, nlist: int, seed: int,
+                     id_col: str, vec_col: str) -> np.ndarray:
+    """The ivf_topk spread-sample + kmeans++ training, factored so the
+    in-memory query path and the persisted index derive IDENTICAL
+    centroids from the same table."""
+    n_total = ds.count()                       # metadata-only
+    stride = max(1, n_total // 2048)
+    sample = ds.filter(
+        expr=f"{id_col} % {stride} == 0"
+    ).limit(2048).to_pandas() if stride > 1 else ds.limit(2048).to_pandas()
+    smat = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    return _normalize(kmeanspp_centroids(smat, nlist, seed))
+
+
+def build_ivf_index(
+    ds: rd.Dataset,
+    out_dir: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> pd.DataFrame:
+    """Persist a disk-backed IVF index: train centroids once (the
+    ivf_topk spread sample), assign every vector its cluster in one
+    broadcast-centroid pass, and lay the table out as ONE
+    range-partitioned directory PER CLUSTER (``write_range_partitioned``
+    with forced integer cuts [1..nlist-1], so range i == cluster i) plus
+    a ``_centroids.parquet`` sidecar.
+
+    This is the build-once / query-many amortization a production vector
+    store needs: ``ivf_query_index`` answers any later query batch by
+    reading ONLY the probed clusters' directories (the reader's range
+    pruning — unprobed clusters are never opened, the IVF promise
+    enforced at the STORAGE layer, not just in compute), with results
+    bit-identical to the in-memory ``ivf_topk`` on the same table.
+    Returns the per-cluster stats frame from the writer."""
+    from ontology_matcher_ray.sources.io import write_range_partitioned
+
+    cents = _train_centroids(ds, nlist, seed, id_col, vec_col)
+    ref = ray.put(cents)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        mat = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(dtype=np.int64),
+            vec_col: b[vec_col],
+            "cluster": np.argmax(mat @ c.T, axis=1).astype(np.int64),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    stats = write_range_partitioned(
+        assigned, out_dir, "cluster", num_ranges=nlist,
+        cuts=list(range(1, nlist)), resume=False)
+    pd.DataFrame({
+        "cluster": np.arange(nlist, dtype=np.int64),
+        "centroid": [c.tolist() for c in cents],
+    }).to_parquet(os.path.join(out_dir, "_centroids.parquet"), index=False)
+    return stats
+
+
+def ivf_query_index(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    top_k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """ANN query against a persisted ``build_ivf_index`` directory.
+
+    Probing decides WHICH range directories are read at all
+    (``read_range_partitioned(ranges=probed)``); inside the pruned scan
+    each batch carries its stored cluster id, so the per-query candidate
+    mask needs no re-assignment matmul.  Scoring/tie-breaking/reduce are
+    the ivf_topk kernels — same table, same nlist/nprobe, bit-identical
+    result."""
+    from ontology_matcher_ray.sources.io import read_range_partitioned
+
+    cdf = pd.read_parquet(os.path.join(index_dir, "_centroids.parquet"))
+    cents = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in cdf.sort_values("cluster")["centroid"]])
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    needed = sorted(int(r) for r in np.unique(probe))
+    # no `columns=` projection: the index layout stores exactly
+    # (id, vector, cluster) per file, and Ray 2.49's parquet datasource
+    # trips an UnboundLocalError when a column list meets
+    # partitioning=None (read_range_partitioned's commit-unit contract)
+    ds = read_range_partitioned(index_dir, ranges=needed)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, probe))
+
+    class Stage:
+        def __init__(self):
+            self.qids, self.qmat, self.probe = ray.get(ref)
+            self.top_k = top_k
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = _batch_matrix(b, vec_col, order)
+            assign = b["cluster"].to_numpy(dtype=np.int64)[order]
+            cand = (assign[None, None, :]
+                    == self.probe[:, :, None]).any(axis=1)
+            cand &= ids[None, :] != self.qids[:, None]
+            sims = self.qmat @ mat.T
+            sims[~cand] = -np.inf
+            return _topk_rows(sims, ids, self.qids, self.top_k)
+
+    partial = ds.map_batches(Stage, batch_format="pandas",
+                             concurrency=(1, 8), batch_size=4096)
     return _reduce_topk(partial, top_k)
