@@ -266,6 +266,8 @@ ANALYZE_OPS = {
                        "token -> sorted postings list with df band"),
     "heavy-hitters": ("docs_text", "token_heavy_hitters",
                       "frequent tokens via two-pass Misra-Gries sketch"),
+    "kg-delta": ("docs_kg", "kg_delta",
+                 "snapshot triple diff (add/del) vs the even-doc half"),
     # graph analytics
     "cooccur": ("graph", "entity_cooccurrence", "entity co-occurrence pairs"),
     "degrees": ("graph", "kg_degrees", "node in/out degrees"),
