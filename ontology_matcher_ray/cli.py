@@ -250,6 +250,8 @@ ANALYZE_OPS = {
                    "per-doc BPE token counts (train + memoized apply)"),
     "sample": ("docs_train", "stratified_sample",
                "per-language stratified hash sample"),
+    "centroids": ("docs_train", "embedding_centroids",
+                  "per-language mean-embedding prototypes (integer-exact)"),
     "source-kl": ("docs_train", "source_kl",
                   "per-source KL divergence to the corpus mixture"),
     "mixture": ("docs_train", "mixture_weights",

@@ -1482,3 +1482,83 @@ def source_kl(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     out["kl_micro"] = (out["s"] // out["n_tokens"]).astype("int64")
     return (out[["source", "n_tokens", "kl_micro"]]
             .sort_values("source", ignore_index=True))
+
+
+def embedding_centroids(sf_dir: str, group: str = "lang",
+                        num_partitions: int = 8) -> pd.DataFrame:
+    """(group, dim, centroid_micro, n): per-group mean embedding — the
+    class-prototype / cluster-summary aggregate (semantic profile per
+    language or source, seed centroids for IVF-style indexes).
+
+    Determinism contract: each value is quantized to
+    ``floor(x * 1e6)`` (the embedding_quantize convention) BEFORE the
+    int64 sum, so partial sums merge order-independently and the
+    centroid ``sum // n`` is bit-exactly SQL-recomputable — no float
+    accumulation anywhere.
+
+    Shape: embeddings ⋈ documents on vec_id = doc_id through the
+    distributed ``exchange.hash_join`` (both sides are corpus-sized —
+    no broadcast), then a per-batch (group, dim) combiner collapses
+    each batch to |groups| x dim rows and ``small_grouped_agg``
+    finalizes (bounded: blocks x groups x dim).  Vector payloads never
+    shuffle twice: the join moves them once, the combiner reduces
+    in place.
+    """
+    from ontology_matcher_ray.pipelines.docs_text import (
+        read_documents,
+        read_embeddings,
+    )
+
+    # vectors ride the exchange as fixed-width float64 BYTES: a raw
+    # list<float> column arrives as an object ndarray of ndarrays, which
+    # Arrow's tensor-extension cast rejects inside the padded join union
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "emb_b": [np.asarray(v, dtype=np.float64).tobytes()
+                      for v in b["embedding"]],
+        }),
+        batch_format="pandas",
+    )
+    docs = read_documents(sf_dir, columns=["doc_id", group])
+    joined = exchange.hash_join(
+        emb, docs, "vec_id", "doc_id",
+        {"vec_id": "int64", "emb_b": "object"},
+        {"doc_id": "int64", group: "object"},
+        num_partitions=num_partitions,
+    )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({group: pd.Series(dtype=object),
+                                 "dim": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        mat = np.stack([np.frombuffer(x, dtype=np.float64)
+                        for x in b["emb_b"]])
+        q = np.floor(mat * 1e6).astype(np.int64)          # (n, dim)
+        codes, uniq = pd.factorize(b[group])
+        dim = q.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({
+            group: np.repeat(np.asarray(uniq, dtype=object), dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                           len(uniq)),
+            "s": sums.reshape(-1),
+            "n": np.repeat(counts, dim),
+        })
+
+    parts = joined.map_batches(combine, batch_format="pandas")
+    out = exchange.small_grouped_agg(
+        parts, [group, "dim"],
+        lambda gb: gb.agg(s=("s", "sum"), n=("n", "sum")))
+    # truncating division (toward zero) — DuckDB's BIGINT `//`; numpy's
+    # floor_divide would differ by 1 on negative sums
+    a = out["s"].to_numpy(np.int64)
+    nn = np.maximum(out["n"].to_numpy(np.int64), 1)
+    out["centroid_micro"] = (np.sign(a) * (np.abs(a) // nn)).astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out[[group, "dim", "centroid_micro", "n"]]
+            .sort_values([group, "dim"], ignore_index=True))
