@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": composite.lang_id_roundtrip,             # + lossless JSONL round trip
         "token_freq": composite.token_freq_all,             # global + per-lang top-k
         # --- KG construction core (SURVEY §2.2-2.8) ---
-        "mentions": docs_kg.mentions,                       # extractor actor pool
+        "mentions": composite.mentions_all,                 # mention set + KWIC evidence
         "mention_triples": docs_kg.mention_triples,         # extract+link+dedup
         "entity_xref_triples": docs_kg.entity_xref_triples, # get_alias_ids (M7)
         "resolve_route": docs_kg.resolve_route,             # §2.8 routing tree

@@ -268,6 +268,8 @@ ANALYZE_OPS = {
                        "token -> sorted postings list with df band"),
     "heavy-hitters": ("docs_text", "token_heavy_hitters",
                       "frequent tokens via two-pass Misra-Gries sketch"),
+    "contexts": ("docs_kg", "mention_contexts",
+                 "per-occurrence KWIC evidence windows for KG provenance"),
     "kg-delta": ("docs_kg", "kg_delta",
                  "snapshot triple diff (add/del) vs the even-doc half"),
     # graph analytics

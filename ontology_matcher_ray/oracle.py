@@ -1270,10 +1270,31 @@ SELECT subj, pred, obj FROM read_parquet('{corpus_expected_parquet()}')
 WHERE scale_files = (SELECT greatest(2000, count(*) * 4) FROM documents)
 """
 
+    # mention SET (the linker's input) + every single-token OCCURRENCE
+    # with its 1-based position and +/-3-token KWIC evidence window
+    # (docs_kg.mention_contexts; phrase terms excluded on both sides)
     sql["mentions"] = f"""
-WITH {terms}
-SELECT d.doc_id, t.term, t.raw_id
-FROM documents d JOIN terms t ON {MENTION_JOIN}
+WITH {terms},
+mset AS (
+  SELECT d.doc_id, t.term, t.raw_id
+  FROM documents d JOIN terms t ON {MENTION_JOIN}
+),
+dt AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+occ AS (
+  SELECT dt.doc_id, u.tok AS term, t.raw_id,
+         CAST(u.pos AS BIGINT) AS pos,
+         array_to_string(list_slice(dt.toks, greatest(u.pos - 3, 1),
+                                    least(u.pos + 3, len(dt.toks))), ' ')
+           AS context
+  FROM dt,
+  LATERAL (SELECT unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) AS pos) u
+  JOIN terms t ON t.term = u.tok AND t.term NOT LIKE '% %'
+)
+SELECT 'set' AS leg, doc_id, term, raw_id, CAST(0 AS BIGINT) AS pos,
+       '' AS context FROM mset
+UNION ALL
+SELECT 'occ', doc_id, term, raw_id, pos, context FROM occ
 """
 
     sql["mention_triples"] = f"""

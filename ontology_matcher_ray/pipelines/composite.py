@@ -582,3 +582,25 @@ def source_profile(sf_dir: str) -> pd.DataFrame:
     m = docs_text.source_lang_matrix(sf_dir).to_pandas()
     kl = docs_train.source_kl(sf_dir)
     return m.merge(kl, on="source", how="inner")
+
+
+_MENTION_COLS = ["doc_id", "term", "raw_id", "pos", "context"]
+
+
+def mentions_all(sf_dir: str) -> rd.Dataset:
+    """Mention surface in one row set: the distinct (doc, term) mention
+    SET the linker consumes (leg='set', pos/context zeroed) plus every
+    single-token occurrence with its KWIC evidence window (leg='occ',
+    docs_kg.mention_contexts) — the KG provenance tier."""
+
+    def zeroed(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["pos"] = np.zeros(len(b), dtype=np.int64)
+        out["context"] = ""
+        return out
+
+    mset = _tagged(docs_kg.mentions(sf_dir).map_batches(
+        zeroed, batch_format="pandas"), "leg", "set", _MENTION_COLS)
+    occ = _tagged(docs_kg.mention_contexts(sf_dir), "leg", "occ",
+                  _MENTION_COLS)
+    return mset.union(occ)

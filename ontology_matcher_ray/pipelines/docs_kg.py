@@ -520,3 +520,71 @@ def kg_delta(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     shutil.rmtree(old_dir, ignore_errors=True)
     full = kg_triples(sf_dir)
     return triple_delta(old, full, num_partitions)
+
+
+def mention_contexts(sf_dir: str, window: int = 3) -> rd.Dataset:
+    """(doc_id, term, raw_id, pos, context): every OCCURRENCE of a
+    single-token lexicon term with its +/-``window``-token context — the
+    KG provenance/evidence record ("doc 17 mentions MONDO:x at token 42:
+    '... renal diabetes insipidus nephrogenic ...'") that the distinct
+    mention set drops.
+
+    Shuffle-free actor-pool stage: the single-token lexicon tier is
+    broadcast once (``ray.put``) and loaded per actor; per batch, ONE
+    ``pc.split_pattern`` + ``pc.is_in`` membership over the flattened
+    zero-copy token array finds hit positions, and only the (sparse)
+    hits pay a per-hit window join — the token stream itself is never
+    looped.  Phrase terms are excluded (their occurrence positions need
+    n-gram reconstruction; the distinct-set surface still covers them),
+    mirrored by the oracle's ``term NOT LIKE '% %'``.  ``pos`` is
+    1-based (SQL generate_subscripts convention); the context window is
+    clipped at document edges.
+    """
+    import pyarrow.compute as pc
+
+    snap = get_snapshot(SPEC)
+    word_lex = {t: r for t, r in snap.lexicon.items() if " " not in t}
+    ref = ray.put(word_lex)
+
+    class ContextStage:
+        def __init__(self):
+            lex = ray.get(ref)
+            self.word_arr = pa.array(list(lex), pa.string())
+            self.raw = lex
+            self.window = window
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            la = pc.split_pattern(
+                pc.cast(t["text"].combine_chunks(), pa.string()), " ")
+            offs = la.offsets.to_numpy().astype(np.int64)
+            flat = la.flatten()
+            member = pc.is_in(flat, value_set=self.word_arr).to_numpy(
+                zero_copy_only=False)
+            idx = np.nonzero(member)[0]
+            if not len(idx):
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype=object),
+                    "raw_id": pd.Series(dtype=object),
+                    "pos": pd.Series(dtype="int64"),
+                    "context": pd.Series(dtype=object)})
+            doc_of = np.searchsorted(offs, idx, side="right") - 1
+            start, end = offs[doc_of], offs[doc_of + 1]
+            lo = np.maximum(idx - self.window, start)
+            hi = np.minimum(idx + self.window + 1, end)
+            fl = flat.to_numpy(zero_copy_only=False)
+            terms = fl[idx]
+            ctx = [" ".join(fl[a:b]) for a, b in zip(lo, hi)]  # hits only
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return pd.DataFrame({
+                "doc_id": doc_ids[doc_of].astype("int64"),
+                "term": terms,
+                "raw_id": [self.raw[x] for x in terms],
+                "pos": (idx - start + 1).astype("int64"),
+                "context": ctx,
+            })
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(ContextStage, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8),
+                          batch_size=2048)
