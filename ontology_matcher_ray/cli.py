@@ -282,6 +282,8 @@ ANALYZE_OPS = {
     "link-predict": ("graph", "kg_link_prediction",
                      "Adamic-Adar link-prediction scores over the "
                      "co-occurrence graph"),
+    "retention": ("events", "user_retention",
+                  "cohort retention: distinct users per (cohort, age)"),
     "transitions": ("events", "event_transition_matrix",
                     "per-user Markov transition counts between event types"),
     # relational

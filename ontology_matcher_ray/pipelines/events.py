@@ -805,3 +805,74 @@ def event_transition_profile(sf_dir: str,
     return out.rename(columns={"prev_type": "event_type"}).astype(
         {"n_out": "int64", "n_next_distinct": "int64",
          "top_next_n": "int64"})
+
+
+def user_retention(sf_dir: str, bucket_days: int = 7,
+                   num_partitions: int = 16) -> rd.Dataset:
+    """(cohort, age, n_users): cohort retention — users bucketed by the
+    ``bucket_days``-day period of their FIRST event (the cohort), counted
+    distinct in every later period they return (age = periods since the
+    cohort period, 0 = the cohort period itself).
+
+    All-integer bucketing (``epoch_us // bucket_us``) so the result is
+    exactly SQL-recomputable.  Shape: a per-batch (user, min_ts) combiner
+    + one user exchange derives each user's cohort (shuffle bounded by
+    the user domain, not events); the cohort table joins back onto the
+    event stream through the distributed ``hash_join`` (both sides
+    corpus-scale, 16-byte rows); distinct (cohort, age, user) triples via
+    the distinct exchange; a bounded count finalize.  No driver-side
+    pass over events anywhere."""
+    from ontology_matcher_ray.stages import exchange
+
+    bucket_us = bucket_days * 86_400 * 1_000_000
+    ds = read_events(sf_dir, columns=["user_id", "ts"])
+
+    def ts_int(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            # normalize to µs epoch regardless of source precision (the
+            # sf tables are timestamp[us]; ad-hoc pandas parquet is [ns])
+            "t": b["ts"].astype("datetime64[us]").astype("int64"),
+        })
+
+    ev = ds.map_batches(ts_int, batch_format="pandas")
+    first_partial = ev.map_batches(
+        lambda b: b.groupby("user_id", sort=False)
+                   .agg(t=("t", "min")).reset_index(),
+        batch_format="pandas")
+    cohorts = exchange.grouped_agg(
+        first_partial, ["user_id"], lambda gb: gb.agg(t=("t", "min")),
+        num_partitions,
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "cohort": (b["t"].astype("int64") // bucket_us).astype("int64"),
+        }),
+        batch_format="pandas")
+
+    joined = exchange.hash_join(
+        ev, cohorts, "user_id", "user_id",
+        {"user_id": "int64", "t": "int64"},
+        {"user_id": "int64", "cohort": "int64"},
+        num_partitions=num_partitions)
+
+    def age_rows(b: pd.DataFrame) -> pd.DataFrame:
+        age = (b["t"].to_numpy(np.int64) // bucket_us
+               - b["cohort"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "cohort": b["cohort"].astype("int64"),
+            "age": age.astype("int64"),
+            "user_id": b["user_id"].astype("int64"),
+        }).drop_duplicates()
+
+    triples = exchange.distinct(
+        joined.map_batches(age_rows, batch_format="pandas"),
+        ["cohort", "age", "user_id"], num_partitions)
+    counts = triples.map_batches(
+        lambda b: b.groupby(["cohort", "age"], sort=False)
+                   .size().reset_index(name="n_users")
+                   .astype({"n_users": "int64"}),
+        batch_format="pandas")
+    return exchange.grouped_agg(
+        counts, ["cohort", "age"],
+        lambda gb: gb.agg(n_users=("n_users", "sum")), num_partitions)
