@@ -578,3 +578,34 @@ def multi_join(
         return out
 
     return partitioned_apply(tagged, [on], per_partition, num_partitions)
+
+
+def partition_load(
+    ds: rd.Dataset, key_cols: Sequence[str], num_partitions: int = 32
+) -> pd.DataFrame:
+    """(partition, n_rows): the load histogram an exchange on
+    ``key_cols`` WOULD produce — the pre-flight skew diagnostic.
+
+    Uses the exchange's own ``add_partition_column`` hash (so the
+    histogram is exactly what ``partitioned_apply``/``hash_join`` will
+    see), but pays NO shuffle: a per-batch combiner counts rows per
+    partition id and a bounded driver reduce sums the
+    O(blocks x num_partitions) partials.  A partition holding many
+    times the mean telegraphs a hot key — the signal to pass
+    ``salt=N`` to the join or pre-aggregate before the exchange.
+    Partitions that would receive zero rows are included (n_rows = 0).
+    """
+    cols = list(key_cols)
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        p = add_partition_column(b, cols, num_partitions)[PARTITION_COL]
+        c = np.bincount(p.to_numpy(np.int64), minlength=num_partitions)
+        return pd.DataFrame({
+            "partition": np.arange(num_partitions, dtype=np.int64),
+            "n_rows": c.astype(np.int64),
+        })
+
+    out = small_grouped_agg(
+        ds.map_batches(counts, batch_format="pandas"),
+        ["partition"], lambda gb: gb.agg(n_rows=("n_rows", "sum")))
+    return out.sort_values("partition", ignore_index=True)

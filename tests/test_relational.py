@@ -292,3 +292,27 @@ def test_multi_join_validation(ray_session):
             rd.from_pandas(base), b_s, "doc_id",
             [(rd.from_pandas(r1), "doc_id",
               {"doc_id": "object", "b": "int64"}, "inner")])
+
+
+def test_partition_load_histogram(ray_session):
+    import numpy as np
+
+    # 90%-hot key: the diagnostic must localize the hot partition and
+    # conserve the total
+    n = 2000
+    keys = np.where(np.arange(n) % 10 == 0,
+                    np.arange(n).astype(str), "hotkey")
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": np.arange(n)}))
+    hist = exchange.partition_load(ds, ["k"], num_partitions=8)
+    assert len(hist) == 8 and hist["n_rows"].sum() == n
+    assert hist["n_rows"].max() >= 1800   # the hot partition
+    # and the histogram matches the REAL exchange's per-partition sizes
+    sizes = exchange.partitioned_apply(
+        ds, ["k"],
+        lambda g: pd.DataFrame({"p": [exchange.add_partition_column(
+            g, ["k"], 8)[exchange.PARTITION_COL].iloc[0]], "n": [len(g)]}),
+        num_partitions=8,
+    ).to_pandas()
+    got = dict(zip(sizes["p"], sizes["n"]))
+    want = {r.partition: r.n_rows for r in hist.itertuples() if r.n_rows}
+    assert got == want
