@@ -238,6 +238,8 @@ ANALYZE_OPS = {
     "lm-ppl-buckets": ("docs_train", "lm_ppl_buckets",
                        "CCNet head/middle/tail corpus split by LM "
                        "cross-entropy quantiles"),
+    "chunk": ("docs_train", "chunk_documents",
+              "RAG-style overlapping token-window chunking"),
     "reach": ("graph", "kg_reach",
               "per-node 2-hop reachability count over the KG"),
     "triangles": ("graph", "kg_triangles",

@@ -326,6 +326,31 @@ FROM t WHERE len(toks) = 1 AND toks[1] = ''
 """
 
 
+# RAG chunking (docs_train.chunk_documents): starts = range(0, n, STRIDE)
+# over the single-space token list (''.split(' ') == [''] so n >= 1 and
+# every doc emits >= 1 chunk); chunk i = toks[i*STRIDE+1 : i*STRIDE+WINDOW]
+# (DuckDB slice: 1-based, inclusive end, clamped at the list end).
+from ontology_matcher_ray.pipelines.docs_train import (  # noqa: E402
+    CHUNK_FP_MOD,
+    CHUNK_STRIDE,
+    CHUNK_WINDOW,
+)
+
+RAG_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
+                  len(str_split(text, ' ')) AS n FROM documents),
+s AS (SELECT doc_id, toks, n,
+             unnest(range(0, CAST(n AS BIGINT), {CHUNK_STRIDE})) AS st
+      FROM t)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(st AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_WINDOW}, n - st) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[st + 1 : st + {CHUNK_WINDOW}], ' ') AS chunk_text
+FROM s
+"""
+
+
 def _planes_cte(dim: int = 64, tables: int = 8, bits: int = 6, seed: int = 23) -> str:
     """planes(tbl, bit, vec): the seeded LSH hyperplanes, as double literals
     (repr round-trips float64 exactly)."""
@@ -1847,6 +1872,24 @@ bsc AS (SELECT d.doc_id,
 SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro FROM bsc GROUP BY 1
 """
 
+    # RAG-style overlapping token-window chunking
+    # (docs_train.chunk_documents / chunk_profile): the full per-chunk
+    # table is recomputed with DuckDB list slicing (1-based INCLUSIVE
+    # slice ends, clamped past the list end — verified semantics), and
+    # the per-doc profile hashes every chunk's position + text through
+    # md5_number_lower, so the driver's one-row-per-doc composite column
+    # covers the entire chunk table value-for-value.  (The per-chunk SQL
+    # itself, RAG_CHUNKS_SQL, is exercised directly by
+    # tests/test_chunking.py; only the profile joins the driver gate.)
+    sql["chunk_profile"] = f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rag_chunks,
+       CAST(sum(CAST(md5_number_lower(CAST(chunk_idx AS VARCHAR)
+                                      || ':' || chunk_text)
+                     % {CHUNK_FP_MOD} AS BIGINT)) AS BIGINT) AS chunk_fp
+FROM ({RAG_CHUNKS_SQL})
+GROUP BY 1
+"""
+
     # CCNet-style stupid-backoff bigram LM cross-entropy
     # (docs_train.lm_perplexity): per-position log-probs quantized to
     # integer micro-nats BEFORE summation (L(x) = floor(1e6*ln(x)) on
@@ -2533,13 +2576,15 @@ SELECT 'postings', '*', token, df, CAST(0 AS BIGINT), postings FROM ({ii})
     take("lm_perplexity")  # embedded verbatim inside lm_ppl_buckets
     lm = take("lm_ppl_buckets")
     bm = take("bm25_scores")
+    ch = take("chunk_profile")
     sql["doc_profile"] = f"""
 SELECT s.doc_id, s.lang, s.n_tokens, s.n_distinct_tokens, s.n_chars,
        s.stopword_ratio_micro, s.avg_token_len_micro, s.quality_micro,
        q.top_token_frac_micro, q.repeat_ratio_micro, q.bigram_repeat_micro,
        q.quality_band, f.fingerprint, d.contaminated,
        i.n_bigrams, i.dsir_score_micro, bp.n_bpe_tokens,
-       lm.lm_xent_micro, lm.ppl_bucket, bm.bm25_micro
+       lm.lm_xent_micro, lm.ppl_bucket, bm.bm25_micro,
+       ch.n_rag_chunks, ch.chunk_fp
 FROM ({st}) s
 JOIN ({q}) q ON s.doc_id = q.doc_id
 JOIN ({fp}) f ON s.doc_id = f.doc_id
@@ -2553,6 +2598,7 @@ JOIN (SELECT doc_id, n_bpe_tokens FROM read_parquet('{bpe_expected_parquet()}')
 JOIN (SELECT doc_id, lm_xent_micro, ppl_bucket FROM ({lm})) lm
   ON s.doc_id = lm.doc_id
 JOIN ({bm}) bm ON s.doc_id = bm.doc_id
+JOIN ({ch}) ch ON s.doc_id = ch.doc_id
 """
 
     # --- per-document dedup state + end-to-end curation decision ---------

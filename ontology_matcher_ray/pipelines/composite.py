@@ -298,10 +298,10 @@ def token_freq_all(sf_dir: str) -> rd.Dataset:
 def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """Per-document profile: doc_stats ⋈ doc_quality ⋈ fingerprints ⋈
     decontaminate ⋈ dsir_importance ⋈ bpe_encode ⋈ lm_ppl_buckets ⋈
-    bm25_scores on doc_id (inner; all eight emit exactly one row per
-    document) through ONE ``exchange.multi_join`` pass — the 8-way
-    chain of binary joins would pay 7 all-to-all exchanges on the SAME
-    key; the n-ary join pays exactly one.
+    bm25_scores ⋈ chunk_profile on doc_id (inner; all nine emit exactly
+    one row per document) through ONE ``exchange.multi_join`` pass — the
+    9-way chain of binary joins would pay 8 all-to-all exchanges on the
+    SAME key; the n-ary join pays exactly one.
     doc_quality's n_tokens / bpe's n_tokens / lm's lm_n_scored duplicate
     columns already carried by another side (same tokenizer/positions)
     and are dropped before the join (disjoint non-key names)."""
@@ -319,6 +319,7 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     lm = docs_train.lm_ppl_buckets(sf_dir).map_batches(
         lambda b: b.drop(columns=["lm_n_scored"]), batch_format="pandas")
     bm = docs_train.bm25_scores(sf_dir)
+    ch = docs_train.chunk_profile(sf_dir)
 
     stats_schema = {
         "doc_id": "int64", "lang": "object", "n_tokens": "int64",
@@ -347,6 +348,9 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
               "ppl_bucket": "object"}, "inner"),
             (bm, "doc_id",
              {"doc_id": "int64", "bm25_micro": "int64"}, "inner"),
+            (ch, "doc_id",
+             {"doc_id": "int64", "n_rag_chunks": "int64",
+              "chunk_fp": "int64"}, "inner"),
         ],
         num_partitions=num_partitions,
     )

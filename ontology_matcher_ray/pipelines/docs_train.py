@@ -1562,3 +1562,154 @@ def embedding_centroids(sf_dir: str, group: str = "lang",
     out["n"] = out["n"].astype("int64")
     return (out[[group, "dim", "centroid_micro", "n"]]
             .sort_values([group, "dim"], ignore_index=True))
+
+
+# --------------------------------------------------------------------------
+# RAG-style document chunking (fixed token windows with overlap)
+# --------------------------------------------------------------------------
+
+CHUNK_WINDOW = 64          # tokens per chunk
+CHUNK_STRIDE = 48          # window start step (overlap = WINDOW - STRIDE)
+CHUNK_FP_MOD = 1 << 53     # per-chunk hash domain: sums of corpus-sized
+                           # chunk counts stay far inside int64
+
+
+def _chunk_arrays(t: pa.Table, window: int, stride: int):
+    """Vectorized chunk derivation for one Arrow batch of whole documents.
+
+    Returns ``(doc_pos, chunk_idx, start_tok, n_chunk_tokens, chunk_text)``
+    where ``doc_pos`` indexes rows of ``t``.  Pure Arrow/numpy — one
+    ``split_pattern`` over the zero-copy string column, ragged-range
+    gather indices built arithmetically (no per-row Python), chunk text
+    re-joined with ``pc.binary_join`` on the taken token slices.
+
+    Convention (mirrored exactly by the SQL oracle): whitespace tokens
+    via single-space split (``''.split(' ') == ['']``, so every doc has
+    >= 1 token and therefore >= 1 chunk); chunk ``i`` covers tokens
+    ``[i*stride, min(i*stride + window, n))``; starts are
+    ``range(0, n, stride)`` — a trailing window shorter than ``window``
+    is emitted as-is, like standard RAG splitters.
+    """
+    import pyarrow.compute as pc
+
+    text = t["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(pc.cast(text, pa.string()), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = np.asarray(toks.offsets).astype(np.int64)
+    flat = toks.values
+    n = np.diff(offsets)                                  # tokens per doc
+    n_chunks = (n + stride - 1) // stride                 # >= 1 (n >= 1)
+    doc_pos = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    excl = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+        excl, n_chunks
+    )
+    start = chunk_idx * stride
+    clen = np.minimum(window, n[doc_pos] - start)
+    # ragged ranges: token j of chunk c reads flat[doc_off + start + j]
+    tok_excl = np.concatenate(([0], np.cumsum(clen)[:-1]))
+    gather = np.arange(int(clen.sum()), dtype=np.int64) + np.repeat(
+        offsets[:-1][doc_pos] + start - tok_excl, clen
+    )
+    taken = flat.take(pa.array(gather, pa.int64()))
+    chunk_off = pa.array(
+        np.concatenate(([0], np.cumsum(clen))).astype(np.int32)
+    )
+    chunk_text = pc.binary_join(
+        pa.ListArray.from_arrays(chunk_off, taken), pa.scalar(" ")
+    )
+    return doc_pos, chunk_idx, start, clen, chunk_text
+
+
+def chunk_documents(
+    sf_dir: str, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> rd.Dataset:
+    """Split every document into overlapping fixed-token-window chunks —
+    the RAG / long-context ingestion primitive (one row per chunk:
+    ``doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text``).
+
+    Shuffle-free: each document is one input row, so chunking is a pure
+    per-batch map (``_chunk_arrays``) over pruned (doc_id, text) columns;
+    output volume is ~``window/stride`` x corpus, streamed block-by-block
+    (never materialized).  At 100 TB this is exactly the shape that
+    scales: no exchange, no driver state, Arrow-native kernels.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window/stride must be positive, got {window}/{stride}")
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = np.asarray(ids).astype(np.int64)
+        doc_pos, chunk_idx, start, clen, chunk_text = _chunk_arrays(
+            t, window, stride
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_np[doc_pos], pa.int64()),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "start_tok": pa.array(start, pa.int64()),
+                "n_chunk_tokens": pa.array(clen, pa.int64()),
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def chunk_profile(
+    sf_dir: str, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> rd.Dataset:
+    """Per-document chunk count + order-sensitive chunk fingerprint:
+    ``doc_id, n_rag_chunks, chunk_fp`` with
+    ``chunk_fp = sum_i md5half(f"{i}:{chunk_text_i}") % 2^53`` —
+    verification glue that lets the driver's one-row-per-doc
+    ``doc_profile`` composite hash EVERY chunk's text and position
+    (DuckDB recomputes the same sum with ``md5_number_lower``).
+    Production consumers read ``chunk_documents`` directly.
+
+    Same single pass as ``chunk_documents`` (documents are whole rows, so
+    per-doc aggregation inside the batch is exact — no exchange); the
+    md5 loop is bounded by chunk count and exists only for the oracle
+    gate, not the production path.
+    """
+    from ontology_matcher_ray.functions.hashing import md5half
+
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window/stride must be positive, got {window}/{stride}")
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = np.asarray(ids).astype(np.int64)
+        doc_pos, chunk_idx, _start, _clen, chunk_text = _chunk_arrays(
+            t, window, stride
+        )
+        fp = np.fromiter(
+            (
+                md5half(f"{i}:{s}") % CHUNK_FP_MOD
+                for i, s in zip(chunk_idx, chunk_text.to_pylist())
+            ),
+            dtype=np.int64,
+            count=len(chunk_idx),
+        )
+        n_docs = len(ids_np)
+        sums = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(sums, doc_pos, fp)
+        counts = np.bincount(doc_pos, minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_np, pa.int64()),
+                "n_rag_chunks": pa.array(counts, pa.int64()),
+                "chunk_fp": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
