@@ -240,6 +240,10 @@ ANALYZE_OPS = {
                        "cross-entropy quantiles"),
     "chunk": ("docs_train", "chunk_documents",
               "RAG-style overlapping token-window chunking"),
+    "debounce": ("events", "debounce",
+                 "suppress duplicate event bursts per (user, type) stream"),
+    "compact": ("events", "compact_latest",
+                "latest-wins changelog compaction per (user, type)"),
     "reach": ("graph", "kg_reach",
               "per-node 2-hop reachability count over the KG"),
     "triangles": ("graph", "kg_triangles",

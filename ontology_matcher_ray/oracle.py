@@ -2336,7 +2336,13 @@ LIMIT {TOP_CUSTOMERS}
     # semi-structured props JSON column (regexp mirror of the engine's
     # vectorized RE2 extract; COALESCE mirrors the engine's 0-sentinels
     # for types where no row has a parseable k)
-    sql["event_type_profile"] = r"""
+    from ontology_matcher_ray.pipelines.events import (
+        DEBOUNCE_GAP_SECONDS,
+        EVENT_FP_MOD,
+    )
+
+    _gap_us = DEBOUNCE_GAP_SECONDS * 1_000_000
+    sql["event_type_profile"] = rf"""
 WITH d AS (
   SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
   FROM events GROUP BY event_type
@@ -2373,16 +2379,56 @@ tt AS (SELECT prev, nxt AS top_next, CAST(n AS BIGINT) AS top_next_n
        FROM (SELECT prev, nxt, n,
                     row_number() OVER (PARTITION BY prev
                                        ORDER BY n DESC, nxt ASC) AS rn
-             FROM tm) WHERE rn = 1)
+             FROM tm) WHERE rn = 1),
+-- debounce (events.debounce): keep stream-first or gap >= {_gap_us} us
+-- vs the PREVIOUS event of the (user_id, event_type) stream (lag
+-- semantics); fp hashes every kept (event_id, gap_us)
+db AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_debounced,
+         CAST(sum(CAST(md5_number_lower(CAST(event_id AS VARCHAR) || ':'
+                                        || CAST(gap_us AS VARCHAR))
+                       % {EVENT_FP_MOD} AS BIGINT))
+              % {EVENT_FP_MOD} AS BIGINT) AS debounce_fp
+  FROM (SELECT event_type, event_id,
+               COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id), -1) AS gap_us
+        FROM events)
+  WHERE gap_us = -1 OR gap_us >= {_gap_us}
+  GROUP BY event_type
+),
+-- latest-wins compaction (events.compact_latest): max (ts, event_id)
+-- per (user_id, event_type) stream + collapsed version count
+cp AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_streams,
+         CAST(sum(CAST(md5_number_lower(CAST(user_id AS VARCHAR) || ':'
+                                        || CAST(event_id AS VARCHAR) || ':'
+                                        || CAST(nv AS VARCHAR))
+                       % {EVENT_FP_MOD} AS BIGINT))
+              % {EVENT_FP_MOD} AS BIGINT) AS compact_fp
+  FROM (SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id, event_type) AS nv
+        FROM events)
+  WHERE rn = 1
+  GROUP BY event_type
+)
 SELECT d.event_type, d.n_users, kk.n_events, kk.n_with_k,
        kk.k_sum, kk.k_min, kk.k_max,
        COALESCE(tp.n_out, 0) AS n_out,
        COALESCE(tp.n_next_distinct, 0) AS n_next_distinct,
        COALESCE(tt.top_next, '') AS top_next,
-       COALESCE(tt.top_next_n, 0) AS top_next_n
+       COALESCE(tt.top_next_n, 0) AS top_next_n,
+       db.n_debounced, db.debounce_fp,
+       cp.n_streams, cp.compact_fp
 FROM d JOIN kk USING (event_type)
 LEFT JOIN tp ON tp.prev = d.event_type
 LEFT JOIN tt ON tt.prev = d.event_type
+JOIN db USING (event_type)
+JOIN cp USING (event_type)
 """
 
     sql["events_funnel"] = """

@@ -515,6 +515,14 @@ def event_type_profile(sf_dir: str) -> pd.DataFrame:
     out["n_next_distinct"] = out["n_next_distinct"].fillna(0).astype("int64")
     out["top_next"] = out["top_next"].fillna("")
     out["top_next_n"] = out["top_next_n"].fillna(0).astype("int64")
+    # stream-hygiene rollups (inner: every type has >= 1 event, and both
+    # debounce and compaction keep >= 1 row per stream): the md5
+    # fingerprints value-hash every kept/compacted row through the
+    # bounded per-type join
+    out = out.merge(events.debounce_profile(sf_dir), on="event_type",
+                    how="inner")
+    out = out.merge(events.compact_profile(sf_dir), on="event_type",
+                    how="inner")
     return out
 
 

@@ -876,3 +876,163 @@ def user_retention(sf_dir: str, bucket_days: int = 7,
     return exchange.grouped_agg(
         counts, ["cohort", "age"],
         lambda gb: gb.agg(n_users=("n_users", "sum")), num_partitions)
+
+
+# --------------------------------------------------------------------------
+# Stream hygiene: debounce (duplicate-burst suppression) and latest-wins
+# compaction (the CDC/upsert "compact the changelog" primitive)
+# --------------------------------------------------------------------------
+
+DEBOUNCE_GAP_SECONDS = 60
+# per-row fingerprint domain for the driver-gate profiles: 2^45 keeps
+# batch partials (<= 4096 rows) and the cross-partial sum inside int64;
+# the SQL side sums exactly in HUGEINT and reduces % MOD at the end
+EVENT_FP_MOD = 1 << 45
+
+
+def debounce(sf_dir: str, gap_seconds: int = DEBOUNCE_GAP_SECONDS,
+             num_partitions: int = 16) -> rd.Dataset:
+    """Keep an event iff it is the first of its ``(user_id, event_type)``
+    stream or arrived >= ``gap_seconds`` after the PREVIOUS event of that
+    stream (lag semantics — the throttle window slides with every event,
+    matching SQL ``lag()`` exactly, so the op is fully SQL-recomputable).
+    Emits ``(event_id, user_id, event_type, gap_us)`` with ``gap_us=-1``
+    for stream-first events.
+
+    One ``(user_id, event_type)``-keyed exchange co-locates each stream;
+    the kernel sorts on the deterministic ``(ts, event_id)`` tie-break
+    and computes gaps with one shifted comparison — no Python loop, no
+    driver state.  Hot streams concentrate a partition (the
+    transition-matrix trade-off); at cluster scale salt with a coarse
+    time bucket like ``sessionize`` and reconcile boundary gaps."""
+    from ontology_matcher_ray.stages import exchange
+
+    gap_us = int(gap_seconds) * _US
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        gap = np.full(len(g), -1, dtype=np.int64)
+        if len(g) > 1:
+            d = t[1:] - t[:-1]
+            gap[1:] = np.where(same[1:], d, -1)
+        keep = ~same | (gap >= gap_us)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep].astype("int64"),
+            "user_id": u[keep].astype("int64"),
+            "event_type": et[keep],
+            "gap_us": gap[keep],
+        })
+
+    return exchange.partitioned_apply(ds, ["user_id", "event_type"], kern,
+                                      num_partitions)
+
+
+def compact_latest(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """Latest-wins changelog compaction: one row per ``(user_id,
+    event_type)`` carrying the most recent event (max ``(ts, event_id)``)
+    plus the collapsed version count — the CDC/upsert table-compaction
+    primitive.  Emits ``(user_id, event_type, last_event_id, last_ts_us,
+    last_value, n_versions)``.
+
+    Classic combiner-then-exchange argmax: each batch reduces to at most
+    one row per key it sees (sort + keep-last + partial count), the
+    key exchange merges partials with the same argmax kernel and sums the
+    counts — event volume never shuffles, only per-key survivors."""
+    from ontology_matcher_ray.stages import exchange
+
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                      "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "event_type": b["event_type"],
+            "last_event_id": b["event_id"].astype("int64"),
+            "last_ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+            "last_value": b["value"].astype("float64"),
+            "n_versions": np.int64(1),
+        })
+        f = f.sort_values(["user_id", "event_type", "last_ts_us",
+                           "last_event_id"], kind="mergesort")
+        n = (f.groupby(["user_id", "event_type"], sort=False)["n_versions"]
+              .sum().reset_index())
+        last = f.drop_duplicates(["user_id", "event_type"], keep="last")
+        return last.drop(columns=["n_versions"]).merge(
+            n, on=["user_id", "event_type"])
+
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "last_ts_us",
+                           "last_event_id"], kind="mergesort")
+        n = (g.groupby(["user_id", "event_type"], sort=False)["n_versions"]
+              .sum().reset_index())
+        last = g.drop_duplicates(["user_id", "event_type"], keep="last")
+        return last.drop(columns=["n_versions"]).merge(
+            n, on=["user_id", "event_type"])
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return exchange.partitioned_apply(parts, ["user_id", "event_type"],
+                                      merge_partials, num_partitions)
+
+
+def _md5_profile(ds: rd.Dataset, fp_of, num_partitions: int = 8):
+    """Per-event-type (n, fp) rollup of a row-level dataset: fp = the
+    md5half row fingerprint summed % EVENT_FP_MOD.  Driver-gate glue (the
+    md5 loop exists only so a bounded per-type row can value-hash every
+    underlying row in the composite); production consumers stream the
+    row-level dataset itself."""
+    from ontology_matcher_ray.functions.hashing import md5half
+    from ontology_matcher_ray.stages import exchange
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        fp = np.fromiter(
+            (md5half(s) % EVENT_FP_MOD for s in fp_of(b)),
+            dtype=np.int64, count=len(b))
+        f = pd.DataFrame({"event_type": b["event_type"],
+                          "n": np.int64(1), "fp": fp})
+        out = (f.groupby("event_type", sort=False)
+                .agg(n=("n", "sum"), fp=("fp", "sum")).reset_index())
+        out["fp"] %= EVENT_FP_MOD
+        return out
+
+    parts = ds.map_batches(part, batch_format="pandas")
+    out = exchange.small_grouped_agg(
+        parts, ["event_type"],
+        lambda gb: gb.agg(n=("n", "sum"), fp=("fp", "sum")))
+    out["fp"] = (out["fp"] % EVENT_FP_MOD).astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type", ignore_index=True)
+
+
+def debounce_profile(sf_dir: str,
+                     gap_seconds: int = DEBOUNCE_GAP_SECONDS) -> pd.DataFrame:
+    """(event_type, n_debounced, debounce_fp): bounded per-type rollup of
+    ``debounce`` for the driver composite — the fingerprint hashes every
+    kept row's (event_id, gap_us)."""
+    df = _md5_profile(
+        debounce(sf_dir, gap_seconds),
+        lambda b: (f"{e}:{g}" for e, g in
+                   zip(b["event_id"].astype("int64"),
+                       b["gap_us"].astype("int64"))))
+    return df.rename(columns={"n": "n_debounced", "fp": "debounce_fp"})
+
+
+def compact_profile(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_streams, compact_fp): bounded per-type rollup of
+    ``compact_latest`` — the fingerprint hashes every surviving stream's
+    (user_id, last_event_id, n_versions)."""
+    df = _md5_profile(
+        compact_latest(sf_dir),
+        lambda b: (f"{u}:{e}:{n}" for u, e, n in
+                   zip(b["user_id"].astype("int64"),
+                       b["last_event_id"].astype("int64"),
+                       b["n_versions"].astype("int64"))))
+    return df.rename(columns={"n": "n_streams", "fp": "compact_fp"})
