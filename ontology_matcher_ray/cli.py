@@ -240,6 +240,8 @@ ANALYZE_OPS = {
                        "cross-entropy quantiles"),
     "chunk": ("docs_train", "chunk_documents",
               "RAG-style overlapping token-window chunking"),
+    "kcore": ("graph", "kg_kcore",
+              "per-node coreness over the co-occurrence graph"),
     "debounce": ("events", "debounce",
                  "suppress duplicate event bursts per (user, type) stream"),
     "compact": ("events", "compact_latest",

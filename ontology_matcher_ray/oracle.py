@@ -1025,6 +1025,83 @@ def _oracle_video_feat(i: int) -> bytes:
     return struct.pack("<16f", *f)
 
 
+def kcore_expected_parquet() -> str:
+    """Expected per-node coreness over the entity co-occurrence graph
+    (graph.kg_kcore), recomputed OUTSIDE the engine: mentions via the
+    EXACT padded-substring rule the SQL uses (``' '||text||' ' LIKE
+    '% term %'``), undirected distinct pairs, then classic Matula–Beck
+    min-degree peeling (no Ray, no H-index — an independent algorithm
+    for the same quantity).  Slices keyed by the SQL-recomputable doc
+    fingerprint count(*)*1e9 + sum(n_chars), like bpe_expected_parquet."""
+    import glob
+    import heapq
+    import os
+
+    import pandas as pd
+
+    import duckdb
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    fps = []
+    for p in paths:
+        t = pq.read_table(p, columns=["n_chars"])
+        fps.append(t.num_rows * 1_000_000_000
+                   + int(pd.Series(t["n_chars"].to_numpy()).sum()))
+    out_dir = "/tmp/onto_ray_oracle"
+    os.makedirs(out_dir, exist_ok=True)
+    tag = "%x" % (sum(abs(f) for f in fps) & 0xFFFFFFFF)
+    path = os.path.join(out_dir, f"expected_kcore_{tag}.parquet")
+    if os.path.exists(path):
+        return path
+
+    con = duckdb.connect()
+    lex = con.sql(
+        f"WITH {terms_cte()} SELECT term, out_id FROM terms").fetchall()
+    con.close()
+
+    frames = []
+    for p, fp in zip(paths, fps):
+        docs = pd.read_parquet(p, columns=["doc_id", "text"])
+        pairs: set = set()
+        for text in docs["text"].astype(str):
+            padded = " " + text + " "
+            ents = sorted({out for term, out in lex
+                           if " " + term + " " in padded})
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    pairs.add((ents[i], ents[j]))
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        heap = [(d, v) for v, d in deg.items()]
+        heapq.heapify(heap)
+        removed: set = set()
+        kmax = 0
+        rows = []
+        while heap:
+            d, v = heapq.heappop(heap)
+            if v in removed or d != deg[v]:
+                continue
+            kmax = max(kmax, d)
+            rows.append({"doc_fp": fp, "node": v, "core": kmax})
+            removed.add(v)
+            for u in adj[v]:
+                if u not in removed:
+                    deg[u] -= 1
+                    heapq.heappush(heap, (deg[u], u))
+        frames.append(pd.DataFrame(rows,
+                                   columns=["doc_fp", "node", "core"]))
+
+    all_rows = pd.concat(frames, ignore_index=True)
+    all_rows["doc_fp"] = all_rows["doc_fp"].astype("int64")
+    all_rows["core"] = all_rows["core"].astype("int64")
+    return _write_expected(path, all_rows)
+
+
 def bpe_expected_parquet(k: int = 20, min_count: int = 2) -> str:
     """Expected per-doc BPE fertility (docs_train.bpe_encode), recomputed
     OUTSIDE the engine: a straight dict-based transcription of the
@@ -1597,8 +1674,14 @@ tcnt AS (
 )
 SELECT d.node, d.out_degree, d.in_degree,
        CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_reach,
-       CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles
+       CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(kc.core, 0) AS BIGINT) AS cooc_core
 FROM deg d LEFT JOIN reach rc USING (node) LEFT JOIN tcnt tc USING (node)
+LEFT JOIN (SELECT node, core
+           FROM read_parquet('{kcore_expected_parquet()}')
+           WHERE doc_fp = (SELECT count(*) * 1000000000
+                                  + CAST(sum(n_chars) AS BIGINT)
+                           FROM documents)) kc USING (node)
 """
 
     sql["kg_pagerank"] = pagerank_sql()

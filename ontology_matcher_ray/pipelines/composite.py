@@ -392,6 +392,7 @@ def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     reach = graph.kg_reach(sf_dir, num_partitions=num_partitions,
                            trips=trips)
     tri = graph.kg_triangles(sf_dir, num_partitions, trips=trips)
+    core = graph.kg_kcore(sf_dir, num_partitions, trips=trips)
     joined = exchange.multi_join(
         deg,
         {"node": "object", "out_degree": "int64", "in_degree": "int64"},
@@ -400,6 +401,7 @@ def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
             (reach, "node", {"node": "object", "n_reach": "int64"}, "left"),
             (tri, "node", {"node": "object", "n_triangles": "int64"},
              "left"),
+            (core, "node", {"node": "object", "core": "int64"}, "left"),
         ],
         num_partitions=num_partitions,
     )
@@ -410,6 +412,7 @@ def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
             "in_degree": b["in_degree"].astype("int64"),
             "n_reach": b["n_reach"].fillna(0).astype("int64"),
             "n_triangles": b["n_triangles"].fillna(0).astype("int64"),
+            "cooc_core": b["core"].fillna(0).astype("int64"),
         }),
         batch_format="pandas",
     )

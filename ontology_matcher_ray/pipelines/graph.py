@@ -820,3 +820,144 @@ def kg_link_prediction(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     pairs = entity_cooccurrence(sf_dir, num_partitions)
     return adamic_adar_from_pairs(
         pairs.select_columns(["a", "b"]), num_partitions)
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (per-node coreness)
+# --------------------------------------------------------------------------
+
+def kcore_from_edges(edges: rd.Dataset, num_partitions: int = 32,
+                     max_rounds: int = 64) -> rd.Dataset:
+    """(node, core): per-node coreness over a symmetric (src, dst) edge
+    list, via the distributed H-index iteration (Lü et al. 2016: with
+    ``c0(v) = deg(v)`` and ``c_{t+1}(v) = H(c_t(u) : u ~ v)``, the
+    sequence is monotonically non-increasing and converges exactly to
+    the core number).  The H-index of a multiset is order-independent,
+    so every round is bit-stable under any partitioning.
+
+    Distribution per round (the PageRank loop shape): exchange 1
+    co-locates each node's current ``c`` with its out-edges and ships
+    (dst, c) messages, PRE-COMBINED per batch into (node, c, cnt)
+    HISTOGRAM rows — a hub's million identical-valued messages compress
+    to one row per distinct value per source partition, so no partition
+    ever materializes a hub's raw in-neighborhood; exchange 2 reduces
+    the per-node histogram: sorted by value desc, ``H = max(min(c,
+    cumulative_cnt))``.  Convergence is a per-round driver scalar (the
+    summed change flag over the bounded node table); rounds are
+    data-dependent but bounded by ``max_rounds`` (real graphs converge
+    in a handful — the bound is a backstop, and hitting it raises
+    rather than silently returning a non-coreness).
+    """
+    edges = edges.materialize()
+    n_edges = edges.count()
+    num_partitions = max(1, min(num_partitions, (n_edges + 65535) // 65536))
+
+    state = exchange.grouped_agg(
+        edges, ["src"],
+        lambda gb: gb.agg(c=("dst", "size")),
+        num_partitions,
+    ).map_batches(
+        lambda b: pd.DataFrame({"node": b["src"].astype(str),
+                                "c": b["c"].astype("int64")}),
+        batch_format="pandas",
+    ).materialize()
+    if state.count() == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype=str),
+            "core": pd.Series([], dtype="int64")}))
+
+    for _round in range(max_rounds):
+        own = state.map_batches(
+            lambda b: pd.DataFrame({
+                "key": b["node"].astype(str), "dst": "",
+                "c": b["c"].astype("int64"), "carrier": np.int64(1)}),
+            batch_format="pandas")
+        ed = edges.map_batches(
+            lambda b: pd.DataFrame({
+                "key": b["src"].astype(str), "dst": b["dst"].astype(str),
+                "c": np.int64(0), "carrier": np.int64(0)}),
+            batch_format="pandas")
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            own_rows = g.loc[g["carrier"] == 1, ["key", "c"]]
+            edge_rows = g.loc[g["carrier"] == 0, ["key", "dst"]]
+            m = edge_rows.merge(own_rows, on="key", how="inner")
+            # histogram combine: (dst, c) -> cnt, plus the old-value
+            # carrier (cnt = -1 marks it; message counts are >= 1)
+            hist = (m.groupby(["dst", "c"], sort=False).size()
+                     .rename("cnt").reset_index()
+                     .rename(columns={"dst": "node"}))
+            hist["cnt"] = hist["cnt"].astype("int64")
+            carrier = pd.DataFrame({
+                "node": own_rows["key"].to_numpy(),
+                "c": own_rows["c"].to_numpy(dtype=np.int64),
+                "cnt": np.int64(-1)})
+            return pd.concat([hist, carrier], ignore_index=True)
+
+        msgs = exchange.partitioned_apply(
+            own.union(ed), ["key"], emit, num_partitions)
+
+        def reduce_(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"node": pd.Series(dtype=object),
+                                  "c": pd.Series(dtype="int64"),
+                                  "changed": pd.Series(dtype="int64")})
+            if not len(g):
+                return empty
+            old = g.loc[g["cnt"] == -1, ["node", "c"]].rename(
+                columns={"c": "old_c"})
+            h = g.loc[g["cnt"] > 0].copy()
+            if not len(h):
+                return empty
+            # merge duplicate (node, c) histogram rows across source
+            # partitions, then the desc-cumulative H-index rule
+            h = (h.groupby(["node", "c"], sort=False)
+                  .agg(cnt=("cnt", "sum")).reset_index())
+            h = h.sort_values(["node", "c"],
+                              ascending=[True, False], kind="mergesort")
+            codes, _ = pd.factorize(h["node"], sort=False)
+            cnt = h["cnt"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnt)
+            first = np.zeros(len(h), dtype=np.int64)
+            starts = np.flatnonzero(np.diff(codes, prepend=-1))
+            first[starts] = np.concatenate(([0], cum[starts[1:] - 1])) \
+                if len(starts) > 1 else 0
+            base = np.maximum.accumulate(first)
+            within = cum - base
+            cand = np.minimum(h["c"].to_numpy(dtype=np.int64), within)
+            hw = pd.DataFrame({"node": h["node"].to_numpy(), "cand": cand})
+            hv = (hw.groupby("node", sort=False)
+                    .agg(c=("cand", "max")).reset_index())
+            out = hv.merge(old, on="node", how="inner")
+            out["changed"] = (out["c"] != out["old_c"]).astype("int64")
+            return out[["node", "c", "changed"]]
+
+        state = exchange.partitioned_apply(
+            msgs, ["node"], reduce_, num_partitions).materialize()
+        if int(state.sum("changed") or 0) == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"k-core H-index iteration did not converge in {max_rounds} "
+            "rounds — raise max_rounds")
+
+    return state.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].astype(str),
+                                "core": b["c"].astype("int64")}),
+        batch_format="pandas")
+
+
+def kg_kcore(sf_dir: str, num_partitions: int = 32,
+             trips: rd.Dataset | None = None) -> rd.Dataset:
+    """Coreness over the entity co-occurrence graph — the KG-curation
+    density signal (a high-core entity sits in a densely interlinked
+    mention community; core 1 = peripheral)."""
+    pairs = entity_cooccurrence(sf_dir, num_partitions, trips=trips)
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+            "dst": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()]),
+        })
+
+    return kcore_from_edges(pairs.map_batches(both, batch_format="pandas"),
+                            num_partitions)
