@@ -53,7 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curie_validate": docs_kg.curie_validate,           # M2
         "curie_parse": docs_kg.curie_parse,                 # M3
         "sample_docs": docs_text.sample_docs,               # hash-threshold sample
-        "stratified_sample": docs_train.stratified_sample,  # per-lang rates
+        "stratified_sample": composite.sampling_methods,    # per-lang rates + exactly-k
         "pii_scrub": docs_train.pii_scrub,                  # RE2 redaction map
         "doc_pack": composite.doc_pack_shuffled,            # prefix-sum pack ⋈ shard shuffle
         "lang_stats": composite.lang_profile,  # + capped mixture weights

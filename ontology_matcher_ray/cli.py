@@ -240,6 +240,8 @@ ANALYZE_OPS = {
                        "cross-entropy quantiles"),
     "chunk": ("docs_train", "chunk_documents",
               "RAG-style overlapping token-window chunking"),
+    "sample-k": ("docs_train", "sample_fixed_k",
+                 "exactly-k-per-language deterministic sample"),
     "kcore": ("graph", "kg_kcore",
               "per-node coreness over the co-occurrence graph"),
     "debounce": ("events", "debounce",

@@ -334,6 +334,8 @@ from ontology_matcher_ray.pipelines.docs_train import (  # noqa: E402
     CHUNK_FP_MOD,
     CHUNK_STRIDE,
     CHUNK_WINDOW,
+    SAMPLE_K,
+    SAMPLE_SEED,
 )
 
 RAG_CHUNKS_SQL = f"""
@@ -1591,6 +1593,18 @@ FROM documents
 WHERE md5_number_lower(text) % (md5_number_lower(lang) % 7 + 2) = 0
 """
 
+    # exactly-k-per-language seeded-hash sample (docs_train.sample_fixed_k):
+    # the identical unsigned (md5, doc_id) total order as row_number()
+    sql["sample_fixed_k"] = f"""
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5_number_lower('{SAMPLE_SEED}:'
+                                     || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS rk
+  FROM documents) WHERE rk <= {SAMPLE_K}
+"""
+
     # co-occurrence pairs + Adamic-Adar link prediction
     # (graph.adamic_adar_from_pairs): per-wedge score floor(1e6/ln(deg))
     # quantized BEFORE summation so the int64 sum is order-independent;
@@ -2606,6 +2620,16 @@ def _compose_driver_queries(sql: dict) -> None:
 
     def take(k: str) -> str:
         return sql.pop(k)
+
+    # --- sampling family: rate-based + exactly-k, tagged by method -----
+    ss, fk = take("stratified_sample"), take("sample_fixed_k")
+    sql["stratified_sample"] = f"""
+SELECT 'rate' AS method, doc_id, lang, strat_mod,
+       CAST(0 AS BIGINT) AS sample_rank
+FROM ({ss})
+UNION ALL
+SELECT 'topk', doc_id, lang, CAST(0 AS BIGINT), sample_rank FROM ({fk})
+"""
 
     # --- ANN family: identical schemas, tagged by method ---------------
     knn_cols = "query_id, vec_id, cos_sim_micro, rank"

@@ -619,3 +619,24 @@ def mentions_all(sf_dir: str) -> rd.Dataset:
     occ = _tagged(docs_kg.mention_contexts(sf_dir), "leg", "occ",
                   _MENTION_COLS)
     return mset.union(occ)
+
+
+def sampling_methods(sf_dir: str) -> rd.Dataset:
+    """Sampling family in one tagged row set (driver key
+    ``stratified_sample``): method='rate' = the per-language
+    hash-threshold sample with language-derived rates; method='topk' =
+    the exactly-k-per-language seeded-hash sample.  Sentinel 0 pads the
+    leg-specific columns (the token_freq union convention)."""
+    rate = docs_train.stratified_sample(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "method": "rate", "doc_id": b["doc_id"].astype("int64"),
+            "lang": b["lang"], "strat_mod": b["strat_mod"].astype("int64"),
+            "sample_rank": np.int64(0)}),
+        batch_format="pandas")
+    topk = docs_train.sample_fixed_k(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "method": "topk", "doc_id": b["doc_id"].astype("int64"),
+            "lang": b["lang"], "strat_mod": np.int64(0),
+            "sample_rank": b["sample_rank"].astype("int64")}),
+        batch_format="pandas")
+    return rate.union(topk)

@@ -1713,3 +1713,55 @@ def chunk_profile(
         )
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Fixed-size deterministic per-group sampling (exactly-k per stratum)
+# --------------------------------------------------------------------------
+
+SAMPLE_K = 64
+SAMPLE_SEED = "s7"
+
+
+def sample_fixed_k(sf_dir: str, k: int = SAMPLE_K, seed: str = SAMPLE_SEED,
+                   num_partitions: int = 4) -> rd.Dataset:
+    """Exactly ``min(k, |group|)`` documents per language, chosen
+    uniformly by a seeded hash order but fully deterministic (reshuffle =
+    new seed) — the "give me 10k eval docs per language" primitive that
+    rate-based sampling (``stratified_sample``) cannot express.
+
+    Emits ``(doc_id, lang, sample_rank)`` with the 1-based rank in
+    ``(md5half(f"{seed}:{doc_id}"), doc_id)`` order — the same total
+    order as the SQL ``row_number()`` oracle, unsigned-compared.
+
+    Scale shape: the classic distributed top-k — each batch keeps at
+    most k rows per language it sees (a per-batch partial top-k), so the
+    exchange moves O(batches x langs x k) 24-byte rows regardless of
+    corpus size; the per-language finalize re-selects and ranks.  No
+    global sort, no driver pass.
+    """
+    from ontology_matcher_ray.functions.hashing import md5half
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    ds = read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64")
+        h = np.fromiter((md5half(f"{seed}:{d}") for d in ids),
+                        dtype=np.uint64, count=len(b))
+        f = pd.DataFrame({"doc_id": ids.to_numpy(np.int64),
+                          "lang": b["lang"], "h": h})
+        f = f.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return f.groupby("lang", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        g = g.groupby("lang", sort=False).head(k).copy()
+        g["sample_rank"] = (g.groupby("lang", sort=False).cumcount()
+                            + 1).astype("int64")
+        return g[["doc_id", "lang", "sample_rank"]]
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return exchange.partitioned_apply(parts, ["lang"], final,
+                                      num_partitions)
