@@ -240,6 +240,10 @@ ANALYZE_OPS = {
                        "cross-entropy quantiles"),
     "chunk": ("docs_train", "chunk_documents",
               "RAG-style overlapping token-window chunking"),
+    "cov": ("docs_train", "embedding_covariance",
+            "integer-exact embedding second-moment (covariance) table"),
+    "pca": ("docs_train", "embedding_pca",
+            "embedding PCA spectrum from the distributed moment table"),
     "sample-k": ("docs_train", "sample_fixed_k",
                  "exactly-k-per-language deterministic sample"),
     "kcore": ("graph", "kg_kcore",

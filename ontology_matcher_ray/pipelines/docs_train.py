@@ -1765,3 +1765,83 @@ def sample_fixed_k(sf_dir: str, k: int = SAMPLE_K, seed: str = SAMPLE_SEED,
     parts = ds.map_batches(partial, batch_format="pandas")
     return exchange.partitioned_apply(parts, ["lang"], final,
                                       num_partitions)
+
+
+# --------------------------------------------------------------------------
+# Embedding second-moment statistics (covariance / PCA energy)
+# --------------------------------------------------------------------------
+
+COV_Q = 1000   # floor(x * 1e3): |q| <= ~1e3 for unit-ish embeddings, so a
+               # q_i*q_j product is <= 1e6 and the int64 pair sum holds
+               # ~9e12 vectors of headroom — integer-exact at 100 TB
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Upper-triangle second-moment table over the embedding matrix:
+    ``(i, j, n, s_x, s_y, s_xy)`` for ``1 <= i <= j <= d`` with every
+    value quantized ``floor(x * 1e3)`` BEFORE accumulation — the sums
+    are order-independent int64, so the result is bit-stable under any
+    partitioning and exactly SQL-recomputable.  Covariance, correlation
+    or PCA derive from the table downstream (``embedding_pca``).
+
+    Scale shape: each batch reduces to one d x d int64 Gram partial
+    (``q.T @ q`` — vectorized, no per-row Python) plus column sums; the
+    exchange then moves only d*(d+1)/2 bounded keys per batch
+    (d=64 -> 2080 rows), never vectors.  The finalize is a driver frame
+    of the same bounded size.
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    ds = read_embeddings(sf_dir, columns=["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy())
+        q = np.floor(mat * COV_Q).astype(np.int64)          # (n, d)
+        d = q.shape[1]
+        gram = q.T @ q                                      # (d, d) int64
+        colsum = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame({
+            "i": (iu + 1).astype("int64"), "j": (ju + 1).astype("int64"),
+            "n": np.int64(len(q)),
+            "s_x": colsum[iu], "s_y": colsum[ju],
+            "s_xy": gram[iu, ju],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = exchange.small_grouped_agg(
+        parts, ["i", "j"],
+        lambda gb: gb.agg(n=("n", "sum"), s_x=("s_x", "sum"),
+                          s_y=("s_y", "sum"), s_xy=("s_xy", "sum")))
+    for c in ("i", "j", "n", "s_x", "s_y", "s_xy"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["i", "j"], ignore_index=True)
+
+
+def embedding_pca(sf_dir: str, top: int = 8) -> pd.DataFrame:
+    """Explained-variance spectrum of the embedding matrix: the top
+    eigenvalues of the covariance derived from ``embedding_covariance``'s
+    integer-exact moment table (the distributed part), eigendecomposed
+    on the driver (a bounded d x d symmetric problem — d=64 floats, not
+    data-scale work).  Emits ``(component, eigenvalue, explained_ratio)``
+    in descending order.  Float enters ONLY here, after all cross-worker
+    accumulation is integer."""
+    mom = embedding_covariance(sf_dir)
+    d = int(mom["j"].max())
+    n = int(mom["n"].iloc[0])
+    cov = np.zeros((d, d))
+    i = mom["i"].to_numpy() - 1
+    j = mom["j"].to_numpy() - 1
+    sxy = mom["s_xy"].to_numpy(dtype=np.float64)
+    sx = mom["s_x"].to_numpy(dtype=np.float64)
+    sy = mom["s_y"].to_numpy(dtype=np.float64)
+    c = (sxy / n - (sx / n) * (sy / n)) / (COV_Q * COV_Q)
+    cov[i, j] = c
+    cov[j, i] = c
+    w = np.linalg.eigvalsh(cov)[::-1][:top]
+    total = float(np.trace(cov))
+    return pd.DataFrame({
+        "component": np.arange(1, len(w) + 1, dtype=np.int64),
+        "eigenvalue": w,
+        "explained_ratio": w / total if total > 0 else np.zeros(len(w)),
+    })
