@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- KG construction core (SURVEY §2.2-2.8) ---
         "mentions": composite.mentions_all,                 # mention set + KWIC evidence
         "mention_triples": docs_kg.mention_triples,         # extract+link+dedup
-        "entity_xref_triples": docs_kg.entity_xref_triples, # get_alias_ids (M7)
+        "entity_xref_triples": composite.xref_surface,      # get_alias_ids (M7) + merge clusters
         "resolve_route": docs_kg.resolve_route,             # §2.8 routing tree
         "format_entities": composite.format_entities_all,   # MIXTURE + UNIQUE + failed
         "canonical_merge": docs_kg.canonical_merge,         # A1 dedup aggregation

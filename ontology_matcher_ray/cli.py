@@ -246,6 +246,8 @@ ANALYZE_OPS = {
             "embedding PCA spectrum from the distributed moment table"),
     "sample-k": ("docs_train", "sample_fixed_k",
                  "exactly-k-per-language deterministic sample"),
+    "xref-clusters": ("graph", "xref_entity_clusters",
+                      "transitive ontology-merge components over xrefs"),
     "kcore": ("graph", "kg_kcore",
               "per-node coreness over the co-occurrence graph"),
     "debounce": ("events", "debounce",

@@ -2621,6 +2621,30 @@ def _compose_driver_queries(sql: dict) -> None:
     def take(k: str) -> str:
         return sql.pop(k)
 
+    # --- xref surface: alias triples + transitive merge clusters -------
+    # the cluster leg recomputes connected components over the SAME xref
+    # SQL with a recursive reachability CTE (min reachable id = the
+    # engine's lexicographic-min representative); bounded by the
+    # vocabulary's xref graph, not the corpus
+    xt = take("entity_xref_triples")
+    sql["entity_xref_triples"] = f"""
+SELECT 'xref' AS leg, subj, pred, obj FROM ({xt})
+UNION ALL
+SELECT 'cluster', node, 'in_cluster', cluster FROM (
+  WITH RECURSIVE xg AS (
+    SELECT subj AS a, obj AS b FROM ({xt})
+    UNION
+    SELECT obj, subj FROM ({xt})
+  ),
+  rch AS (
+    SELECT a AS n, a AS lab FROM xg
+    UNION
+    SELECT xg.b, rch.lab FROM rch JOIN xg ON xg.a = rch.n
+  )
+  SELECT n AS node, min(lab) AS cluster FROM rch GROUP BY n
+)
+"""
+
     # --- sampling family: rate-based + exactly-k, tagged by method -----
     ss, fk = take("stratified_sample"), take("sample_fixed_k")
     sql["stratified_sample"] = f"""

@@ -640,3 +640,22 @@ def sampling_methods(sf_dir: str) -> rd.Dataset:
             "sample_rank": b["sample_rank"].astype("int64")}),
         batch_format="pandas")
     return rate.union(topk)
+
+
+def xref_surface(sf_dir: str) -> rd.Dataset:
+    """Xref enrichment surface in one tagged row set (driver key
+    ``entity_xref_triples``): leg='xref' = the (resolved-id, xref,
+    alias-id) triples; leg='cluster' = the transitive ontology-merge
+    components over that same xref graph, one (node, 'in_cluster',
+    min-id) row per vocabulary id.  The triple build is materialized
+    once and shared by both legs."""
+    from ontology_matcher_ray.pipelines import graph
+
+    xr = docs_kg.entity_xref_triples(sf_dir).materialize()
+    trips = _tagged(xr, "leg", "xref", ["subj", "pred", "obj"])
+    cl = graph.xref_entity_clusters(sf_dir, trips=xr).map_batches(
+        lambda b: pd.DataFrame({
+            "leg": "cluster", "subj": b["node"].astype(str),
+            "pred": "in_cluster", "obj": b["cluster"].astype(str)}),
+        batch_format="pandas")
+    return trips.union(cl)

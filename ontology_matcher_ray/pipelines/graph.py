@@ -961,3 +961,143 @@ def kg_kcore(sf_dir: str, num_partitions: int = 32,
 
     return kcore_from_edges(pairs.map_batches(both, batch_format="pandas"),
                             num_partitions)
+
+
+# --------------------------------------------------------------------------
+# Connected components over string-keyed edges (ontology-merge clusters)
+# --------------------------------------------------------------------------
+
+def min_label_components(edges: rd.Dataset, num_partitions: int = 32,
+                         max_rounds: int = 50,
+                         driver_edges_max: int = 4_000_000) -> rd.Dataset:
+    """(node, cluster): connected components over a symmetric string
+    (src, dst) edge list, cluster = the LEXICOGRAPHIC MIN node of the
+    component — the canonical-representative rule, SQL-recomputable by a
+    recursive reachability CTE.
+
+    The string-keyed sibling of ``stages.dedup.near_dup_clusters``
+    (int64 doc ids), with the same two tiers: below ``driver_edges_max``
+    the materialized edge table is read once and solved with a
+    path-compressed union-find (labels = per-root min string); above it,
+    iterative min-label propagation through the exchange, two exchanges
+    per round, messages PRE-COMBINED to one (dst, min_label) row per
+    destination per partition so hub nodes never collect raw
+    in-neighborhoods.  Both tiers produce the identical fixpoint
+    (tested by forcing the gate)."""
+    edges = edges.materialize()
+    if edges.count() <= driver_edges_max:
+        ef = edges.to_pandas()
+        if not len(ef):
+            return rd.from_pandas(pd.DataFrame({
+                "node": pd.Series(dtype=object),
+                "cluster": pd.Series(dtype=object)}))
+        codes, uniq = pd.factorize(
+            pd.concat([ef["src"], ef["dst"]], ignore_index=True))
+        n = len(uniq)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        a, b = codes[: len(ef)], codes[len(ef):]
+        for x, y in zip(a, b):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[ry] = rx
+        roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64,
+                            count=n)
+        lab = pd.DataFrame({"node": np.asarray(uniq, dtype=object),
+                            "root": roots})
+        rep = (lab.groupby("root", sort=False)["node"].min()
+                  .rename("cluster").reset_index())
+        out = lab.merge(rep, on="root")[["node", "cluster"]]
+        return rd.from_pandas(out.sort_values("node", ignore_index=True))
+
+    def self_labels(b: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.unique(pd.concat([b["src"], b["dst"]], ignore_index=True))
+        return pd.DataFrame({"node": ids, "label": ids,
+                             "changed": np.zeros(len(ids), dtype=np.int64)})
+
+    labels = exchange.distinct(
+        edges.map_batches(self_labels, batch_format="pandas"),
+        ["node"], num_partitions).materialize()
+
+    for _round in range(max_rounds):
+        lab_rows = labels.map_batches(
+            lambda b: pd.DataFrame({
+                "key": b["node"].astype(str), "dst": "",
+                "label": b["label"].astype(str),
+                "carrier": np.int64(1)}),
+            batch_format="pandas")
+        edge_rows = edges.map_batches(
+            lambda b: pd.DataFrame({
+                "key": b["src"].astype(str), "dst": b["dst"].astype(str),
+                "label": "", "carrier": np.int64(0)}),
+            batch_format="pandas")
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g.loc[g["carrier"] == 1, ["key", "label"]]
+            ed = g.loc[g["carrier"] == 0, ["key", "dst"]]
+            m = ed.merge(lab, on="key", how="inner")
+            # pre-combine per destination (hub safety)
+            cand = (m.groupby("dst", sort=False)["label"].min()
+                     .reset_index().rename(columns={"dst": "node"}))
+            cand["own"] = np.int64(0)
+            own = pd.DataFrame({"node": lab["key"].to_numpy(),
+                                "label": lab["label"].to_numpy(),
+                                "own": np.int64(1)})
+            return pd.concat([cand, own], ignore_index=True)
+
+        msgs = exchange.partitioned_apply(
+            lab_rows.union(edge_rows), ["key"], emit, num_partitions)
+
+        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+            mins = g.groupby("node", sort=False)["label"].min()
+            own = g[g["own"] == 1].set_index("node")["label"]
+            out = pd.DataFrame({"node": mins.index.to_numpy(),
+                                "label": mins.to_numpy()})
+            out["changed"] = (
+                out["label"].to_numpy()
+                < own.reindex(out["node"]).to_numpy()
+            ).astype("int64")
+            return out
+
+        new_labels = exchange.partitioned_apply(
+            msgs, ["node"], reduce_min, num_partitions).materialize()
+        changed = new_labels.sum("changed")
+        labels = new_labels
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].astype(str),
+                                "cluster": b["label"].astype(str)}),
+        batch_format="pandas")
+
+
+def xref_entity_clusters(sf_dir: str, num_partitions: int = 32,
+                         trips: rd.Dataset | None = None,
+                         driver_edges_max: int = 4_000_000) -> rd.Dataset:
+    """(node, cluster): canonical entity clusters over the xref graph —
+    entities and their cross-vocabulary alias ids merged into one
+    component per real-world entity, labeled by the lexicographic min
+    id.  THE ontology-merge step: the distributed generalization of the
+    reference's pairwise xref-priority dedup cascade
+    (`/root/reference/ontology_matcher/dedup.py`) to transitive
+    cross-database identity."""
+    from ontology_matcher_ray.pipelines.docs_kg import entity_xref_triples
+
+    xr = entity_xref_triples(sf_dir) if trips is None else trips
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["subj"].astype(str).to_numpy()
+        o = b["obj"].astype(str).to_numpy()
+        return pd.DataFrame({"src": np.concatenate([s, o]),
+                             "dst": np.concatenate([o, s])})
+
+    return min_label_components(
+        xr.map_batches(both, batch_format="pandas"),
+        num_partitions, driver_edges_max=driver_edges_max)
