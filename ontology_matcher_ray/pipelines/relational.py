@@ -81,11 +81,16 @@ def _join(
     how="inner",
     num_partitions=None,
     native=False,
+    skew=False,
+    heavy_top=8,
 ):
     """Join dispatch: the task-based ``exchange.hash_join`` by default
-    (see its docstring for the measured rationale), or Ray's native
+    (see its docstring for the measured rationale), Ray's native
     actor-based ``Dataset.join`` with ``native=True`` (same key/column
-    semantics: left key name kept, right key consumed)."""
+    semantics: left key name kept, right key consumed), or the
+    skew-adaptive ``exchange.skew_join`` with ``skew=True`` (sampled
+    heavy keys join map-side against a broadcast right subset; output
+    identical to hash_join for any heavy set)."""
     num_partitions = _join_partitions(num_partitions)
     if native:
         kinds = {"inner": "inner", "left": "left_outer", "outer": "full_outer",
@@ -96,6 +101,11 @@ def _join(
         return left.join(
             right, kind, num_partitions=num_partitions,
             on=(on,), right_on=(right_on,),
+        )
+    if skew:
+        return exchange.skew_join(
+            left, right, on, right_on, left_schema, right_schema, how,
+            num_partitions, heavy_top=heavy_top,
         )
     return exchange.hash_join(
         left, right, on, right_on, left_schema, right_schema, how, num_partitions
@@ -391,9 +401,12 @@ def order_discounted_revenue(sf_dir: str, num_partitions=None, native=False) -> 
 
     Plan: filter lineitem in the scan -> per-block combiner -> per-key
     exchange aggregate (one row per orderkey — a left join against
-    PARTIAL sums would duplicate left rows) -> ``hash_join(how="left")``
-    -> COALESCE(-1) finalize, matching the oracle's LEFT JOIN +
-    COALESCE exactly.
+    PARTIAL sums would duplicate left rows) -> skew-adaptive left join
+    (``exchange.skew_join``: sampled heavy keys take the broadcast
+    map-side path, the rest the exchange — output identical to
+    hash_join for any heavy sample, so this query drives BOTH join
+    paths through the value-hash oracle) -> COALESCE(-1) finalize,
+    matching the oracle's LEFT JOIN + COALESCE exactly.
     """
     num_partitions = _join_partitions(num_partitions)
 
@@ -414,6 +427,11 @@ def order_discounted_revenue(sf_dir: str, num_partitions=None, native=False) -> 
         lambda g: g.sum(),
         num_partitions=num_partitions,
     )
+    if not native:
+        # skew_join consumes the right side twice (heavy-subset collect +
+        # light filter): checkpoint the aggregate once instead of
+        # re-running the lineitem scan+exchange per consumer
+        per_order = per_order.materialize()
     j = _join(
         _read(sf_dir, "orders", ["o_orderkey"]),
         per_order,
@@ -422,6 +440,7 @@ def order_discounted_revenue(sf_dir: str, num_partitions=None, native=False) -> 
         {"l_orderkey": "int64", "revenue_cents": "int64"},
         how="left",
         num_partitions=num_partitions, native=native,
+        skew=not native,
     )
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:

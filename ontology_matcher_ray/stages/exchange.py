@@ -342,6 +342,151 @@ def join_partition_kernel(
     return per_partition
 
 
+def sample_heavy_keys(
+    ds: rd.Dataset,
+    col: str,
+    top: int = 16,
+    per_batch: int = 64,
+    num_partitions: int = 8,
+) -> list:
+    """Sampled heavy-key sketch driving ``skew_join``'s path choice.
+
+    Per-batch top-``per_batch`` key counts (a combiner: O(per_batch) rows
+    leave each batch regardless of batch size) -> one SMALL exchange over
+    the sampled partials -> per-partition top -> a bounded driver reduce
+    (<= blocks x top rows).  The sketch is APPROXIMATE — a key's count is
+    summed only over batches where it reached that batch's top, so block
+    boundaries matter — which is safe by design: ``skew_join``'s output
+    is identical for ANY heavy set; the sketch only steers rows between
+    the broadcast path and the exchange path.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].value_counts().head(per_batch)
+        return pd.DataFrame(
+            {col: vc.index.to_numpy(), "_n": vc.to_numpy().astype(np.int64)}
+        )
+
+    combined = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [col],
+        lambda g: g.agg(_n=("_n", "sum")),
+        num_partitions=num_partitions,
+    )
+    tops = combined.map_batches(
+        lambda b: b.sort_values(["_n", col], ascending=[False, True]).head(top),
+        batch_format="pandas",
+    ).to_pandas()
+    if tops.empty:
+        return []
+    tops = tops.sort_values(["_n", col], ascending=[False, True], ignore_index=True)
+    return tops[col].head(top).tolist()
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str,
+    left_schema: dict,
+    right_schema: dict,
+    how: str = "inner",
+    num_partitions: int = 32,
+    heavy_keys: Sequence | None = None,
+    heavy_top: int = 16,
+) -> rd.Dataset:
+    """Skew-adaptive hybrid equi-join (the AQE "skew join" shape).
+
+    Rows whose key is in the (sampled) heavy set NEVER enter the
+    exchange: the matching RIGHT subset is collected once, broadcast via
+    ``ray.put``, and heavy left rows join map-side IN PLACE — their
+    parallelism is the scan's, independent of the key distribution — so
+    a key holding 30% of the left side costs zero shuffle instead of one
+    straggler partition.  All other rows take the ordinary ``hash_join``
+    exchange.  The output SET is identical to ``hash_join`` for ANY
+    heavy set (every left row takes exactly one path, chosen by its own
+    key; the right side is split by the same key test), so a sampled /
+    nondeterministic heavy sketch can never change the answer — only
+    where each key's work runs.  Compare ``hash_join(salt=)``, which
+    spreads a hot key across salt partitions but still ships its rows.
+
+    Contract: the right side PER HEAVY KEY must be broadcast-small (a
+    dimension or pre-aggregated side — its heavy-key rows are replicated
+    to every probe worker).  ``how``: inner / left / semi / anti
+    ("outer" would need global knowledge of unmatched heavy RIGHT rows,
+    which the map side cannot see — use ``hash_join``).  LEFT is
+    consumed twice (heavy pass + light pass): pass a column-pruned read
+    or a materialized dataset.
+    """
+    import ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"skew_join does not support how={how!r}")
+    overlap = (set(left_schema) - {on}) & (set(right_schema) - {right_on})
+    if overlap:
+        raise ValueError(f"non-key column names must be disjoint: {overlap}")
+    if heavy_keys is None:
+        heavy_keys = sample_heavy_keys(left, on, top=heavy_top)
+    heavy_keys = list(heavy_keys)
+    if not heavy_keys:
+        return hash_join(left, right, on, right_on, left_schema,
+                         right_schema, how, num_partitions)
+
+    l_cols = list(left_schema)
+    r_out = [c for c in right_schema if c != right_on]
+
+    def _cast(b: pd.DataFrame, schema: dict, rename=None) -> pd.DataFrame:
+        if rename:
+            b = b.rename(columns=rename)
+        out = {}
+        for c, dt in schema.items():
+            name = on if (rename and c == right_on) else c
+            v = b[name].to_numpy()
+            d = np.dtype(dt)
+            out[name] = v if d == object else v.astype(d, copy=False)
+        return pd.DataFrame(out)
+
+    rsub = (
+        right.map_batches(
+            lambda b: b[b[right_on].isin(heavy_keys)], batch_format="pandas"
+        )
+        .map_batches(
+            lambda b: _cast(b, right_schema, rename={right_on: on}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    ref = ray.put(rsub)
+
+    class HeavyProbe:
+        """Map-side join of heavy left rows against the broadcast right
+        subset — fetched from the object store ONCE per actor."""
+
+        def __init__(self):
+            self.r = ray.get(ref)
+            self.rkeys = self.r[on].unique()
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            lb = _cast(b[b[on].isin(heavy_keys)], left_schema)
+            if how in ("inner", "left"):
+                return lb.merge(self.r, on=on, how=how)
+            mask = lb[on].isin(self.rkeys).to_numpy()
+            return lb[~mask] if how == "anti" else lb[mask]
+
+    heavy_out = left.map_batches(
+        HeavyProbe, batch_format="pandas", concurrency=(1, 8)
+    )
+    light_left = left.map_batches(
+        lambda b: b[~b[on].isin(heavy_keys)], batch_format="pandas"
+    )
+    light_right = right.map_batches(
+        lambda b: b[~b[right_on].isin(heavy_keys)], batch_format="pandas"
+    )
+    light_out = hash_join(light_left, light_right, on, right_on,
+                          left_schema, right_schema, how, num_partitions)
+    return heavy_out.union(light_out)
+
+
 def small_grouped_agg(
     ds: rd.Dataset,
     key_cols: Sequence[str],

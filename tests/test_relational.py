@@ -316,3 +316,77 @@ def test_partition_load_histogram(ray_session):
     got = dict(zip(sizes["p"], sizes["n"]))
     want = {r.partition: r.n_rows for r in hist.itertuples() if r.n_rows}
     assert got == want
+
+
+def test_skew_join_matches_hash_join():
+    """Skew-adaptive hybrid join: one key owning ~80% of the left side
+    takes the broadcast map-side path, everything else the exchange —
+    the row set must be identical to plain hash_join for every supported
+    ``how``, with an explicit heavy set AND with the sampled sketch."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.8, 42, rng.integers(0, 500, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype=np.int64)})
+    # right misses keys >= 400 (exercises left-NaN / anti-keep paths) and
+    # duplicates key 42 (heavy-side many-to-many)
+    right = pd.DataFrame(
+        {"rk": np.r_[np.arange(400), [42, 42]].astype(np.int64)}
+    )
+    right["w"] = right["rk"] * 10
+    ls = {"k": "int64", "v": "int64"}
+    rs = {"rk": "int64", "w": "int64"}
+
+    for how in ("inner", "left", "semi", "anti"):
+        r_schema = rs if how in ("inner", "left") else {"rk": "int64"}
+        r_in = right if how in ("inner", "left") else right[["rk"]]
+        plain = normalize(to_pandas(exchange.hash_join(
+            rd.from_pandas(left), rd.from_pandas(r_in), "k", "rk",
+            ls, r_schema, how=how, num_partitions=8)))
+        for hk in ([42], [42, 7, 999]):  # 999: heavy key absent from both
+            skew = normalize(to_pandas(exchange.skew_join(
+                rd.from_pandas(left), rd.from_pandas(r_in), "k", "rk",
+                ls, r_schema, how=how, num_partitions=8, heavy_keys=hk)))
+            pd.testing.assert_frame_equal(
+                plain, skew, check_dtype=False, check_exact=True)
+        sampled = normalize(to_pandas(exchange.skew_join(
+            rd.from_pandas(left), rd.from_pandas(r_in), "k", "rk",
+            ls, r_schema, how=how, num_partitions=8, heavy_top=4)))
+        pd.testing.assert_frame_equal(
+            plain, sampled, check_dtype=False, check_exact=True)
+
+
+def test_sample_heavy_keys_finds_hot_key():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 50_000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 2000, n)).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+    top = exchange.sample_heavy_keys(ds, "k", top=4)
+    assert top and top[0] == 7
+
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")}))
+    assert exchange.sample_heavy_keys(empty, "k") == []
+
+
+def test_skew_join_validation():
+    import numpy as np
+
+    left = rd.from_pandas(pd.DataFrame({"k": np.arange(4, dtype=np.int64),
+                                        "v": np.arange(4, dtype=np.int64)}))
+    right = rd.from_pandas(pd.DataFrame({"rk": np.arange(4, dtype=np.int64),
+                                         "w": np.arange(4, dtype=np.int64)}))
+    with pytest.raises(ValueError, match="how"):
+        exchange.skew_join(left, right, "k", "rk", {"k": "int64", "v": "int64"},
+                           {"rk": "int64", "w": "int64"}, how="outer",
+                           heavy_keys=[1])
+    with pytest.raises(ValueError, match="disjoint"):
+        exchange.skew_join(left, right, "k", "rk", {"k": "int64", "v": "int64"},
+                           {"rk": "int64", "v": "int64"}, heavy_keys=[1])
+    # empty heavy set degenerates to the plain exchange join
+    got = normalize(to_pandas(exchange.skew_join(
+        left, right, "k", "rk", {"k": "int64", "v": "int64"},
+        {"rk": "int64", "w": "int64"}, heavy_keys=[])))
+    assert len(got) == 4
