@@ -121,6 +121,26 @@ def minhash_sig_and_hashes(
     return out, hsets
 
 
+def shingle_hash_sets(texts: pd.Series, k: int = 3) -> list:
+    """Sorted-unique ``md5half % p`` int64 shingle-hash set per text —
+    the near-dup verification payload WITHOUT the MinHash signature work
+    (the all-pairs prefix-filter path needs only the sets).  Identical
+    hashing to ``minhash_sig_and_hashes`` and to the SQL oracle's
+    ``md5_number_lower % p`` recomputation."""
+    out = []
+    for text in texts:
+        toks = text.split(" ") if isinstance(text, str) else []
+        sh = shingles(toks, k)
+        if not sh:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        hv = np.fromiter(
+            (md5half(s) % MERSENNE_P for s in sh), dtype=np.int64, count=len(sh)
+        )
+        out.append(np.unique(hv))
+    return out
+
+
 def band_keys(signatures: np.ndarray, bands: int = 16) -> np.ndarray:
     """Collapse each signature into ``bands`` LSH bucket keys.
 

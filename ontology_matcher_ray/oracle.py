@@ -204,6 +204,35 @@ SELECT a, b, jaccard_micro FROM pairs
 """
 
 
+def allpairs_sql(threshold_micro: int = 800_000) -> str:
+    """Ground truth for ``stages/dedup.allpairs_jaccard``: EVERY pair of
+    docs with integer micro-unit Jaccard >= threshold over the md5-hashed
+    3-shingle sets — the full quadratic all-pairs answer (candidates =
+    any shared hash), NOT a recomputation of the engine's prefix-filter
+    candidate generation, so the oracle independently proves the
+    prefix-filter lemma's exact recall."""
+    return f"""
+WITH {SHINGLE_CTES},
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           s, g -> CAST(md5_number_lower(g) % {MINHASH_P} AS BIGINT))) AS s
+  FROM sh WHERE len(s) > 0
+),
+hv AS (SELECT doc_id, unnest(s) AS h FROM hs),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM hv x JOIN hv y ON x.h = y.h AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b,
+       (len(list_intersect(sa.s, sb.s)) * 1000000)
+         // len(list_distinct(sa.s || sb.s)) AS jaccard_micro
+FROM cand c JOIN hs sa ON sa.doc_id = c.a JOIN hs sb ON sb.doc_id = c.b
+WHERE (len(list_intersect(sa.s, sb.s)) * 1000000)
+        // len(list_distinct(sa.s || sb.s)) >= {threshold_micro}
+"""
+
+
 def substring_pairs_sql(k: int = 8, max_df: int = 8,
                         min_shared: int = 2) -> str:
     """Independent recomputation of ``docs_text.dedup_substring``: every
@@ -2093,6 +2122,7 @@ WHERE n_rows = (SELECT least(count(*), 256) FROM documents)
 """
 
     sql["dedup_minhash"] = minhash_sql()
+    sql["dedup_jaccard_all"] = allpairs_sql()
     sql["dedup_substring"] = substring_pairs_sql()
 
     # SemDeDup pairs: k-means blocking is non-SQL algebra; the expected
@@ -2716,6 +2746,7 @@ SELECT 'sliding', {win_cols} FROM ({s})
     ja, mh = take("dedup_jaccard_adjacent"), take("dedup_minhash")
     sp, em = take("dedup_simhash_pairs"), take("dedup_embedding")
     ss, sd = take("dedup_substring"), take("dedup_semdedup")
+    jall = take("dedup_jaccard_all")
     sql["dedup_pairs"] = f"""
 SELECT 'jaccard_adjacent' AS method, a, b, jaccard_micro AS score FROM ({ja})
 UNION ALL
@@ -2728,6 +2759,8 @@ UNION ALL
 SELECT 'substring', a, b, shared_spans FROM ({ss})
 UNION ALL
 SELECT 'semdedup', a, b, cos_sim_micro FROM ({sd})
+UNION ALL
+SELECT 'jaccard_all', a, b, jaccard_micro FROM ({jall})
 """
 
     # --- global + per-language token frequencies + heavy hitters ---------

@@ -213,10 +213,12 @@ def dedup_pairs(sf_dir: str) -> rd.Dataset:
     MinHash+LSH verified pairs ('minhash'), simhash hamming-verified
     pairs ('simhash'), embedding-cosine LSH pairs ('embedding'),
     exact duplicated-span pairs ('substring', Lee-et-al-style),
-    SemDeDup k-means-blocked cosine pairs ('semdedup').
+    SemDeDup k-means-blocked cosine pairs ('semdedup'), and the EXACT
+    all-pairs prefix-filter join ('jaccard_all' — every pair with
+    Jaccard >= 0.8, the full-recall counterpart of 'minhash').
     ``score`` carries each method's native integer metric
     (jaccard_micro / jaccard_micro / hamming / cos_sim_micro /
-    shared_spans / cos_sim_micro)."""
+    shared_spans / cos_sim_micro / jaccard_micro)."""
 
     def rescore(ds: rd.Dataset, src: str) -> rd.Dataset:
         def stage(b: pd.DataFrame) -> pd.DataFrame:
@@ -239,6 +241,8 @@ def dedup_pairs(sf_dir: str) -> rd.Dataset:
                 "method", "substring", _PAIR_COLS),
         _tagged(rescore(docs_text.dedup_semdedup(sf_dir), "cos_sim_micro"),
                 "method", "semdedup", _PAIR_COLS),
+        _tagged(rescore(docs_text.dedup_jaccard_all(sf_dir), "jaccard_micro"),
+                "method", "jaccard_all", _PAIR_COLS),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -758,6 +758,16 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     )
 
 
+def dedup_jaccard_all(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """EXACT all-pairs 3-shingle Jaccard >= threshold via prefix
+    filtering (stages/dedup.allpairs_jaccard) — every qualifying pair,
+    not an LSH-recalled subset; the oracle is the full quadratic ground
+    truth."""
+    return dedup_stages.allpairs_jaccard(
+        read_documents(sf_dir, columns=["doc_id", "text"]), threshold=threshold
+    )
+
+
 def dedup_clusters(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     """Near-dup cluster resolution: connected components over verified
     MinHash pairs -> (doc_id, cluster_id, keep) with the min-id survivor

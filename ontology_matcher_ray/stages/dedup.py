@@ -241,6 +241,18 @@ def minhash_near_dups(
     )
     pair_sh = exchange.pair_payload_join_rows(payloads, cand, num_partitions)
 
+    return exchange.partitioned_apply(
+        pair_sh, ["a", "b"], jaccard_verify_kernel(t_micro), num_partitions
+    )
+
+
+def jaccard_verify_kernel(t_micro: int):
+    """Per-partition exact-Jaccard verifier over ``pair_payload_join``
+    rows (two int64 hash-set payload rows per candidate pair): integer
+    micro-unit Jaccard, thresholded at ``t_micro`` — shared by the
+    MinHash-LSH and all-pairs prefix-filter paths so both verify with
+    the SAME bit-exact kernel."""
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         out = _align_pairs(g)
         cols = ["a", "b", "jaccard_micro"]
@@ -268,7 +280,114 @@ def minhash_near_dups(
         return pd.DataFrame({"a": a[keep], "b": b[keep],
                              "jaccard_micro": jm[keep]})
 
-    return exchange.partitioned_apply(pair_sh, ["a", "b"], verify, num_partitions)
+    return verify
+
+
+def allpairs_jaccard(
+    ds: rd.Dataset,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    materialize_payloads: bool = True,
+) -> rd.Dataset:
+    """EXACT all-pairs set-similarity self-join — every pair with Jaccard
+    >= threshold over md5-hashed k-shingle sets — via prefix filtering
+    (the All-Pairs / PPJoin candidate rule): the exact-recall counterpart
+    of ``minhash_near_dups`` (LSH recall < 1; this emits EVERY
+    qualifying pair, so its SQL oracle is the full quadratic ground
+    truth, not a recomputation of the engine's own candidates).
+
+    Global token order = ascending hash (deterministic and
+    exchange-free; df-ascending — the classic candidate-minimizing
+    refinement — would cost one df exchange + a prefix rejoin).  Per doc
+    with n distinct shingle hashes only the FIRST L = n - ceil(t*n) + 1
+    hashes are indexed.  Recall proof: for a qualifying pair,
+    inter >= ceil(t * max(|A|, |B|)); the SMALLEST common hash x has at
+    most |A| - inter elements of A before it (every other common element
+    sorts after x), so x sits within A's first |A| - ceil(t*|A|) + 1
+    hashes — and symmetrically for B — hence the pair shares a hash both
+    sides INDEXED, and the bucket exchange surfaces it.
+
+    Plan: one fused corpus pass emits payload rows (full hash set) and
+    prefix rows (hash, doc, set size); bucket exchange on prefix hash ->
+    per-bucket pairs pruned by the size condition min*1e6 >= t_micro*max
+    (necessary for any qualifying pair, so prune-only); then the SAME
+    two-exchange payload join + integer verify kernel as MinHash.  A
+    hash shared by B docs' prefixes costs O(B^2) candidates — inherent
+    to exact all-pairs (those docs ARE pairwise candidates); the size
+    filter prunes cross-size pairs before they are emitted.
+
+    Emits (a, b, jaccard_micro), a < b.
+    """
+    from ontology_matcher_ray.functions.hashing import shingle_hash_sets
+    from ontology_matcher_ray.stages import exchange
+
+    t_micro = int(round(threshold * 1_000_000))
+
+    def fused(batch: pd.DataFrame) -> pd.DataFrame:
+        hsets = shingle_hash_sets(batch[text_col].astype(str), k)
+        ids = batch[id_col].to_numpy()
+        sizes = np.fromiter((len(h) for h in hsets), dtype=np.int64,
+                            count=len(hsets))
+        keep = sizes > 0
+        ids, sizes = ids[keep], sizes[keep]
+        hsets = [h for h, kp in zip(hsets, keep) if kp]
+        # ceil(t*n) in exact integer arithmetic
+        pref_len = sizes - (t_micro * sizes + 999_999) // 1_000_000 + 1
+        pref = ([np.concatenate([h[:L] for h, L in zip(hsets, pref_len)])]
+                if len(hsets) else [np.empty(0, dtype=np.int64)])
+        prefix_rows = pd.DataFrame({
+            "h": pref[0],
+            "doc_id": np.repeat(ids, pref_len),
+            "size": np.repeat(sizes, pref_len),
+            "payload": [None] * int(pref_len.sum()),
+        })
+        payload_rows = pd.DataFrame({
+            "h": np.full(len(ids), -1, dtype=np.int64),
+            "doc_id": ids,
+            "size": sizes,
+            "payload": [h.tolist() for h in hsets],
+        })
+        return pd.concat([prefix_rows, payload_rows], ignore_index=True)
+
+    src = ds.map_batches(fused, batch_format="pandas", batch_size=256)
+    if materialize_payloads:
+        src = src.materialize()
+    prefix_rows = src.map_batches(
+        lambda b: b.loc[b["h"] >= 0, ["h", "doc_id", "size"]],
+        batch_format="pandas")
+    payloads = src.map_batches(
+        lambda b: b.loc[b["h"] < 0, ["doc_id", "payload"]],
+        batch_format="pandas")
+
+    def pairs_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in ("a", "b")})
+        bucket_sizes = g.groupby("h", sort=False)["doc_id"].transform("size")
+        multi = g[bucket_sizes > 1]
+        out = []
+        for _h, grp in multi.groupby("h", sort=False):
+            o = np.argsort(grp["doc_id"].to_numpy())
+            ids = grp["doc_id"].to_numpy()[o]
+            szs = grp["size"].to_numpy()[o]
+            ai, bi = np.triu_indices(len(ids), k=1)
+            na, nb = szs[ai], szs[bi]
+            ok = np.minimum(na, nb) * 1_000_000 >= t_micro * np.maximum(na, nb)
+            if ok.any():
+                out.append(pd.DataFrame({"a": ids[ai[ok]], "b": ids[bi[ok]]}))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    cand = exchange.partitioned_apply(
+        prefix_rows, ["h"], pairs_per_partition, num_partitions
+    )
+    pair_sh = exchange.pair_payload_join_rows(payloads, cand, num_partitions)
+    return exchange.partitioned_apply(
+        pair_sh, ["a", "b"], jaccard_verify_kernel(t_micro), num_partitions
+    )
 
 
 def _align_pairs(g: pd.DataFrame):
