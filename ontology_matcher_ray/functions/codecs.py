@@ -310,6 +310,242 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a): palette + LZW — a REAL compressed video-ish container
+# decodable with zero codec libraries (the GIF89a spec's Appendix-F LZW
+# is ~60 lines of integer code).  Animated GIF is the one true
+# compressed ANIMATION format this environment can round-trip, so the
+# frame-sampling video path runs over a genuinely compressed container,
+# not just raw PPM streams.
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_CODES = 4096          # 12-bit LZW ceiling (GIF89a Appendix F)
+
+
+def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW over palette indices.  Spec'd choices shared with
+    the decoder (and the oracle's independent reimplementation): CLEAR
+    emitted first; code width = mcs+1 growing when the next free code
+    reaches 2^width (cap 12); table reset via CLEAR when full;
+    LSB-first bit packing."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict = {}
+    next_code = eoi + 1
+    emit(clear)
+    prefix = -1
+    for sym in indices:
+        sym = int(sym)
+        if prefix < 0:
+            prefix = sym
+            continue
+        key = (prefix << 8) | sym
+        cur = table.get(key)
+        if cur is not None:
+            prefix = cur
+            continue
+        emit(prefix)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == _GIF_MAX_CODES:
+            emit(clear)
+            table.clear()
+            next_code = eoi + 1
+            width = mcs + 1
+        prefix = sym
+    if prefix >= 0:
+        emit(prefix)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes:
+    """Inverse of ``_gif_lzw_encode`` incl. the KwKwK (code == next
+    free slot) case; tolerates a full table until the next CLEAR."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)          # missing EOI: emit what we have
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        n_assigned = len(table) + 2        # + clear + eoi slots
+        if prev is None:
+            if code >= len(base):
+                raise ValueError("LZW: first code after CLEAR not literal")
+            entry = table[code]
+        elif code < clear:
+            entry = table[code]
+        elif code - 2 < len(table):        # codes above eoi map past base
+            entry = table[code - 2]
+        elif code - 2 == len(table):
+            entry = prev + prev[:1]        # KwKwK
+        else:
+            raise ValueError(f"LZW: code {code} beyond table")
+        if prev is not None and n_assigned < _GIF_MAX_CODES:
+            table.append(prev + entry[:1])
+            # the decoder's table trails the encoder's by exactly one
+            # entry, so it must widen one assignment EARLY to read the
+            # encoder's first (width+1)-bit code at the right width
+            if n_assigned + 1 == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def _gif_palette(frames) -> np.ndarray:
+    """Ascending packed-RGB palette over ALL frames (<= 256 colors or
+    ValueError — GIF is a palette format; callers quantize first)."""
+    packed = np.unique(np.concatenate([
+        (f[:, :, 0].astype(np.int64) << 16)
+        | (f[:, :, 1].astype(np.int64) << 8)
+        | f[:, :, 2].astype(np.int64)
+        for f in frames
+    ], axis=None))
+    if len(packed) > 256:
+        raise ValueError(f"GIF palette overflow: {len(packed)} colors > 256")
+    return packed
+
+
+def encode_gif(frames, delay_ms: int = 0) -> bytes:
+    """(H, W, 3) uint8 frame list -> GIF89a bytes.
+
+    One global color table (ascending packed RGB over all frames, padded
+    to a power-of-two size), no local tables, no interlace; animated
+    payloads (>1 frame) carry one Graphic Control Extension per frame
+    with ``delay_ms`` rounded to centiseconds."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w, c = frames[0].shape
+    if c != 3 or any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all frames must share one (H, W, 3) shape")
+    palette = _gif_palette(frames)
+    size_bits = 1
+    while (1 << size_bits) < len(palette):
+        size_bits += 1
+    n_entries = 1 << size_bits
+    mcs = max(2, size_bits)
+    gct = np.zeros((n_entries, 3), dtype=np.uint8)
+    gct[: len(palette), 0] = (palette >> 16) & 0xFF
+    gct[: len(palette), 1] = (palette >> 8) & 0xFF
+    gct[: len(palette), 2] = palette & 0xFF
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((size_bits - 1) << 4) | (size_bits - 1), 0, 0])
+    out += gct.tobytes()
+    animated = len(frames) > 1
+    for f in frames:
+        if animated:
+            out += bytes([0x21, 0xF9, 0x04, 0x00])
+            out += struct.pack("<H", delay_ms // 10)
+            out += bytes([0x00, 0x00])
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        packed = ((f[:, :, 0].astype(np.int64) << 16)
+                  | (f[:, :, 1].astype(np.int64) << 8)
+                  | f[:, :, 2].astype(np.int64)).ravel()
+        idx = np.searchsorted(palette, packed).astype(np.int64)
+        out.append(mcs)
+        lzw = _gif_lzw_encode(idx, mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF bytes -> list of (H, W, 3) uint8 frames (global-color-table,
+    non-interlaced subset — exactly what ``encode_gif`` emits; local
+    color tables or interlace raise)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed_field = payload[10]
+    pos = 13
+    palette = None
+    if packed_field & 0x80:
+        n_entries = 2 << (packed_field & 0x07)
+        raw = np.frombuffer(payload[pos:pos + 3 * n_entries], np.uint8)
+        palette = raw.reshape(n_entries, 3)
+        pos += 3 * n_entries
+    frames = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:                  # trailer
+            break
+        if block == 0x21:                  # extension: skip sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack("<HHHH", payload[pos:pos + 8])
+        flags = payload[pos + 8]
+        pos += 9
+        if flags & 0x80 or flags & 0x40:
+            raise ValueError("local color tables / interlace unsupported")
+        if palette is None:
+            raise ValueError("GIF without a global color table")
+        mcs = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = np.frombuffer(_gif_lzw_decode(bytes(lzw), mcs), np.uint8)
+        if len(idx) != fw * fh:
+            raise ValueError(
+                f"LZW index count {len(idx)} != {fw}x{fh} frame")
+        frames.append(palette[idx].reshape(fh, fw, 3).copy())
+    return frames
+
+
+# ---------------------------------------------------------------------------
 # magic sniffing
 # ---------------------------------------------------------------------------
 
@@ -326,9 +562,11 @@ COMPRESSED_MAGIC = {
 
 def sniff(payload: bytes) -> str:
     """Container id for a payload: 'ppm' | 'bmp' | 'wav' | 'png' |
-    'jpeg' | a compressed format name | 'unknown'."""
+    'jpeg' | 'gif' | a compressed format name | 'unknown'."""
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

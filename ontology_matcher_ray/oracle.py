@@ -943,6 +943,122 @@ def _oracle_encode_png(i: int, w: int, h: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _oracle_gif_lzw(indices, mcs: int) -> bytes:
+    """GIF Appendix-F LZW restated independently (tuple-keyed dict table,
+    two-phase codes-then-pack — never the engine's numpy/int-key
+    implementation).  The spec choices ``codecs.encode_gif`` documents
+    and ``decode_gif`` mirrors: CLEAR first, width mcs+1 growing when
+    the next free code reaches 2^width (early change, cap 12), CLEAR +
+    reset when the table fills, LSB-first packing."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    codes = []
+    width = mcs + 1
+    table = {}
+    nxt = eoi + 1
+    codes.append((clear, width))
+    prefix = None
+    for s in indices:
+        s = int(s)
+        if prefix is None:
+            prefix = s
+            continue
+        if (prefix, s) in table:
+            prefix = table[(prefix, s)]
+            continue
+        codes.append((prefix, width))
+        table[(prefix, s)] = nxt
+        nxt += 1
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4096:
+            codes.append((clear, width))
+            table = {}
+            nxt = eoi + 1
+            width = mcs + 1
+        prefix = s
+    if prefix is not None:
+        codes.append((prefix, width))
+    codes.append((eoi, width))
+    out = bytearray()
+    acc = nb = 0
+    for code, wd in codes:
+        acc |= code << nb
+        nb += wd
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _oracle_gif_container(frames_rgb, w: int, h: int,
+                          delay_cs: int | None) -> bytes:
+    """Independent GIF89a framing over raw-RGB frame bytearrays: global
+    color table = ascending packed RGB over all frames padded to a power
+    of two, per-frame GCE only when animated (``delay_cs`` not None),
+    no local tables, no interlace — the contract encode_gif states."""
+    import struct
+
+    colors = set()
+    for fr in frames_rgb:
+        for p in range(0, len(fr), 3):
+            colors.add((fr[p] << 16) | (fr[p + 1] << 8) | fr[p + 2])
+    palette = sorted(colors)
+    if len(palette) > 256:
+        raise ValueError("oracle GIF palette overflow")
+    size_bits = 1
+    while (1 << size_bits) < len(palette):
+        size_bits += 1
+    mcs = max(2, size_bits)
+    lookup = {c: k for k, c in enumerate(palette)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((size_bits - 1) << 4) | (size_bits - 1), 0, 0])
+    for c in palette:
+        out += bytes([(c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF])
+    out += b"\x00" * (3 * ((1 << size_bits) - len(palette)))
+    for fr in frames_rgb:
+        if delay_cs is not None:
+            out += bytes([0x21, 0xF9, 0x04, 0x00])
+            out += struct.pack("<H", delay_cs)
+            out += bytes([0x00, 0x00])
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        idx = [lookup[(fr[p] << 16) | (fr[p + 1] << 8) | fr[p + 2]]
+               for p in range(0, len(fr), 3)]
+        out.append(mcs)
+        lzw = _oracle_gif_lzw(idx, mcs)
+        for k in range(0, len(lzw), 255):
+            chunk = lzw[k:k + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _oracle_encode_gif_still(i: int, w: int, h: int) -> bytes:
+    """Independent single-frame GIF from the image closed form."""
+    fr = bytearray()
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                fr.append((i * 31 + y * 7 + x * 3 + c * 11) % 256)
+    return _oracle_gif_container([fr], w, h, None)
+
+
+def _oracle_video_gif(i: int, frame_step: int = 1) -> bytes:
+    """Independent animated GIF from the video closed form (every
+    ``frame_step``-th frame, 4 cs delay — the engine's VIDEO_FRAME_MS
+    rounded to centiseconds)."""
+    n_frames = 4 + (i % 5)
+    frames = [_oracle_video_frame_pixels(i, fr)
+              for fr in range(0, n_frames, frame_step)]
+    return _oracle_gif_container(frames, _VIDEO_W, _VIDEO_H, 4)
+
+
 def _oracle_encode_wav(i: int, duration_ms: int) -> bytes:
     """Independent RIFF/PCM16 encoder from the sawtooth closed form."""
     import struct
@@ -1268,7 +1384,7 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
 
     out_dir = "/tmp/onto_ray_oracle"
     path = os.path.join(
-        out_dir, f"expected_media_v4_{n_rows}_{dim}_{seed}.parquet"
+        out_dir, f"expected_media_v5_{n_rows}_{dim}_{seed}.parquet"
     )
     if os.path.exists(path):
         return path
@@ -1282,7 +1398,7 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
         duration_ms = (i % 30) * 1000
         if kind == "image":
             enc = (_oracle_encode_ppm, _oracle_encode_bmp,
-                   _oracle_encode_png)[(i // 3) % 3]
+                   _oracle_encode_png, _oracle_encode_gif_still)[(i // 3) % 4]
             payload = enc(i, width, height)
             duration_ms = 0
             feat = _oracle_image_feat(i, width, height)
@@ -1291,7 +1407,8 @@ def media_expected_parquet(n_rows: int = 256, dim: int = 16, seed: int = 42) -> 
             width = height = 0
             feat = _oracle_audio_feat(i, duration_ms)
         else:
-            payload = _oracle_video_payload(i)
+            payload = (_oracle_video_gif(i) if (i // 3) % 2
+                       else _oracle_video_payload(i))
             feat = _oracle_video_feat(i)
             width, height = 32, 24
             duration_ms = (4 + (i % 5)) * 40
@@ -1334,7 +1451,7 @@ def media_transform_expected_parquet(n_rows: int = 256, out_w: int = 32,
     out_dir = "/tmp/onto_ray_oracle"
     path = os.path.join(
         out_dir,
-        f"expected_mediatr_v2_{n_rows}_{out_w}x{out_h}_{clip_ms}_{seed}.parquet",
+        f"expected_mediatr_v3_{n_rows}_{out_w}x{out_h}_{clip_ms}_{seed}.parquet",
     )
     if os.path.exists(path):
         return path
@@ -1372,7 +1489,11 @@ def media_transform_expected_parquet(n_rows: int = 256, out_w: int = 32,
         else:
             n_frames = 4 + (i % 5)
             kept = list(range(0, n_frames, 2))
-            body = b"".join(_oracle_video_frame_bytes(i, fr) for fr in kept)
+            if (i // 3) % 2:
+                body = _oracle_video_gif(i, frame_step=2)
+            else:
+                body = b"".join(_oracle_video_frame_bytes(i, fr)
+                                for fr in kept)
             dur = (n_frames * 40) * len(kept) // n_frames
             rows.append((i, kind, "frame_sample", _VIDEO_W, _VIDEO_H, dur,
                          hashlib.sha256(body).hexdigest(), n_rows))

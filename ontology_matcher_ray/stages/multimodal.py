@@ -4,10 +4,12 @@ decode for uncompressed containers.
 Images/audio/video ride Ray Data as ``binary`` columns with metadata
 columns alongside (SURVEY's training-data extensions).  Decoding:
 
-* ``P6`` PPM / 24-bit BMP / 8-bit PNG / baseline JPEG / RIFF PCM16 WAV
-  / PPM-stream (concatenated P6 frames — the uncompressed video
-  analogue) payloads are decoded FOR REAL (pure-numpy parsers incl. a
-  zlib+5-filter PNG decoder in ``functions/codecs.py`` and an 8x8-DCT +
+* ``P6`` PPM / 24-bit BMP / 8-bit PNG / baseline JPEG / GIF87a-89a
+  (incl. ANIMATED — palette + Appendix-F LZW, a genuinely compressed
+  animation container) / RIFF PCM16 WAV / PPM-stream (concatenated P6
+  frames — the uncompressed video analogue) payloads are decoded FOR
+  REAL (pure-numpy parsers incl. a zlib+5-filter PNG decoder and a
+  full LZW GIF codec in ``functions/codecs.py`` and an 8x8-DCT +
   Annex-K-Huffman baseline JPEG codec in ``functions/jpeg.py``) and
   reduced to a deterministic 16-dim feature vector (channel stats +
   quadrant luminance for images; RMS / zero-crossings / segment
@@ -36,10 +38,12 @@ import ray.data as rd
 from ontology_matcher_ray.functions.codecs import (
     COMPRESSED_MAGIC,
     decode_bmp24,
+    decode_gif,
     decode_png,
     decode_ppm,
     decode_ppm_stream,
     decode_wav,
+    encode_gif,
     encode_png,
     encode_ppm,
     encode_ppm_stream,
@@ -108,16 +112,16 @@ def synthesize_media_table(
     """Deterministic media table with REAL payloads: (media_id, kind,
     payload, width, height, duration_ms).
 
-    Image rows rotate P6 PPM / 24-bit BMP / PNG encodings of a
-    closed-form pixel pattern; audio rows are PCM16 WAV of an integer
-    sawtooth (8 kHz
+    Image rows rotate P6 PPM / 24-bit BMP / PNG / GIF encodings of a
+    closed-form pixel pattern (the pattern's color is a function of one
+    mod-256 base value, so every image fits a 256-color GIF palette
+    exactly); audio rows are PCM16 WAV of an integer sawtooth (8 kHz
     mono — integer arithmetic only, so bit-stable without libm); video
-    rows are PPM STREAMS (concatenated P6 frames, the uncompressed
-    analogue of an MJPEG stream) of 4-8 closed-form frames — a compressed
-    container (H.264/MP4) would not be decodable here, but a raw frame
-    stream is, so frame-level ops run FOR REAL.  ``payload_bytes`` is
-    retained for signature compatibility (video size now follows its
-    frame count)."""
+    rows alternate PPM STREAMS (concatenated P6 frames, the uncompressed
+    analogue of an MJPEG stream) and ANIMATED GIF (palette + LZW — a
+    genuinely compressed animation container decoded for real) of 4-8
+    closed-form frames.  ``payload_bytes`` is retained for signature
+    compatibility (video size now follows its frame count)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n_rows):
@@ -127,7 +131,8 @@ def synthesize_media_table(
         duration_ms = (i % 30) * 1000
         if kind == "image":
             arr = media_image_pattern(i, width, height)
-            enc = (encode_ppm, encode_bmp24, encode_png)[(i // 3) % 3]
+            enc = (encode_ppm, encode_bmp24, encode_png,
+                   lambda a: encode_gif([a]))[(i // 3) % 4]
             payload = enc(arr)
             duration_ms = 0
         elif kind == "audio":
@@ -135,9 +140,11 @@ def synthesize_media_table(
             width = height = 0
         else:
             n_frames = 4 + (i % 5)
-            payload = encode_ppm_stream(
-                [media_video_pattern(i, f) for f in range(n_frames)]
-            )
+            frames = [media_video_pattern(i, f) for f in range(n_frames)]
+            if (i // 3) % 2:
+                payload = encode_gif(frames, delay_ms=VIDEO_FRAME_MS)
+            else:
+                payload = encode_ppm_stream(frames)
             width, height = VIDEO_W, VIDEO_H
             duration_ms = n_frames * VIDEO_FRAME_MS
         rows.append(
@@ -221,6 +228,13 @@ class MediaFeaturizer:
             return image_features(decode_bmp24(payload))
         if container == "png":
             return image_features(decode_png(payload))
+        if container == "gif":
+            # palette+LZW decoded for real; 1 frame = still image,
+            # several = compressed animation
+            frames = decode_gif(payload)
+            if len(frames) == 1:
+                return image_features(frames[0])
+            return video_features(frames)
         if container == "jpeg":
             try:
                 return image_features(decode_jpeg(payload))
@@ -335,6 +349,18 @@ class MediaTransformer:
         if container == "png":
             out = encode_ppm(self._resize(decode_png(payload)))
             return "resize", out, self.out_w, self.out_h, 0
+        if container == "gif":
+            frames = decode_gif(payload)
+            if len(frames) > 1:
+                # frame-sample INSIDE the compressed container: decode,
+                # keep every frame_step-th frame, re-encode as GIF
+                kept = frames[::self.frame_step]
+                return ("frame_sample",
+                        encode_gif(kept, delay_ms=VIDEO_FRAME_MS),
+                        frames[0].shape[1], frames[0].shape[0],
+                        duration_ms * len(kept) // len(frames))
+            return ("resize", encode_ppm(self._resize(frames[0])),
+                    self.out_w, self.out_h, 0)
         if container == "jpeg":
             try:
                 arr = decode_jpeg(payload)

@@ -262,3 +262,83 @@ def test_png_roundtrip_and_filters():
     a4 = rng.randint(0, 256, (7, 6, 4), dtype=np.uint8)
     got_a = decode_png(craft(a4, 6, [2, 4, 0]))
     np.testing.assert_array_equal(got_a, a4[:, :, :3])
+
+
+def test_gif_roundtrip_still_and_animated():
+    """GIF LZW + framing round trip: stills and animations decode back
+    to the exact source pixels; the KwKwK LZW case (flat image = one
+    long run) and multi-reset streams (large frames) are exercised."""
+    import numpy as np
+
+    from ontology_matcher_ray.functions.codecs import (
+        decode_gif,
+        encode_gif,
+        sniff,
+    )
+    from ontology_matcher_ray.stages.multimodal import (
+        media_image_pattern,
+        media_video_pattern,
+    )
+
+    arr = media_image_pattern(7, 288, 192)       # > 55k px: LZW resets
+    g = encode_gif([arr])
+    assert sniff(g) == "gif"
+    (frame,) = decode_gif(g)
+    np.testing.assert_array_equal(frame, arr)
+    assert len(g) < arr.nbytes // 4               # genuinely compressed
+
+    flat = np.full((40, 40, 3), 200, dtype=np.uint8)   # KwKwK stress
+    np.testing.assert_array_equal(decode_gif(encode_gif([flat]))[0], flat)
+
+    frames = [media_video_pattern(4, f) for f in range(8)]
+    ani = encode_gif(frames, delay_ms=40)
+    out = decode_gif(ani)
+    assert len(out) == 8
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="palette overflow"):
+        rng = np.random.RandomState(3)
+        encode_gif([rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)])
+
+
+def test_gif_through_featurizer_and_transformer():
+    """A GIF still routes to image features, an animated GIF to video
+    features; the transformer frame-samples INSIDE the GIF container
+    (decode -> every-2nd frame -> re-encode as GIF)."""
+    import numpy as np
+    import pandas as pd
+
+    from ontology_matcher_ray.functions.codecs import decode_gif, encode_gif
+    from ontology_matcher_ray.stages.multimodal import (
+        MediaFeaturizer,
+        MediaTransformer,
+        image_features,
+        media_image_pattern,
+        media_video_pattern,
+        video_features,
+    )
+
+    arr = media_image_pattern(2, 64, 64)
+    frames = [media_video_pattern(6, f) for f in range(6)]
+    b = pd.DataFrame({
+        "media_id": [0, 1],
+        "kind": ["image", "video"],
+        "payload": [encode_gif([arr]), encode_gif(frames, delay_ms=40)],
+        "width": [64, 32],
+        "height": [64, 24],
+        "duration_ms": [0, 240],
+    })
+    feats = MediaFeaturizer()(b)
+    np.testing.assert_array_equal(np.asarray(feats["feat"][0], np.float32),
+                                  image_features(arr))
+    np.testing.assert_array_equal(np.asarray(feats["feat"][1], np.float32),
+                                  video_features(frames))
+
+    tr = MediaTransformer(frame_step=2)(b)
+    assert list(tr["op"]) == ["resize", "frame_sample"]
+    sampled = decode_gif(tr["payload"][1])
+    assert len(sampled) == 3
+    for got, want in zip(sampled, frames[::2]):
+        np.testing.assert_array_equal(got, want)
+    assert int(tr["duration_ms"][1]) == 240 * 3 // 6
