@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windows": composite.events_windows,         # tumbling + sliding
         "event_type_profile": composite.event_type_profile,  # exact COUNT DISTINCT + props.k stats
         "events_funnel": events.funnel,                     # click->purchase funnel
-        "events_asof": events.asof_join,                    # as-of join via exchange
+        "events_asof": composite.events_point_ops,          # as-of join + global scan
         "events_range_join": events.range_join,             # range join aggregate
         "events_sessionize": events.sessionize,
         # --- flagship corpus pipeline (sharded + resumable; hash-checked

@@ -2374,6 +2374,33 @@ SELECT p.event_id, p.user_id,
 FROM p LEFT JOIN ranked r ON r.event_id = p.event_id AND r.rn = 1
 """
 
+    # global ordered scan: inclusive running cents + EXCLUSIVE running
+    # max event time (the watermark before each arrival) + late flag
+    # (events.global_scan; 30 min lateness, arrival order = event_id)
+    sql["events_scan"] = f"""
+WITH o AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, ts_us,
+         sum(cents) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+           AS running_cents,
+         max(ts_us) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM o
+)
+SELECT event_id, user_id,
+       CAST(running_cents AS BIGINT) AS running_cents,
+       CAST(COALESCE(prev_max, -1) AS BIGINT) AS seen_max_us,
+       CAST(CASE WHEN prev_max IS NOT NULL
+                  AND ts_us < prev_max - {30 * 60 * 1_000_000}
+            THEN 1 ELSE 0 END AS BIGINT) AS late
+FROM w
+"""
+
     # base join in live SQL; the SemDeDup pruning columns come from the
     # precomputed expected set, sliced by the live embedding fingerprint
     # (k-means is non-SQL algebra — same mechanism as knn_ivf)
@@ -2861,6 +2888,17 @@ SELECT 'approx', o_orderpriority, q25_lb, q50_lb, q75_lb, q95_lb FROM ({ap})
 SELECT 'tumbling' AS kind, {win_cols} FROM ({t})
 UNION ALL
 SELECT 'sliding', {win_cols} FROM ({s})
+"""
+
+    # --- per-event point ops: as-of join + global ordered scan ----------
+    asf, scn = take("events_asof"), take("events_scan")
+    sql["events_asof"] = f"""
+SELECT 'asof' AS leg, event_id, user_id, match_event_id AS a, gap_us AS b,
+       CAST(0 AS BIGINT) AS c
+FROM ({asf})
+UNION ALL
+SELECT 'scan', event_id, user_id, running_cents, seen_max_us, late
+FROM ({scn})
 """
 
     # --- near-dup pair family, native integer score per method -----------

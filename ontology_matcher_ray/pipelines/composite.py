@@ -204,6 +204,36 @@ def events_windows(sf_dir: str) -> rd.Dataset:
     return t.union(s)
 
 
+_POINT_COLS = ["event_id", "user_id", "a", "b", "c"]
+
+
+def events_point_ops(sf_dir: str) -> rd.Dataset:
+    """Per-event point operators in one row set, tagged by ``leg``:
+    the as-of join ('asof': a=match_event_id, b=gap_us, c=0) and the
+    global ordered scan ('scan': a=running_cents, b=seen_max_us
+    watermark, c=late flag) — the hash-partitionable and the
+    range-scan-only window shapes side by side."""
+
+    def abc(ds: rd.Dataset, ren: dict, pad_c: bool = False) -> rd.Dataset:
+        def stage(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.rename(columns=ren)
+            if pad_c:
+                out["c"] = np.zeros(len(out), dtype=np.int64)
+            return out
+
+        return ds.map_batches(stage, batch_format="pandas")
+
+    asof = _tagged(
+        abc(events.asof_join(sf_dir),
+            {"match_event_id": "a", "gap_us": "b"}, pad_c=True),
+        "leg", "asof", _POINT_COLS)
+    scan = _tagged(
+        abc(events.global_scan(sf_dir),
+            {"running_cents": "a", "seen_max_us": "b", "late": "c"}),
+        "leg", "scan", _POINT_COLS)
+    return asof.union(scan)
+
+
 _PAIR_COLS = ["a", "b", "score"]
 
 

@@ -115,6 +115,117 @@ def sliding_windows(sf_dir: str, size_hours: int = 3, hop_hours: int = 1) -> rd.
     )
 
 
+GLOBAL_SCAN_BUCKET = 1024       # events per scan bucket (see global_scan)
+LATENESS_MINUTES = 30
+
+
+def global_scan(sf_dir: str, lateness_minutes: int = LATENESS_MINUTES,
+                num_partitions: int = 16,
+                bucket_size: int = GLOBAL_SCAN_BUCKET) -> rd.Dataset:
+    """GLOBAL ordered scan over the arrival sequence (event_id): per
+    event, the inclusive running ``value_cents`` total, the EXCLUSIVE
+    running max of event time (the stream's WATERMARK before this event
+    arrived), and a late flag (event time lags the watermark by more
+    than ``lateness_minutes`` — Flink/Beam-style bounded-disorder
+    detection; this table's synthetic stream is in-order, so the flag is
+    structurally 0 here while the running columns carry the hash
+    weight).
+
+    A single global window is the one shape a hash exchange CANNOT
+    spread (one key = one partition).  The scalable form is a
+    range-bucket scan: (1) ONE exchange on ``event_id // bucket_size``
+    computes each bucket's LOCAL inclusive/exclusive scans plus an O(1)
+    summary row (bucket sum, bucket max); (2) the driver reduces the
+    summaries — #buckets rows, not #events — into per-bucket exclusive
+    carry-ins; (3) a map pass merges carry-ins into the local scans.  At
+    10^10+ events, step 2 becomes a second bucketed exchange level (the
+    classic two-level scan); the cut-over is a bucket-count threshold,
+    not a code change.
+
+    Emits (event_id, user_id, running_cents, seen_max_us, late).
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    late_us = lateness_minutes * 60 * _US
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy() * 100
+        return pd.DataFrame({
+            "bucket": (b["event_id"].to_numpy(dtype=np.int64)
+                       // bucket_size),
+            "event_id": b["event_id"].to_numpy(dtype=np.int64),
+            "user_id": b["user_id"].to_numpy(dtype=np.int64),
+            "ts_us": b["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
+            "cents": np.where(v >= 0, np.floor(v + 0.5),
+                              np.ceil(v - 0.5)).astype("int64"),
+        })
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        # per bucket: inclusive running sum, exclusive running max, plus
+        # one summary row per bucket (event_id = -1)
+        g = g.sort_values(["bucket", "event_id"], ignore_index=True)
+        pieces = []
+        for bkt, grp in g.groupby("bucket", sort=False):
+            ts = grp["ts_us"].to_numpy()
+            cents = grp["cents"].to_numpy()
+            run = np.cumsum(cents)
+            excl_max = np.empty(len(ts), dtype=np.int64)
+            excl_max[0] = -1
+            if len(ts) > 1:
+                excl_max[1:] = np.maximum.accumulate(ts)[:-1]
+            pieces.append(pd.DataFrame({
+                "bucket": np.full(len(grp), bkt, dtype=np.int64),
+                "event_id": grp["event_id"].to_numpy(),
+                "user_id": grp["user_id"].to_numpy(),
+                "ts_us": ts,
+                "local_run": run,
+                "local_excl_max": excl_max,
+            }))
+            pieces.append(pd.DataFrame({
+                "bucket": [bkt], "event_id": [np.int64(-1)],
+                "user_id": [np.int64(-1)],
+                "ts_us": [np.int64(ts.max())],
+                "local_run": [run[-1]], "local_excl_max": [np.int64(-1)],
+            }))
+        return pd.concat(pieces, ignore_index=True)
+
+    p1 = exchange.partitioned_apply(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["bucket"], local_scan, num_partitions,
+    ).materialize()
+
+    # driver reduce over SUMMARY rows only (#buckets rows): exclusive
+    # prefix carry-ins per bucket
+    summ = (p1.map_batches(lambda b: b[b["event_id"] < 0],
+                           batch_format="pandas")
+            .to_pandas().sort_values("bucket", ignore_index=True))
+    csum = np.concatenate([[0], np.cumsum(summ["local_run"].to_numpy())[:-1]])
+    cmax = np.concatenate([[-1],
+                           np.maximum.accumulate(summ["ts_us"].to_numpy())[:-1]])
+    carry_sum = dict(zip(summ["bucket"].to_numpy().tolist(), csum.tolist()))
+    carry_max = dict(zip(summ["bucket"].to_numpy().tolist(), cmax.tolist()))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_id"] >= 0]
+        bk = b["bucket"].to_numpy()
+        cs = np.fromiter((carry_sum[int(x)] for x in bk), dtype=np.int64,
+                         count=len(bk))
+        cm = np.fromiter((carry_max[int(x)] for x in bk), dtype=np.int64,
+                         count=len(bk))
+        seen = np.maximum(b["local_excl_max"].to_numpy(), cm)
+        ts = b["ts_us"].to_numpy()
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "user_id": b["user_id"].to_numpy(),
+            "running_cents": b["local_run"].to_numpy() + cs,
+            "seen_max_us": seen,
+            "late": ((seen >= 0) & (ts < seen - late_us)).astype("int64"),
+        })
+
+    return p1.map_batches(finalize, batch_format="pandas")
+
+
 def _with_bucket(b: pd.DataFrame, bucket_us: int) -> pd.DataFrame:
     b = b.copy()
     b["bucket"] = (b["ts"].astype("datetime64[us]").astype("int64")
