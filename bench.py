@@ -154,6 +154,8 @@ def _bench_once() -> dict:
         "doc_stats": lambda: docs_text.doc_stats(sf_dir),
         "dedup_exact": lambda: docs_text.dedup_exact(sf_dir),
         "dedup_minhash": lambda: docs_text.dedup_minhash(sf_dir),
+        # EXACT all-pairs similarity join (prefix filter, full recall)
+        "dedup_jaccard_all": lambda: docs_text.dedup_jaccard_all(sf_dir),
         "knn_brute": lambda: docs_text.knn_brute(sf_dir),
         "events_sessionize": lambda: events.sessionize(sf_dir),
         # pinned-partition (Pregel-actor) engine: bit-identical ranks to
@@ -173,6 +175,10 @@ def _bench_once() -> dict:
         "priority_semi_counts": lambda: relational.priority_semi_counts(sf_dir),
         "order_price_quantiles": lambda: relational.order_price_quantiles(sf_dir),
         "customer_running_revenue": lambda: relational.customer_running_revenue(sf_dir),
+        # skew-adaptive hybrid join (sampled heavy keys -> broadcast path)
+        "order_discounted_revenue": lambda: relational.order_discounted_revenue(sf_dir),
+        # global ordered scan (range-bucket prefix scan + driver carry)
+        "events_global_scan": lambda: events.global_scan(sf_dir),
         "events_funnel": lambda: events.funnel(sf_dir),
         # end-to-end curation: near-dup CC + quality + decon + prior
         # flags joined into one decision per doc

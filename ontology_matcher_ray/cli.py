@@ -316,7 +316,12 @@ ANALYZE_OPS = {
     "top-customers": ("relational", "top_revenue_customers",
                       "global top-N by revenue"),
     "left-join": ("relational", "order_discounted_revenue",
-                  "LEFT OUTER join: per-order discount-free revenue"),
+                  "LEFT OUTER join: per-order discount-free revenue "
+                  "(skew-adaptive: sampled heavy keys broadcast map-side)"),
+    "scan": ("events", "global_scan",
+             "global ordered scan: running totals + watermark + late flags"),
+    "jaccard-all": ("docs_text", "dedup_jaccard_all",
+                    "EXACT all-pairs Jaccard >= 0.8 via prefix filtering"),
     # documents / events analytics
     "pivot": ("docs_text", "source_lang_matrix",
               "source x language count matrix"),

@@ -2856,6 +2856,10 @@ SELECT 'nt', subj, pred, obj FROM ({kg})
 SELECT 'direct' AS via, doc_id, declared_lang, guessed_lang FROM ({li})
 UNION ALL
 SELECT 'jsonl', doc_id, declared_lang, guessed_lang FROM ({li})
+UNION ALL
+SELECT 'orc', doc_id, declared_lang, guessed_lang FROM ({li})
+UNION ALL
+SELECT 'ipc', doc_id, declared_lang, guessed_lang FROM ({li})
 """
 
     # --- formatted sinks: MIXTURE / UNIQUE / UNIQUE-failed ---------------

@@ -114,29 +114,37 @@ _LANG_ID_COLS = ["doc_id", "declared_lang", "guessed_lang"]
 
 def lang_id_roundtrip(sf_dir: str) -> rd.Dataset:
     """lang_id over the documents read directly (via='direct') and over
-    the same documents round-tripped through the distributed
-    gzip-compressed JSONL sink/source (via='jsonl') — lossless round
-    trip under one oracle, covering the compressed interop path the way
-    real ``.jsonl.gz`` corpora ship."""
+    the same documents round-tripped through THREE distributed
+    sink/source pairs — gzip JSONL ('jsonl', how real ``.jsonl.gz``
+    corpora ship), ORC ('orc', the Hive/Trino lake format) and
+    zstd Arrow IPC ('ipc', Feather v2 interchange) — each a lossless
+    round trip under one oracle."""
     import shutil
 
-    from ontology_matcher_ray.sources.io import read_jsonl, write_jsonl
+    from ontology_matcher_ray.sources import io as sio
 
-    out = _scratch("jsonl")
-    write_jsonl(docs_text.read_documents(sf_dir), out, codec="gzip")
-    tbl_dir = _scratch("jsonl_sf")
-    read_jsonl(out, codec="gzip").write_parquet(
-        os.path.join(tbl_dir, "documents.parquet")
-    )
-    shutil.rmtree(out, ignore_errors=True)       # parquet copy supersedes it
+    def roundtrip(tag: str, write, read) -> rd.Dataset:
+        out = _scratch(tag)
+        write(docs_text.read_documents(sf_dir), out)
+        tbl_dir = _scratch(f"{tag}_sf")
+        read(out).write_parquet(os.path.join(tbl_dir, "documents.parquet"))
+        shutil.rmtree(out, ignore_errors=True)   # parquet copy supersedes it
+        # materialize before removing the re-read table (see kg_triples note)
+        back = _tagged(
+            docs_text.lang_id(tbl_dir), "via", tag, _LANG_ID_COLS
+        ).materialize()
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+        return back
 
     direct = _tagged(docs_text.lang_id(sf_dir), "via", "direct", _LANG_ID_COLS)
-    # materialize before removing the re-read table (see kg_triples note)
-    back = _tagged(
-        docs_text.lang_id(tbl_dir), "via", "jsonl", _LANG_ID_COLS
-    ).materialize()
-    shutil.rmtree(tbl_dir, ignore_errors=True)
-    return direct.union(back)
+    jsonl = roundtrip(
+        "jsonl",
+        lambda ds, out: sio.write_jsonl(ds, out, codec="gzip"),
+        lambda out: sio.read_jsonl(out, codec="gzip"),
+    )
+    orc = roundtrip("orc", sio.write_orc, sio.read_orc)
+    ipc = roundtrip("ipc", sio.write_ipc, sio.read_ipc)
+    return direct.union(jsonl).union(orc).union(ipc)
 
 
 _FMT_COLS = [

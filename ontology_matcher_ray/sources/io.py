@@ -330,6 +330,118 @@ def read_jsonl(
 
 
 # ---------------------------------------------------------------------------
+# Columnar interop: ORC and Arrow IPC (Feather v2) sinks/sources.  Both
+# are real columnar formats a pipeline swap-in must read/write (ORC for
+# Hive/Trino lakes, IPC for Arrow-native interchange); both ride the
+# same deterministic part-per-task + tmp-then-rename retry contract as
+# the N-Triples sink, and both READERS run one file per task so
+# parallelism tracks the part count.
+# ---------------------------------------------------------------------------
+
+
+class _ArrowFileDatasink(_Datasink):
+    """Generic one-part-per-task sink through a pyarrow table writer —
+    deterministic ``part-{task_idx}`` names + tmp-then-rename, so a
+    retried write task overwrites its own part instead of duplicating."""
+
+    def __init__(self, out_dir: str, ext: str, writer):
+        self._out_dir = out_dir
+        self._ext = ext
+        self._writer = writer
+
+    def write(self, blocks, ctx) -> int:
+        import pyarrow as pa
+        from ray.data.block import BlockAccessor
+
+        tables = [BlockAccessor.for_block(b).to_arrow() for b in blocks]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return 0
+        tbl = pa.concat_tables(tables, promote_options="default")
+        path = os.path.join(
+            self._out_dir, f"part-{ctx.task_idx:06d}.{self._ext}"
+        )
+        tmp = path + f".tmp{os.getpid()}"
+        self._writer(tbl, tmp)
+        os.replace(tmp, path)
+        return tbl.num_rows
+
+
+def _write_parts(ds: rd.Dataset, out_dir: str, ext: str, writer) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    if any(f.endswith(f".{ext}") for f in os.listdir(out_dir)):
+        raise ValueError(f"{out_dir} already contains .{ext} parts")
+    ds.write_datasink(_ArrowFileDatasink(out_dir, ext, writer))
+
+
+def _read_parts(out_dir: str, ext: str, reader,
+                columns: Optional[List[str]] = None) -> rd.Dataset:
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(out_dir, f"*.{ext}")))
+    if not parts:
+        raise FileNotFoundError(f"no .{ext} part files under {out_dir}")
+
+    def load(b):
+        import pyarrow as pa
+
+        tbls = [reader(p, columns) for p in b["item"]]
+        return tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
+
+    return rd.from_items(parts, override_num_blocks=len(parts)).map_batches(
+        load, batch_format="pandas"
+    )
+
+
+def write_orc(ds: rd.Dataset, out_dir: str) -> None:
+    """Distributed ORC sink: one ``part-{task_idx}.orc`` per write task."""
+
+    def writer(tbl, path):
+        import pyarrow.orc as orc
+
+        orc.write_table(tbl, path)
+
+    _write_parts(ds, out_dir, "orc", writer)
+
+
+def read_orc(out_dir: str, columns: Optional[List[str]] = None) -> rd.Dataset:
+    """Distributed ORC source (one file per read task); ``columns``
+    prunes at the stripe read — real column projection, unlike JSONL."""
+
+    def reader(path, cols):
+        import pyarrow.orc as orc
+
+        return orc.ORCFile(path).read(columns=cols)
+
+    return _read_parts(out_dir, "orc", reader, columns)
+
+
+def write_ipc(ds: rd.Dataset, out_dir: str,
+              compression: Optional[str] = "zstd") -> None:
+    """Distributed Arrow IPC (Feather v2) sink, zstd-compressed by
+    default — the zero-parse Arrow-native interchange format."""
+
+    def writer(tbl, path):
+        import pyarrow.feather as feather
+
+        feather.write_feather(tbl, path, compression=compression)
+
+    _write_parts(ds, out_dir, "arrow", writer)
+
+
+def read_ipc(out_dir: str, columns: Optional[List[str]] = None) -> rd.Dataset:
+    """Distributed Arrow IPC source (one file per read task) with
+    column projection."""
+
+    def reader(path, cols):
+        import pyarrow.feather as feather
+
+        return feather.read_table(path, columns=cols)
+
+    return _read_parts(out_dir, "arrow", reader, columns)
+
+
+# ---------------------------------------------------------------------------
 # Range-partitioned sorted Parquet sink — the resumable-output layout a
 # 100-TB job needs: one directory per key range (range=NNNN/), each
 # internally SORTED by the key, cut points persisted so a rerun assigns

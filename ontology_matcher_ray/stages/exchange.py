@@ -347,40 +347,43 @@ def sample_heavy_keys(
     col: str,
     top: int = 16,
     per_batch: int = 64,
-    num_partitions: int = 8,
 ) -> list:
     """Sampled heavy-key sketch driving ``skew_join``'s path choice.
 
-    Per-batch top-``per_batch`` key counts (a combiner: O(per_batch) rows
-    leave each batch regardless of batch size) -> one SMALL exchange over
-    the sampled partials -> per-partition top -> a bounded driver reduce
-    (<= blocks x top rows).  The sketch is APPROXIMATE — a key's count is
-    summed only over batches where it reached that batch's top, so block
-    boundaries matter — which is safe by design: ``skew_join``'s output
-    is identical for ANY heavy set; the sketch only steers rows between
-    the broadcast path and the exchange path.
+    A combiner TREE, no exchange: per-batch top-``per_batch`` key counts
+    (O(per_batch) rows leave each batch regardless of batch size), a
+    coalescing re-combine pass (each task folds ~many partial blocks
+    back to ``per_batch`` rows), then a bounded driver reduce.  The
+    sketch is APPROXIMATE — a key's count is summed only over batches
+    where it reached that batch's top, so block boundaries matter —
+    which is safe by design: ``skew_join``'s output is identical for
+    ANY heavy set; the sketch only steers rows between the broadcast
+    path and the exchange path.
     """
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        vc = b[col].value_counts().head(per_batch)
+        vc = b[col].groupby(b[col]).size().nlargest(per_batch)
         return pd.DataFrame(
             {col: vc.index.to_numpy(), "_n": vc.to_numpy().astype(np.int64)}
         )
 
-    combined = grouped_agg(
-        ds.map_batches(partial, batch_format="pandas"),
-        [col],
-        lambda g: g.agg(_n=("_n", "sum")),
-        num_partitions=num_partitions,
+    def recombine(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby(col, sort=False)["_n"].sum().nlargest(per_batch)
+        return pd.DataFrame(
+            {col: s.index.to_numpy(), "_n": s.to_numpy().astype(np.int64)}
+        )
+
+    tops = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(recombine, batch_format="pandas", batch_size=16384)
+        .to_pandas()
     )
-    tops = combined.map_batches(
-        lambda b: b.sort_values(["_n", col], ascending=[False, True]).head(top),
-        batch_format="pandas",
-    ).to_pandas()
     if tops.empty:
         return []
-    tops = tops.sort_values(["_n", col], ascending=[False, True], ignore_index=True)
-    return tops[col].head(top).tolist()
+    agg = tops.groupby(col, sort=False)["_n"].sum().reset_index()
+    agg = agg.sort_values(["_n", col], ascending=[False, True],
+                          ignore_index=True)
+    return agg[col].head(top).tolist()
 
 
 def skew_join(
