@@ -117,11 +117,16 @@ def sliding_windows(sf_dir: str, size_hours: int = 3, hop_hours: int = 1) -> rd.
 
 GLOBAL_SCAN_BUCKET = 1024       # events per scan bucket (see global_scan)
 LATENESS_MINUTES = 30
+_NO_TS = np.iinfo(np.int64).min  # internal "no prior event" sentinel: ts can
+                                 # legitimately be negative (pre-epoch), so -1
+                                 # is only a PRESENTATION value (oracle
+                                 # COALESCE(prev_max, -1)), never the carrier
 
 
 def global_scan(sf_dir: str, lateness_minutes: int = LATENESS_MINUTES,
                 num_partitions: int = 16,
-                bucket_size: int = GLOBAL_SCAN_BUCKET) -> rd.Dataset:
+                bucket_size: int = GLOBAL_SCAN_BUCKET,
+                max_driver_buckets: int = 65536) -> rd.Dataset:
     """GLOBAL ordered scan over the arrival sequence (event_id): per
     event, the inclusive running ``value_cents`` total, the EXCLUSIVE
     running max of event time (the stream's WATERMARK before this event
@@ -135,12 +140,17 @@ def global_scan(sf_dir: str, lateness_minutes: int = LATENESS_MINUTES,
     spread (one key = one partition).  The scalable form is a
     range-bucket scan: (1) ONE exchange on ``event_id // bucket_size``
     computes each bucket's LOCAL inclusive/exclusive scans plus an O(1)
-    summary row (bucket sum, bucket max); (2) the driver reduces the
-    summaries — #buckets rows, not #events — into per-bucket exclusive
-    carry-ins; (3) a map pass merges carry-ins into the local scans.  At
-    10^10+ events, step 2 becomes a second bucketed exchange level (the
-    classic two-level scan); the cut-over is a bucket-count threshold,
-    not a code change.
+    summary row (bucket sum, bucket max); (2) the summaries — #buckets
+    rows, not #events — reduce into per-bucket exclusive carry-ins; (3)
+    the carry-ins merge back into the local scans.  Up to
+    ``max_driver_buckets`` the reduce runs on the driver and the merge
+    is a broadcast map; past it (10^10+ events) the IMPLEMENTED level-2
+    path kicks in: a super-bucket exchange scans summaries-of-summaries,
+    only the per-super rows reach the driver, and carries join back via
+    one bucket-keyed exchange — each level divides the row count by
+    ``max_driver_buckets``, so a third level is the same recursion (not
+    needed below ~10^14 events).  Both paths are bit-identical
+    (tests/test_global_scan.py forces the cut-over on small data).
 
     Emits (event_id, user_id, running_cents, seen_max_us, late).
     """
@@ -171,7 +181,7 @@ def global_scan(sf_dir: str, lateness_minutes: int = LATENESS_MINUTES,
             cents = grp["cents"].to_numpy()
             run = np.cumsum(cents)
             excl_max = np.empty(len(ts), dtype=np.int64)
-            excl_max[0] = -1
+            excl_max[0] = _NO_TS
             if len(ts) > 1:
                 excl_max[1:] = np.maximum.accumulate(ts)[:-1]
             pieces.append(pd.DataFrame({
@@ -186,7 +196,7 @@ def global_scan(sf_dir: str, lateness_minutes: int = LATENESS_MINUTES,
                 "bucket": [bkt], "event_id": [np.int64(-1)],
                 "user_id": [np.int64(-1)],
                 "ts_us": [np.int64(ts.max())],
-                "local_run": [run[-1]], "local_excl_max": [np.int64(-1)],
+                "local_run": [run[-1]], "local_excl_max": [np.int64(_NO_TS)],
             }))
         return pd.concat(pieces, ignore_index=True)
 
@@ -195,35 +205,125 @@ def global_scan(sf_dir: str, lateness_minutes: int = LATENESS_MINUTES,
         ["bucket"], local_scan, num_partitions,
     ).materialize()
 
-    # driver reduce over SUMMARY rows only (#buckets rows): exclusive
-    # prefix carry-ins per bucket
-    summ = (p1.map_batches(lambda b: b[b["event_id"] < 0],
-                           batch_format="pandas")
-            .to_pandas().sort_values("bucket", ignore_index=True))
-    csum = np.concatenate([[0], np.cumsum(summ["local_run"].to_numpy())[:-1]])
-    cmax = np.concatenate([[-1],
-                           np.maximum.accumulate(summ["ts_us"].to_numpy())[:-1]])
-    carry_sum = dict(zip(summ["bucket"].to_numpy().tolist(), csum.tolist()))
-    carry_max = dict(zip(summ["bucket"].to_numpy().tolist(), cmax.tolist()))
+    summ_ds = p1.map_batches(lambda b: b[b["event_id"] < 0],
+                             batch_format="pandas")
 
-    def finalize(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["event_id"] >= 0]
-        bk = b["bucket"].to_numpy()
-        cs = np.fromiter((carry_sum[int(x)] for x in bk), dtype=np.int64,
-                         count=len(bk))
-        cm = np.fromiter((carry_max[int(x)] for x in bk), dtype=np.int64,
-                         count=len(bk))
+    def _final_frame(b: pd.DataFrame, cs: np.ndarray,
+                     cm: np.ndarray) -> pd.DataFrame:
         seen = np.maximum(b["local_excl_max"].to_numpy(), cm)
         ts = b["ts_us"].to_numpy()
+        has = seen != _NO_TS
         return pd.DataFrame({
             "event_id": b["event_id"].to_numpy(),
             "user_id": b["user_id"].to_numpy(),
             "running_cents": b["local_run"].to_numpy() + cs,
-            "seen_max_us": seen,
-            "late": ((seen >= 0) & (ts < seen - late_us)).astype("int64"),
+            "seen_max_us": np.where(has, seen, -1),
+            "late": (has & (ts < seen - late_us)).astype("int64"),
         })
 
-    return p1.map_batches(finalize, batch_format="pandas")
+    n_buckets = summ_ds.count()
+    if n_buckets <= max_driver_buckets:
+        # LEVEL-1 path: driver reduce over SUMMARY rows (#buckets rows),
+        # carry-ins broadcast as a closure dict, zero extra exchanges
+        summ = summ_ds.to_pandas().sort_values("bucket", ignore_index=True)
+        csum = np.concatenate([[0],
+                               np.cumsum(summ["local_run"].to_numpy())[:-1]])
+        cmax = np.concatenate(
+            [[_NO_TS], np.maximum.accumulate(summ["ts_us"].to_numpy())[:-1]])
+        carry_sum = dict(zip(summ["bucket"].to_numpy().tolist(), csum.tolist()))
+        carry_max = dict(zip(summ["bucket"].to_numpy().tolist(), cmax.tolist()))
+
+        def finalize(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_id"] >= 0]
+            bk = b["bucket"].to_numpy()
+            cs = np.fromiter((carry_sum[int(x)] for x in bk), dtype=np.int64,
+                             count=len(bk))
+            cm = np.fromiter((carry_max[int(x)] for x in bk), dtype=np.int64,
+                             count=len(bk))
+            return _final_frame(b, cs, cm)
+
+        return p1.map_batches(finalize, batch_format="pandas")
+
+    # LEVEL-2 path (bucket count beyond the driver bound): the classic
+    # two-level scan.  (a) group bucket summaries into SUPER-buckets and
+    # compute each bucket's within-super exclusive scan in one SMALL
+    # exchange; (b) driver-reduce only the per-super summaries
+    # (#buckets / super_size rows); (c) emit per-bucket carry rows
+    # (super carry + within-super exclusive) and join them back to the
+    # event rows with ONE bucket-keyed exchange — no driver-sized dict
+    # anywhere.  Each level divides the row count by super_size, so a
+    # third level is the same recursion (not needed below ~10^14 events).
+    super_size = max(2, max_driver_buckets)
+
+    def with_super(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["super"] = b["bucket"].to_numpy(dtype=np.int64) // super_size
+        return b
+
+    def within_super(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["super", "bucket"], ignore_index=True)
+        pieces = []
+        for sup, grp in g.groupby("super", sort=False):
+            runs = grp["local_run"].to_numpy()
+            maxs = grp["ts_us"].to_numpy()
+            pieces.append(pd.DataFrame({
+                "super": np.full(len(grp), sup, dtype=np.int64),
+                "bucket": grp["bucket"].to_numpy(),
+                "w_sum": np.concatenate([[0], np.cumsum(runs)[:-1]]),
+                "w_max": np.concatenate(
+                    [[_NO_TS], np.maximum.accumulate(maxs)[:-1]]),
+            }))
+            pieces.append(pd.DataFrame({
+                "super": [sup], "bucket": [np.int64(-1)],
+                "w_sum": [runs.sum()], "w_max": [np.int64(maxs.max())],
+            }))
+        return pd.concat(pieces, ignore_index=True)
+
+    p2 = exchange.partitioned_apply(
+        summ_ds.map_batches(with_super, batch_format="pandas"),
+        ["super"], within_super, num_partitions,
+    ).materialize()
+
+    sup = (p2.map_batches(lambda b: b[b["bucket"] < 0],
+                          batch_format="pandas")
+           .to_pandas().sort_values("super", ignore_index=True))
+    s_csum = np.concatenate([[0], np.cumsum(sup["w_sum"].to_numpy())[:-1]])
+    s_cmax = np.concatenate(
+        [[_NO_TS], np.maximum.accumulate(sup["w_max"].to_numpy())[:-1]])
+    sc_sum = dict(zip(sup["super"].to_numpy().tolist(), s_csum.tolist()))
+    sc_max = dict(zip(sup["super"].to_numpy().tolist(), s_cmax.tolist()))
+
+    def carry_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["bucket"] >= 0]
+        sups = b["super"].to_numpy()
+        cs = np.fromiter((sc_sum[int(x)] for x in sups), dtype=np.int64,
+                         count=len(sups))
+        cm = np.fromiter((sc_max[int(x)] for x in sups), dtype=np.int64,
+                         count=len(sups))
+        return pd.DataFrame({
+            "bucket": b["bucket"].to_numpy(),
+            "event_id": np.full(len(b), -2, dtype=np.int64),  # carry marker
+            "user_id": np.full(len(b), -1, dtype=np.int64),
+            "ts_us": np.maximum(b["w_max"].to_numpy(), cm),   # carry max
+            "local_run": b["w_sum"].to_numpy() + cs,          # carry sum
+            "local_excl_max": np.full(len(b), _NO_TS, dtype=np.int64),
+        })
+
+    carries = p2.map_batches(carry_rows, batch_format="pandas")
+    events_only = p1.map_batches(lambda b: b[b["event_id"] >= 0],
+                                 batch_format="pandas")
+
+    def merge_carry(g: pd.DataFrame) -> pd.DataFrame:
+        is_carry = g["event_id"].to_numpy() == -2
+        ev = g[~is_carry]
+        cr = g[is_carry].drop_duplicates("bucket").set_index("bucket")
+        cs = cr["local_run"].reindex(ev["bucket"].to_numpy()).to_numpy()
+        cm = cr["ts_us"].reindex(ev["bucket"].to_numpy()).to_numpy()
+        return _final_frame(ev, cs.astype(np.int64), cm.astype(np.int64))
+
+    return exchange.partitioned_apply(
+        events_only.union(carries), ["bucket"], merge_carry, num_partitions,
+    )
 
 
 def _with_bucket(b: pd.DataFrame, bucket_us: int) -> pd.DataFrame:

@@ -66,6 +66,23 @@ def test_global_scan_planted_disorder(tmp_path):
             got[want.columns], want, check_dtype=False, check_exact=True)
 
 
+def test_global_scan_two_level_path(tmp_path):
+    """Force the level-2 (distributed carry) path: a tiny
+    max_driver_buckets makes the bucket summaries exceed the driver
+    bound, so carries reduce through the super-bucket exchange and join
+    back via the bucket-keyed exchange — output must be bit-identical
+    to the level-1 broadcast path."""
+    df = _write_events(tmp_path, n=700, seed=11)
+    want = _expected(df)
+    got = to_pandas(events.global_scan(
+        str(tmp_path), bucket_size=5, num_partitions=4,
+        max_driver_buckets=8,           # 140 buckets >> 8: level-2 kicks in
+    )).sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False, check_exact=True)
+    assert got["late"].sum() > 0
+
+
 def test_global_scan_testdata_in_order():
     """On the in-order testdata stream: zero late events, watermark =
     previous ts, running total matches a driver-side recomputation."""
