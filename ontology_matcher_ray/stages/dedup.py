@@ -291,6 +291,7 @@ def allpairs_jaccard(
     text_col: str = "text",
     num_partitions: int = 32,
     materialize_payloads: bool = True,
+    order: str = "hash",
 ) -> rd.Dataset:
     """EXACT all-pairs set-similarity self-join — every pair with Jaccard
     >= threshold over md5-hashed k-shingle sets — via prefix filtering
@@ -299,9 +300,18 @@ def allpairs_jaccard(
     qualifying pair, so its SQL oracle is the full quadratic ground
     truth, not a recomputation of the engine's own candidates).
 
-    Global token order = ascending hash (deterministic and
-    exchange-free; df-ascending — the classic candidate-minimizing
-    refinement — would cost one df exchange + a prefix rejoin).  Per doc
+    Global token order (``order``): ``"hash"`` = ascending hash
+    (deterministic, zero extra passes); ``"rare_first"`` approximates
+    the classic df-ascending candidate-minimizing refinement WITHOUT
+    the df exchange + prefix rejoin it classically costs — one cheap
+    combiner-tree pass sketches the heaviest shingle hashes
+    (``exchange.sample_heavy_keys``) and the order key becomes
+    (is-sketched-heavy, hash), pushing stop-shingles out of every
+    prefix whenever the prefix can avoid them.  ANY consistent total
+    order yields the SAME output set (the prefix lemma holds per
+    order; verification is order-free) — only the candidate volume
+    changes — so the sketch being approximate is safe by construction,
+    exactly like skew_join's heavy set.  Per doc
     with n distinct shingle hashes only the FIRST L = n - ceil(t*n) + 1
     hashes are indexed.  Recall proof: for a qualifying pair,
     inter >= ceil(t * max(|A|, |B|)); the SMALLEST common hash x has at
@@ -324,7 +334,21 @@ def allpairs_jaccard(
     from ontology_matcher_ray.functions.hashing import shingle_hash_sets
     from ontology_matcher_ray.stages import exchange
 
+    if order not in ("hash", "rare_first"):
+        raise ValueError(f"unsupported order={order!r}")
     t_micro = int(round(threshold * 1_000_000))
+
+    heavy: frozenset = frozenset()
+    if order == "rare_first":
+        def hash_rows(b: pd.DataFrame) -> pd.DataFrame:
+            hsets = shingle_hash_sets(b[text_col].astype(str), k)
+            return pd.DataFrame({
+                "h": (np.concatenate(hsets) if hsets
+                      else np.empty(0, dtype=np.int64))
+            })
+
+        heavy = frozenset(exchange.sample_heavy_keys(
+            ds.map_batches(hash_rows, batch_format="pandas"), "h", top=64))
 
     def fused(batch: pd.DataFrame) -> pd.DataFrame:
         hsets = shingle_hash_sets(batch[text_col].astype(str), k)
@@ -334,6 +358,13 @@ def allpairs_jaccard(
         keep = sizes > 0
         ids, sizes = ids[keep], sizes[keep]
         hsets = [h for h, kp in zip(hsets, keep) if kp]
+        if heavy:
+            # (is_heavy, hash) total order: stop-shingles sort LAST so
+            # prefixes avoid them whenever n - ceil(t*n) + 1 allows
+            hv_arr = np.fromiter(heavy, dtype=np.int64, count=len(heavy))
+            hsets = [
+                h[np.lexsort((h, np.isin(h, hv_arr)))] for h in hsets
+            ]
         # ceil(t*n) in exact integer arithmetic
         pref_len = sizes - (t_micro * sizes + 999_999) // 1_000_000 + 1
         pref = ([np.concatenate([h[:L] for h, L in zip(hsets, pref_len)])]

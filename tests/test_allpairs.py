@@ -31,9 +31,11 @@ def _brute_force(df: pd.DataFrame, t_micro: int, k: int = 3) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["a", "b", "jaccard_micro"]).astype("int64")
 
 
-def _run(df: pd.DataFrame, threshold: float, num_partitions: int = 8) -> pd.DataFrame:
+def _run(df: pd.DataFrame, threshold: float, num_partitions: int = 8,
+         order: str = "hash") -> pd.DataFrame:
     got = to_pandas(dedup.allpairs_jaccard(
-        rd.from_pandas(df), threshold=threshold, num_partitions=num_partitions))
+        rd.from_pandas(df), threshold=threshold,
+        num_partitions=num_partitions, order=order))
     return normalize(got.astype("int64"))
 
 
@@ -102,3 +104,33 @@ def test_allpairs_partition_invariance_and_short_docs():
     pd.testing.assert_frame_equal(a, want, check_dtype=False, check_exact=True)
     pd.testing.assert_frame_equal(b, want, check_dtype=False, check_exact=True)
     assert not ((a["a"] == 0) | (a["b"] == 0)).any()  # <k-token docs excluded
+
+
+def test_allpairs_rare_first_order_identical():
+    """rare_first (sketched stop-shingles sort last in every prefix)
+    must give the EXACT same pair set as hash order — the total order
+    only steers candidate volume, never the answer.  Corpus planted
+    with a stop-shingle shared by every doc plus genuine near-dup
+    clusters."""
+    import numpy as np
+
+    stop = "lorem ipsum dolor"        # one 3-gram shared by all docs
+    rng = np.random.default_rng(17)
+    vocab = np.array(["aa", "bb", "cc", "dd", "ee", "ff"])
+    texts = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab, size=6))
+        texts.append(f"{stop} {body}")
+    texts += [texts[0], texts[5]]     # exact dups -> guaranteed pairs
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    for t in (0.4, 0.8):
+        want = _run(df, t, order="hash")
+        got = _run(df, t, order="rare_first")
+        assert len(want) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+    import pytest
+
+    with pytest.raises(ValueError, match="order"):
+        _run(df, 0.5, order="df")
