@@ -1835,17 +1835,40 @@ tcnt AS (
     UNION ALL SELECT v AS node FROM tri
     UNION ALL SELECT w AS node FROM tri
   ) GROUP BY 1
-)
+),
+-- BFS hop distance from the doc_id %% 10 == 0 seed docs
+-- (graph.kg_bfs_dist, hops=3): min hop over the UNROLLED 1..3-hop path
+-- enumeration — an independent algorithm for the same quantity as the
+-- engine's settled-set frontier expansion
+seedn AS (
+  SELECT DISTINCT 'doc:' || doc_id AS node FROM documents
+  WHERE doc_id % 10 = 0
+),
+lvl AS (
+  SELECT node, 0 AS dd FROM seedn
+  UNION ALL
+  SELECT e1.dst, 1 FROM e e1 JOIN seedn s ON e1.src = s.node
+  UNION ALL
+  SELECT e2.dst, 2 FROM e e1 JOIN seedn s ON e1.src = s.node
+                   JOIN e e2 ON e2.src = e1.dst
+  UNION ALL
+  SELECT e3.dst, 3 FROM e e1 JOIN seedn s ON e1.src = s.node
+                   JOIN e e2 ON e2.src = e1.dst
+                   JOIN e e3 ON e3.src = e2.dst
+),
+bfsd AS (SELECT node, min(dd) AS seed_dist FROM lvl GROUP BY node)
 SELECT d.node, d.out_degree, d.in_degree,
        CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_reach,
        CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_triangles,
-       CAST(COALESCE(kc.core, 0) AS BIGINT) AS cooc_core
+       CAST(COALESCE(kc.core, 0) AS BIGINT) AS cooc_core,
+       CAST(COALESCE(bf.seed_dist, -1) AS BIGINT) AS seed_dist
 FROM deg d LEFT JOIN reach rc USING (node) LEFT JOIN tcnt tc USING (node)
 LEFT JOIN (SELECT node, core
            FROM read_parquet('{kcore_expected_parquet()}')
            WHERE doc_fp = (SELECT count(*) * 1000000000
                                   + CAST(sum(n_chars) AS BIGINT)
                            FROM documents)) kc USING (node)
+LEFT JOIN bfsd bf USING (node)
 """
 
     sql["kg_pagerank"] = pagerank_sql()

@@ -435,6 +435,8 @@ def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
                            trips=trips)
     tri = graph.kg_triangles(sf_dir, num_partitions, trips=trips)
     core = graph.kg_kcore(sf_dir, num_partitions, trips=trips)
+    bfs = graph.kg_bfs_dist(sf_dir, num_partitions=num_partitions,
+                            trips=trips)
     joined = exchange.multi_join(
         deg,
         {"node": "object", "out_degree": "int64", "in_degree": "int64"},
@@ -444,6 +446,7 @@ def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
             (tri, "node", {"node": "object", "n_triangles": "int64"},
              "left"),
             (core, "node", {"node": "object", "core": "int64"}, "left"),
+            (bfs, "node", {"node": "object", "dist": "int64"}, "left"),
         ],
         num_partitions=num_partitions,
     )
@@ -455,6 +458,7 @@ def kg_topology(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
             "n_reach": b["n_reach"].fillna(0).astype("int64"),
             "n_triangles": b["n_triangles"].fillna(0).astype("int64"),
             "cooc_core": b["core"].fillna(0).astype("int64"),
+            "seed_dist": b["dist"].fillna(-1).astype("int64"),
         }),
         batch_format="pandas",
     )

@@ -134,6 +134,102 @@ def kg_degrees(
     )
 
 
+def _distinct_edges(trips: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Distinct directed (src, dst) edge list of a triple set,
+    MATERIALIZED (it is re-consumed by every hop join — the Ray 2.49
+    double-consume pitfall; bounded by distinct-edge volume, spills at
+    scale).  Shared by kg_reach and kg_bfs_dist."""
+    return exchange.distinct(
+        trips.map_batches(
+            lambda b: pd.DataFrame({
+                "src": b["subj"].astype(str),
+                "dst": b["obj"].astype(str),
+            }).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["src", "dst"], num_partitions,
+    ).materialize()
+
+
+def kg_bfs_dist(
+    sf_dir: str,
+    hops: int = 3,
+    num_partitions: int = 32,
+    salt: int = 4,
+    trips: rd.Dataset | None = None,
+    seed_mod: int = 10,
+) -> rd.Dataset:
+    """(node, dist): BFS hop distance from a SEED SET (the 'doc:k'
+    nodes with k % ``seed_mod`` == 0) along directed triple edges —
+    single-source-set shortest paths, the iterative-graph tier next to
+    reach counting (kg_reach counts WHAT is reachable; this labels HOW
+    FAR, with min-hop semantics).
+
+    Settled-set semi-naive expansion through the engine's exchanges:
+    per hop, ONE ``hash_join`` of the frontier against the edge list
+    (``salt`` spreads hub sources exactly as in kg_reach) and ONE anti
+    join against the settled set, so a node is labeled by its FIRST
+    (minimal) hop and never re-expanded — the frontier shrinks to the
+    unvisited boundary instead of re-walking the whole ball each round.
+    The settled set is node-bounded (not path-bounded) and materializes
+    once per hop.  Unreachable nodes are ABSENT from the output
+    (consumers COALESCE to -1, as the kg_degrees composite does).
+    """
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    if trips is None:
+        trips = kg_triples(sf_dir)
+
+    from ontology_matcher_ray.pipelines.docs_text import read_documents
+
+    edges = _distinct_edges(trips, num_partitions)
+    seeds = read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        lambda b: pd.DataFrame({
+            "node": "doc:" + b["doc_id"][
+                b["doc_id"].astype("int64") % seed_mod == 0
+            ].astype(str),
+            "dist": np.int64(0),
+        }),
+        batch_format="pandas",
+    )
+    settled = seeds.materialize()
+    frontier = settled
+    for d in range(1, hops + 1):
+        hop = exchange.hash_join(
+            frontier.map_batches(
+                lambda b: b[["node"]], batch_format="pandas"),
+            edges.map_batches(
+                lambda b: b.rename(columns={"src": "esrc", "dst": "edst"}),
+                batch_format="pandas",
+            ),
+            "node", "esrc",
+            {"node": "object"},
+            {"esrc": "object", "edst": "object"},
+            num_partitions=num_partitions, salt=salt,
+        ).map_batches(
+            lambda b: pd.DataFrame({"node": b["edst"]}).drop_duplicates(),
+            batch_format="pandas",
+        )
+        hop = exchange.distinct(hop, ["node"], num_partitions)
+        new = exchange.hash_join(
+            hop,
+            settled.map_batches(lambda b: b[["node"]],
+                                batch_format="pandas"),
+            "node", "node",
+            {"node": "object"}, {"node": "object"},
+            how="anti", num_partitions=num_partitions,
+        ).map_batches(
+            lambda b, _d=d: pd.DataFrame({
+                "node": b["node"],
+                "dist": np.full(len(b), _d, dtype=np.int64),
+            }),
+            batch_format="pandas",
+        ).materialize()
+        settled = settled.union(new).materialize()
+        frontier = new
+    return settled
+
+
 def kg_reach(
     sf_dir: str,
     hops: int = 2,
@@ -174,16 +270,7 @@ def kg_reach(
     if trips is None:
         trips = kg_triples(sf_dir)
 
-    edges = exchange.distinct(
-        trips.map_batches(
-            lambda b: pd.DataFrame({
-                "src": b["subj"].astype(str),
-                "dst": b["obj"].astype(str),
-            }).drop_duplicates(),
-            batch_format="pandas",
-        ),
-        ["src", "dst"], num_partitions,
-    ).materialize()
+    edges = _distinct_edges(trips, num_partitions)
 
     tiers = [edges]
     frontier = edges

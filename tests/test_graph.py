@@ -432,3 +432,50 @@ def test_adamic_adar_center_degree_cap_skips_hubs():
     assert got == _ref_adamic_adar(edges, max_center_degree=3)
     # with the cap off, leaf pairs through h appear
     assert len(_aa_table(edges)) > len(got)
+
+
+def _write_docs(tmp_path, doc_ids):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({
+        "doc_id": pd.Series(doc_ids, dtype="int64"),
+        "text": ["x y z"] * len(doc_ids),
+        "lang": ["en"] * len(doc_ids),
+        "source": ["s"] * len(doc_ids),
+        "n_chars": pd.Series([5] * len(doc_ids), dtype="int64"),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+
+def test_bfs_dist_closed_form(tmp_path):
+    """Settled-set BFS from the doc_id%10==0 seeds: min-hop labels on a
+    planted graph with a shortcut (two paths of different length to the
+    same node must keep the SHORTER), a cycle, and unreachable nodes."""
+    from ontology_matcher_ray.pipelines.graph import kg_bfs_dist
+
+    _write_docs(tmp_path, [10, 20, 3])     # seeds: doc:10, doc:20 (not doc:3)
+    edges = pd.DataFrame([
+        ("doc:10", "a"), ("a", "b"), ("b", "c"),      # chain: a=1 b=2 c=3
+        ("doc:20", "b"),                              # shortcut: b=1 -> c=2
+        ("c", "a"),                                   # cycle back (a stays 1)
+        ("doc:3", "zz"),                              # non-seed doc: zz unlabeled
+        ("q", "r"),                                   # disconnected
+    ], columns=["src", "dst"])
+    got = (kg_bfs_dist(str(tmp_path), hops=3, trips=_trips_ds(edges),
+                       num_partitions=3)
+           .to_pandas().set_index("node")["dist"].to_dict())
+    assert got == {"doc:10": 0, "doc:20": 0, "a": 1, "b": 1, "c": 2}
+
+    # partition/salt invariance
+    alt = (kg_bfs_dist(str(tmp_path), hops=3, trips=_trips_ds(edges),
+                       num_partitions=8, salt=4)
+           .to_pandas().set_index("node")["dist"].to_dict())
+    assert alt == got
+
+    # hops bound: with hops=1 node c is not yet settled
+    one = (kg_bfs_dist(str(tmp_path), hops=1, trips=_trips_ds(edges),
+                       num_partitions=3)
+           .to_pandas().set_index("node")["dist"].to_dict())
+    assert one == {"doc:10": 0, "doc:20": 0, "a": 1, "b": 1}
