@@ -320,6 +320,8 @@ ANALYZE_OPS = {
                   "(skew-adaptive: sampled heavy keys broadcast map-side)"),
     "scan": ("events", "global_scan",
              "global ordered scan: running totals + watermark + late flags"),
+    "bfs": ("graph", "kg_bfs_dist",
+            "BFS hop distance from seed docs over the constructed KG"),
     "jaccard-all": ("docs_text", "dedup_jaccard_all",
                     "EXACT all-pairs Jaccard >= 0.8 via prefix filtering"),
     # documents / events analytics

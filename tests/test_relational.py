@@ -390,3 +390,28 @@ def test_skew_join_validation():
         left, right, "k", "rk", {"k": "int64", "v": "int64"},
         {"rk": "int64", "w": "int64"}, heavy_keys=[])))
     assert len(got) == 4
+
+
+def test_skew_join_string_keys():
+    """String join keys take the pandas string-hash exchange path and a
+    string heavy set — same bit-equality contract as the int path."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    langs = np.array(["en", "de", "fr", "ja", "und"])
+    keys = np.where(rng.random(5000) < 0.7, "en", rng.choice(langs, 5000))
+    left = pd.DataFrame({"k": keys, "v": np.arange(5000, dtype=np.int64)})
+    right = pd.DataFrame({"rk": ["en", "de", "fr"],
+                          "w": np.array([1, 2, 3], dtype=np.int64)})
+    ls = {"k": "object", "v": "int64"}
+    rs = {"rk": "object", "w": "int64"}
+    plain = normalize(to_pandas(exchange.hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "rk", ls, rs,
+        how="left", num_partitions=4)))
+    skew = normalize(to_pandas(exchange.skew_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "rk", ls, rs,
+        how="left", num_partitions=4, heavy_keys=["en"])))
+    pd.testing.assert_frame_equal(plain, skew, check_dtype=False,
+                                  check_exact=True)
+    assert exchange.sample_heavy_keys(
+        rd.from_pandas(left), "k", top=1) == ["en"]
