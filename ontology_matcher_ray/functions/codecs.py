@@ -496,9 +496,20 @@ def encode_gif(frames, delay_ms: int = 0) -> bytes:
 def decode_gif(payload: bytes):
     """GIF bytes -> list of (H, W, 3) uint8 frames (global-color-table,
     non-interlaced subset — exactly what ``encode_gif`` emits; local
-    color tables or interlace raise)."""
+    color tables or interlace raise).  Truncated or structurally corrupt
+    payloads raise ValueError (never IndexError/hang) so actor-pool
+    callers can apply the same stub-or-raise policy as JPEG."""
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt GIF: {e}") from e
+
+
+def _decode_gif_inner(payload: bytes):
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     w, h = struct.unpack("<HH", payload[6:10])
     packed_field = payload[10]
     pos = 13

@@ -231,7 +231,17 @@ class MediaFeaturizer:
         if container == "gif":
             # palette+LZW decoded for real; 1 frame = still image,
             # several = compressed animation
-            frames = decode_gif(payload)
+            try:
+                frames = decode_gif(payload)
+            except ValueError:
+                # truncated/corrupt or unsupported-subset gif: same
+                # stub-or-raise policy as the jpeg branch
+                if self.decode_stub == "raise":
+                    raise NotImplementedError(
+                        "decoding non-baseline/corrupt gif requires a "
+                        "codec library not present in this environment"
+                    )
+                return self._fake(payload)
             if len(frames) == 1:
                 return image_features(frames[0])
             return video_features(frames)
@@ -350,7 +360,12 @@ class MediaTransformer:
             out = encode_ppm(self._resize(decode_png(payload)))
             return "resize", out, self.out_w, self.out_h, 0
         if container == "gif":
-            frames = decode_gif(payload)
+            try:
+                frames = decode_gif(payload)
+            except ValueError:
+                # corrupt/unsupported gif passes through untouched,
+                # like the library-bound compressed containers
+                return "passthrough", payload, 0, 0, 0
             if len(frames) > 1:
                 # frame-sample INSIDE the compressed container: decode,
                 # keep every frame_step-th frame, re-encode as GIF

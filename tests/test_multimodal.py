@@ -342,3 +342,38 @@ def test_gif_through_featurizer_and_transformer():
     for got, want in zip(sampled, frames[::2]):
         np.testing.assert_array_equal(got, want)
     assert int(tr["duration_ms"][1]) == 240 * 3 // 6
+
+
+def test_gif_truncation_and_corruption_policy():
+    """Truncated / structurally corrupt GIF payloads raise ValueError
+    from decode_gif (never IndexError, never a hang); the featurizer
+    falls back to the deterministic stub (or raises in raise mode) and
+    the transformer passes the payload through — the JPEG policy."""
+    import numpy as np
+    import pandas as pd
+
+    from ontology_matcher_ray.functions.codecs import decode_gif, encode_gif
+    from ontology_matcher_ray.stages.multimodal import (
+        MediaFeaturizer,
+        MediaTransformer,
+        media_image_pattern,
+    )
+
+    good = encode_gif([media_image_pattern(1, 48, 32)])
+    for bad in (good[:9], good[:40], good[: len(good) // 2],
+                good[:-3], b"GIF89a"):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+    b = pd.DataFrame({
+        "media_id": [0], "kind": ["image"],
+        "payload": [good[: len(good) // 2]],
+        "width": [48], "height": [32], "duration_ms": [0],
+    })
+    feats = MediaFeaturizer()(b)             # deterministic fake, no raise
+    assert len(np.asarray(feats["feat"][0])) == 16
+    with pytest.raises(NotImplementedError):
+        MediaFeaturizer(decode_stub="raise")(b)
+    tr = MediaTransformer()(b)
+    assert list(tr["op"]) == ["passthrough"]
+    assert tr["payload"][0] == b["payload"][0]
