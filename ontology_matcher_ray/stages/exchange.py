@@ -459,6 +459,16 @@ def skew_join(
         )
         .to_pandas()
     )
+    if len(rsub) == 0:
+        # no sampled heavy key matched any right row: Ray's to_pandas of
+        # an all-empty dataset carries NO columns — rebuild the typed
+        # empty frame so the probe's merge/isin still sees the schema
+        rsub = pd.DataFrame({
+            (on if c == right_on else c): pd.Series(
+                [], dtype=(object if np.dtype(dt) == object else np.dtype(dt))
+            )
+            for c, dt in right_schema.items()
+        })
     ref = ray.put(rsub)
 
     class HeavyProbe:

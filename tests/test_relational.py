@@ -415,3 +415,30 @@ def test_skew_join_string_keys():
                                   check_exact=True)
     assert exchange.sample_heavy_keys(
         rd.from_pandas(left), "k", top=1) == ["en"]
+
+
+def test_skew_join_heavy_keys_absent_from_right():
+    """Every sampled heavy key can MISS the right side entirely (the
+    sf0.1 bench shape: unique left keys, pre-aggregated right) — the
+    broadcast subset is then an empty SCHEMA-LESS pandas frame from
+    Ray, which must be rebuilt typed, not KeyError."""
+    import numpy as np
+
+    left = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                         "v": np.arange(100, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(50, dtype=np.int64),
+                          "w": np.arange(50, dtype=np.int64) * 2})
+    ls = {"k": "int64", "v": "int64"}
+    rs = {"rk": "int64", "w": "int64"}
+    for how in ("inner", "left", "semi", "anti"):
+        r_schema = rs if how in ("inner", "left") else {"rk": "int64"}
+        r_in = right if how in ("inner", "left") else right[["rk"]]
+        plain = normalize(to_pandas(exchange.hash_join(
+            rd.from_pandas(left), rd.from_pandas(r_in), "k", "rk",
+            ls, r_schema, how=how, num_partitions=4)))
+        skew = normalize(to_pandas(exchange.skew_join(
+            rd.from_pandas(left), rd.from_pandas(r_in), "k", "rk",
+            ls, r_schema, how=how, num_partitions=4,
+            heavy_keys=[60, 70, 99])))   # all absent from right
+        pd.testing.assert_frame_equal(plain, skew, check_dtype=False,
+                                      check_exact=True)
