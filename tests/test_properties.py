@@ -300,3 +300,47 @@ def test_jpeg_q100_roundtrip_error_bound(h, w, seed, subsampling):
     assert dec.shape == img.shape
     err = np.abs(dec.astype(int) - img.astype(int)).max()
     assert err <= 4, err
+
+
+@given(st.integers(2, 8).flatmap(
+    lambda mcs: st.tuples(
+        st.just(mcs),
+        st.lists(st.integers(0, (1 << mcs) - 1), max_size=3000),
+    )))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(mcs_and_idx):
+    """GIF Appendix-F LZW: decode(encode(x)) == x for arbitrary index
+    streams at every min-code-size — covers KwKwK, width growth and
+    table resets wherever hypothesis lands on them."""
+    import numpy as np
+
+    from ontology_matcher_ray.functions.codecs import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    mcs, idx = mcs_and_idx
+    enc = _gif_lzw_encode(np.asarray(idx, dtype=np.int64), mcs)
+    got = list(_gif_lzw_decode(enc, mcs))
+    assert got == idx
+
+
+@given(st.integers(2, 8).flatmap(
+    lambda mcs: st.tuples(
+        st.just(mcs),
+        st.lists(st.integers(0, (1 << mcs) - 1), max_size=400),
+    )))
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_oracle_encoder_byte_identical(mcs_and_idx):
+    """The oracle's independently-written LZW (tuple-dict, two-phase
+    pack) must emit byte-identical streams to the engine's numpy/int-key
+    encoder for arbitrary inputs — the property the media payload-sha
+    oracle rests on."""
+    import numpy as np
+
+    from ontology_matcher_ray.functions.codecs import _gif_lzw_encode
+    from ontology_matcher_ray.oracle import _oracle_gif_lzw
+
+    mcs, idx = mcs_and_idx
+    assert _gif_lzw_encode(np.asarray(idx, dtype=np.int64), mcs) \
+        == _oracle_gif_lzw(idx, mcs)
