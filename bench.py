@@ -11,6 +11,10 @@ GRAFT_BENCH_REPEATS (default 2) fresh-Ray-session repeats — this host's
 shot-to-shot noise reaches ~3x (BASELINE.md), so single-shot numbers are
 not comparable across rounds.
 
+``--stats NAME`` runs ONE benched query, materializes it, and dumps
+Ray's per-operator wall/cpu/UDF-time breakdown (``Dataset.stats()``) to
+stderr — the measure-don't-guess loop as a first-class mode.
+
 ``--scaling`` runs the headline job twice in FRESH processes (default
 num_cpus=4 then num_cpus=16; GRAFT_SCALING_CPUS overrides) on the same
 pre-generated input and reports both throughputs + scaling efficiency
@@ -60,7 +64,7 @@ def run_bench() -> dict:
     return out
 
 
-def _bench_once() -> dict:
+def _bench_once(stats_query: str | None = None) -> dict:
     import ray
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,11 +139,14 @@ def _bench_once() -> dict:
     # exchange is skipped (corpus_kg._shard_pipeline docs).  Set
     # GRAFT_UNIQUE_SUBJECTS=0 to measure the exchange-on path.
     uniq = os.environ.get("GRAFT_UNIQUE_SUBJECTS", "1") == "1"
-    t0 = time.time()
-    records = corpus_kg.build_kg(corpus_dir, out_dir, snap, n_shards=n_shards,
-                                 unique_subjects=uniq)
-    headline = time.time() - t0
-    triples = sum(r.triple_count for r in records)
+    if stats_query is None:
+        t0 = time.time()
+        records = corpus_kg.build_kg(corpus_dir, out_dir, snap,
+                                     n_shards=n_shards, unique_subjects=uniq)
+        headline = time.time() - t0
+        triples = sum(r.triple_count for r in records)
+    else:
+        headline, triples = 0.0, 0
 
     # ---- per-query timings over the sf tables ----
     def consume(res):
@@ -197,6 +204,29 @@ def _bench_once() -> dict:
         "corpus_line_dedup": lambda: corpus_curate.corpus_line_dedup(
             corpus_dir, min_files=max(8, n_files // 500)),
     }
+    if stats_query is not None:
+        # --stats NAME: run ONE query, materialize, dump Ray's per-stage
+        # wall-time/CPU breakdown to stderr — the "read ds.stats() and
+        # iterate" loop as a first-class bench mode
+        if stats_query not in query_fns:
+            raise SystemExit(
+                f"--stats: unknown query {stats_query!r}; one of "
+                f"{sorted(query_fns)}")
+        tq = time.time()
+        res = query_fns[stats_query]()
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+            n_rows = res.count()
+            print(res.stats(), file=sys.stderr)
+        else:
+            n_rows = len(res)
+            print("(driver-side result: no Dataset stats)", file=sys.stderr)
+        out = {"metric": "query_sec", "query": stats_query,
+               "value": round(time.time() - tq, 3), "unit": "sec",
+               "rows": int(n_rows), "sf": sf_dir, "num_cpus": num_cpus}
+        ray.shutdown()
+        return out
+
     qtimes = {}
     for name, fn in query_fns.items():
         tq = time.time()
@@ -319,5 +349,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        qname = sys.argv[sys.argv.index("--stats") + 1]
+        print(json.dumps(_bench_once(stats_query=qname)))
     else:
         print(json.dumps(run_bench()))
