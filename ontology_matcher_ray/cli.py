@@ -322,6 +322,8 @@ ANALYZE_OPS = {
              "global ordered scan: running totals + watermark + late flags"),
     "bfs": ("graph", "kg_bfs_dist",
             "BFS hop distance from seed docs over the constructed KG"),
+    "dq": ("relational", "referential_orphans",
+           "FK integrity audit: distinct keys + orphan counts per relation"),
     "jaccard-all": ("docs_text", "dedup_jaccard_all",
                     "EXACT all-pairs Jaccard >= 0.8 via prefix filtering"),
     # documents / events analytics

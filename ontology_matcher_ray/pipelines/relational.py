@@ -836,3 +836,69 @@ def customers_without_urgent(sf_dir: str, num_partitions=None, native=False) -> 
         {"o_custkey": "int64"},
         how="anti", num_partitions=num_partitions, native=native,
     )
+
+
+#: (relation label, child table, child FK col, parent table, parent PK col)
+FK_RELATIONS = [
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("embeddings.vec_id->documents", "embeddings", "vec_id",
+     "documents", "doc_id"),
+]
+
+
+def referential_orphans(sf_dir: str, num_partitions=None,
+                        relations=None) -> pd.DataFrame:
+    """Data-quality audit over every declared FK relation: one row per
+    relation with the DISTINCT child-key count, parent-key count, and
+    the count of orphan child keys (child keys absent from the parent) —
+    the pre-flight integrity sweep a pipeline swap-in runs before
+    trusting joins over a new lake drop.
+
+    Per relation: a per-batch distinct combiner bounds what leaves each
+    scan, a key exchange dedups child keys, and an ANTI ``hash_join``
+    against the parent keys counts orphans — only KEYS ever shuffle
+    (never rows), so the audit costs O(distinct keys) per relation
+    regardless of table width.  The result is driver-sized by
+    construction (one row per relation).
+    """
+    num_partitions = _join_partitions(num_partitions)
+
+    def distinct_keys(table: str, col: str) -> rd.Dataset:
+        src = _read(sf_dir, table, [col]).map_batches(
+            lambda b, _c=col: pd.DataFrame(
+                {"k": pd.unique(b[_c].to_numpy())}),
+            batch_format="pandas",
+        )
+        return exchange.distinct(src, ["k"], num_partitions)
+
+    rows = []
+    for label, child_t, child_c, parent_t, parent_c in (
+            relations or FK_RELATIONS):
+        child = distinct_keys(child_t, child_c).materialize()
+        parent = distinct_keys(parent_t, parent_c).materialize()
+        orphans = exchange.hash_join(
+            child, parent, "k", "k", {"k": "int64"}, {"k": "int64"},
+            how="anti", num_partitions=num_partitions,
+        )
+        rows.append({
+            "relation": label,
+            "n_child_keys": child.count(),
+            "n_parent_keys": parent.count(),
+            "n_orphans": orphans.count(),
+        })
+    out = pd.DataFrame(rows)
+    for c in ("n_child_keys", "n_parent_keys", "n_orphans"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -442,3 +442,30 @@ def test_skew_join_heavy_keys_absent_from_right():
             heavy_keys=[60, 70, 99])))   # all absent from right
         pd.testing.assert_frame_equal(plain, skew, check_dtype=False,
                                       check_exact=True)
+
+
+def test_referential_orphans(tmp_path):
+    """FK audit: planted orphan keys are counted per relation; the
+    shipped testdata is integral (0 orphans on every declared FK)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def w(name, df):
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / f"{name}.parquet"))
+
+    w("child", pd.DataFrame({"fk": np.array([1, 1, 2, 3, 9, 9, 12],
+                                            dtype=np.int64)}))
+    w("parent", pd.DataFrame({"pk": np.arange(5, dtype=np.int64)}))
+    got = relational.referential_orphans(
+        str(tmp_path), num_partitions=3,
+        relations=[("child.fk->parent", "child", "fk", "parent", "pk")])
+    row = got.iloc[0]
+    assert (row["n_child_keys"], row["n_parent_keys"], row["n_orphans"]) \
+        == (5, 5, 2)           # distinct children {1,2,3,9,12}; orphans {9,12}
+
+    full = relational.referential_orphans(SF).set_index("relation")
+    assert len(full) == len(relational.FK_RELATIONS)
+    assert (full["n_orphans"] == 0).all()
+    assert (full["n_child_keys"] > 0).all()
