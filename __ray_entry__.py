@@ -26,7 +26,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """EXACTLY 50 queries covering all 73 verified operator surfaces.
+    """EXACTLY 50 queries covering all 78 verified operator surfaces.
 
     The driver's correctness harness records at most 50 queries per round
     (round 3: exactly the first 50 of 67, in dict order; round 2: all 36
