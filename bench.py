@@ -204,6 +204,15 @@ def _bench_once(stats_query: str | None = None) -> dict:
         "corpus_line_dedup": lambda: corpus_curate.corpus_line_dedup(
             corpus_dir, min_files=max(8, n_files // 500)),
     }
+    if stats_query is None and os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
+        # scaling legs only consume the headline number — skip the
+        # per-query suite + copart section (4x less wall per subprocess)
+        ray.shutdown()
+        return {"metric": "kg_build_sec", "value": round(headline, 3),
+                "unit": "sec", "queries": {}, "sf": sf_dir,
+                "num_cpus": num_cpus, "corpus_files": n_files,
+                "triples": triples}
+
     if stats_query is not None:
         # --stats NAME: run ONE query, materialize, dump Ray's per-stage
         # wall-time/CPU breakdown to stderr — the "read ds.stats() and
@@ -320,6 +329,7 @@ def run_scaling() -> dict:
             # min-of-N lives in THIS loop for scaling runs — keep each
             # subprocess single-shot so repeats aren't multiplied
             GRAFT_BENCH_REPEATS="1",
+            GRAFT_HEADLINE_ONLY="1",
         )
         best = None
         for _rep in range(repeats):
