@@ -536,8 +536,8 @@ def _decode_gif_inner(payload: bytes):
         left, top, fw, fh = struct.unpack("<HHHH", payload[pos:pos + 8])
         flags = payload[pos + 8]
         pos += 9
-        if flags & 0x80 or flags & 0x40:
-            raise ValueError("local color tables / interlace unsupported")
+        if flags & 0x80:
+            raise ValueError("local color tables unsupported")
         if palette is None:
             raise ValueError("GIF without a global color table")
         mcs = payload[pos]
@@ -552,7 +552,19 @@ def _decode_gif_inner(payload: bytes):
         if len(idx) != fw * fh:
             raise ValueError(
                 f"LZW index count {len(idx)} != {fw}x{fh} frame")
-        frames.append(palette[idx].reshape(fh, fw, 3).copy())
+        frame = palette[idx].reshape(fh, fw, 3)
+        if flags & 0x40:
+            # interlaced: rows arrive in the four GIF89a passes
+            # (every 8th from 0, every 8th from 4, every 4th from 2,
+            # every 2nd from 1) — invert the permutation
+            order = np.concatenate([
+                np.arange(0, fh, 8), np.arange(4, fh, 8),
+                np.arange(2, fh, 4), np.arange(1, fh, 2),
+            ])
+            out = np.empty_like(frame)
+            out[order] = frame
+            frame = out
+        frames.append(frame.copy())
     return frames
 
 

@@ -377,3 +377,52 @@ def test_gif_truncation_and_corruption_policy():
     tr = MediaTransformer()(b)
     assert list(tr["op"]) == ["passthrough"]
     assert tr["payload"][0] == b["payload"][0]
+
+
+def test_gif_interlaced_decode():
+    """Real-world GIFs are often interlaced: craft one by hand (rows
+    written in the four GIF89a passes, interlace flag set) and check the
+    decoder inverts the permutation back to raster order."""
+    import struct
+
+    import numpy as np
+
+    from ontology_matcher_ray.functions.codecs import (
+        _gif_lzw_encode,
+        decode_gif,
+    )
+    from ontology_matcher_ray.stages.multimodal import media_image_pattern
+
+    arr = media_image_pattern(9, 16, 13)      # odd height exercises pass ends
+    h, w, _ = arr.shape
+    packed = ((arr[:, :, 0].astype(np.int64) << 16)
+              | (arr[:, :, 1].astype(np.int64) << 8)
+              | arr[:, :, 2].astype(np.int64))
+    palette = np.unique(packed)
+    size_bits = 1
+    while (1 << size_bits) < len(palette):
+        size_bits += 1
+    mcs = max(2, size_bits)
+    order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                            np.arange(2, h, 4), np.arange(1, h, 2)])
+    idx = np.searchsorted(palette, packed[order]).ravel()
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((size_bits - 1) << 4) | (size_bits - 1), 0, 0])
+    gct = np.zeros((1 << size_bits, 3), np.uint8)
+    gct[: len(palette), 0] = (palette >> 16) & 0xFF
+    gct[: len(palette), 1] = (palette >> 8) & 0xFF
+    gct[: len(palette), 2] = palette & 0xFF
+    out += gct.tobytes()
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x40"  # interlace
+    out.append(mcs)
+    lzw = _gif_lzw_encode(idx.astype(np.int64), mcs)
+    for k in range(0, len(lzw), 255):
+        chunk = lzw[k:k + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+
+    (frame,) = decode_gif(bytes(out))
+    np.testing.assert_array_equal(frame, arr)
