@@ -281,6 +281,53 @@ def _bench_once(stats_query: str | None = None) -> dict:
         f"{cp_base}/orders", f"{cp_base}/customer", "custkey"))
     qtimes["copart_join"] = round(time.time() - tq, 3)
 
+    # ---- storage layout: small-file compaction, Z-order clustering,
+    # zone-map pruned scan (sources/layout.py).  Fixture (untimed):
+    # lineitem shredded into 256 small parts — the classic small-file
+    # pathology a 100-TB ingest leaves behind ----
+    from ontology_matcher_ray.sources.layout import (
+        compact_parquet,
+        prune_parts,
+        scan_between,
+        write_zordered,
+    )
+
+    lay_base = f"/tmp/onto_ray_bench/layout_{num_cpus}"
+    if os.path.isdir(lay_base):
+        shutil.rmtree(lay_base)
+    li_cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
+    rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=li_cols,
+    ).repartition(256).write_parquet(f"{lay_base}/small")
+    tq = time.time()
+    compact_parquet(f"{lay_base}/small", f"{lay_base}/compacted",
+                    target_bytes=16 << 20, stat_cols=["l_partkey"])
+    qtimes["layout_compact"] = round(time.time() - tq, 3)
+    tq = time.time()
+    write_zordered(rd.read_parquet(f"{lay_base}/compacted"),
+                   f"{lay_base}/zo", cols=["l_partkey", "l_suppkey"],
+                   num_files=32)
+    qtimes["zorder_write"] = round(time.time() - tq, 3)
+    # ~5% selectivity on each clustered dim, bounds derived from the
+    # zone maps themselves so the test scales with sf; print the skip
+    # ratio so the layout win is visible in the log
+    from ontology_matcher_ray.sources.layout import zonemap_table
+
+    zt = zonemap_table(f"{lay_base}/zo")
+    bounds = {}
+    for col in ("l_partkey", "l_suppkey"):
+        sub = zt[zt["column"] == col]
+        lo_all, hi_all = int(sub["min"].min()), int(sub["max"].max())
+        bounds[col] = (lo_all, lo_all + max(1, (hi_all - lo_all) // 20))
+    for col, (lo_b, hi_b) in bounds.items():
+        pr = prune_parts(f"{lay_base}/zo", col, lo_b, hi_b)
+        print(f"zorder pruning: {col} {pr['skipped']}/{pr['total']} "
+              f"files skipped", file=sys.stderr)
+    tq = time.time()
+    for col, (lo_b, hi_b) in bounds.items():
+        consume(scan_between(f"{lay_base}/zo", col, lo_b, hi_b))
+    qtimes["zorder_scan"] = round(time.time() - tq, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_build_sec",

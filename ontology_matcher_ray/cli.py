@@ -369,6 +369,47 @@ def cmd_ivf(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Storage-layout maintenance over a parquet directory: small-file
+    compaction, Z-order clustering, zone-map file-skipping scans
+    (sources/layout.py)."""
+    _ensure_ray()
+    from ontology_matcher_ray.sources import layout
+
+    if args.action == "compact":
+        stats = layout.compact_parquet(
+            args.input_dir, args.output_dir,
+            target_bytes=args.target_mb * 1024 * 1024,
+            stat_cols=args.stat_cols.split(",") if args.stat_cols else None)
+        print(f"compact: {int(stats['n_inputs'].sum())} inputs -> "
+              f"{len(stats)} parts this run -> {args.output_dir}")
+    elif args.action == "zorder":
+        from ontology_matcher_ray.sources.io import read_parquet_clean
+
+        ds = read_parquet_clean(args.input_dir)
+        stats = layout.write_zordered(
+            ds, args.output_dir, cols=args.cols.split(","),
+            num_files=args.num_files)
+        print(f"zorder: {int(stats['rows'].sum())} rows -> "
+              f"{len(stats)} Z-clustered parts -> {args.output_dir}")
+    else:  # scan
+        pruned = layout.prune_parts(args.input_dir, args.col,
+                                    _coerce(args.lo), _coerce(args.hi))
+        n = layout.scan_between(args.input_dir, args.col,
+                                _coerce(args.lo), _coerce(args.hi)).count()
+        print(f"scan: {n} rows; zone maps skipped "
+              f"{pruned['skipped']}/{pruned['total']} files")
+    return 0
+
+
+def _coerce(s: str):
+    """CLI predicate bounds: int when it parses, else string."""
+    try:
+        return int(s)
+    except ValueError:
+        return s
+
+
 def cmd_analyze(args) -> int:
     """Run an analytics/training-prep operator over an sf-style table
     directory and write partitioned Parquet."""
@@ -500,7 +541,34 @@ def main(argv=None) -> int:
                     help="query-result parquet dir (query mode)")
     pv.set_defaults(fn=cmd_ivf)
 
+    pl = sub.add_parser(
+        "layout", help="Storage layout: compact small parquet parts, "
+                       "Z-order cluster, zone-map pruned scan.")
+    pl.add_argument("action", choices=["compact", "zorder", "scan"])
+    pl.add_argument("--input-dir", required=True)
+    pl.add_argument("--output-dir",
+                    help="compact/zorder destination directory")
+    pl.add_argument("--target-mb", type=int, default=128,
+                    help="compact: target part size")
+    pl.add_argument("--stat-cols",
+                    help="compact: comma-separated zone-map columns")
+    pl.add_argument("--cols",
+                    help="zorder: comma-separated clustering columns")
+    pl.add_argument("--num-files", type=int, default=32,
+                    help="zorder: output part count")
+    pl.add_argument("--col", help="scan: predicate column")
+    pl.add_argument("--lo", help="scan: lower bound (inclusive)")
+    pl.add_argument("--hi", help="scan: upper bound (inclusive)")
+    pl.set_defaults(fn=cmd_layout)
+
     args = p.parse_args(argv)
+    if getattr(args, "fn", None) is cmd_layout:
+        need = {"compact": ["output_dir"], "zorder": ["output_dir", "cols"],
+                "scan": ["col", "lo", "hi"]}[args.action]
+        missing = [n for n in need if getattr(args, n) in (None, "")]
+        if missing:
+            p.error(f"layout {args.action} requires "
+                    + ", ".join("--" + n.replace("_", "-") for n in missing))
     return args.fn(args)
 
 

@@ -653,7 +653,24 @@ def read_range_partitioned(
     # partitioning=None: the range=NNNNN path segment is a COMMIT unit,
     # not a hive partition column — inference would add a 'range' column
     # and break the write->read round trip
-    return read_parquet_clean(files, columns=columns, partitioning=None)
+    if columns is None:
+        return read_parquet_clean(files, partitioning=None)
+    # columns + partitioning=None trips an UnboundLocalError inside
+    # Ray's parquet datasource (_get_data_and_partition_columns), so
+    # the pruned-columns path reads one file per task with pyarrow's
+    # own column pruning — same contract as the ORC/IPC sources
+    import pyarrow.parquet as pq
+
+    def reader(path, cols):
+        return pq.read_table(path, columns=cols)
+
+    def load(b):
+        tbls = [reader(p, columns) for p in b["item"]]
+        return tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
+
+    return rd.from_items(files, override_num_blocks=len(files)).map_batches(
+        load, batch_format="pandas"
+    )
 
 
 def merge_join_range_partitioned(

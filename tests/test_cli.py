@@ -153,3 +153,40 @@ def test_analyze_range_partitioned_output(tmp_path):
     assert all(p["doc_id"].is_monotonic_increasing for p in parts)
     assert all(parts[i]["doc_id"].max() < parts[i + 1]["doc_id"].min()
                for i in range(3))
+
+
+def test_layout_command(tmp_path, capsys):
+    import numpy as np
+
+    src = tmp_path / "small"
+    src.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(8):
+        pd.DataFrame({
+            "k": rng.integers(0, 1000, 100).astype("int64"),
+            "v": rng.integers(0, 10, 100).astype("int64"),
+        }).to_parquet(src / f"in-{i:03d}.parquet", index=False)
+
+    comp = tmp_path / "compacted"
+    assert main(["layout", "compact", "--input-dir", str(src),
+                 "--output-dir", str(comp), "--target-mb", "1",
+                 "--stat-cols", "k"]) == 0
+    assert "compact: 8 inputs" in capsys.readouterr().out
+
+    zo = tmp_path / "zordered"
+    assert main(["layout", "zorder", "--input-dir", str(comp),
+                 "--output-dir", str(zo), "--cols", "k,v",
+                 "--num-files", "4"]) == 0
+    assert "Z-clustered parts" in capsys.readouterr().out
+
+    assert main(["layout", "scan", "--input-dir", str(zo),
+                 "--col", "k", "--lo", "0", "--hi", "100"]) == 0
+    out = capsys.readouterr().out
+    assert "zone maps skipped" in out
+
+
+def test_layout_missing_flags_rejected(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["layout", "compact", "--input-dir", str(tmp_path)])

@@ -1,0 +1,269 @@
+"""Storage-layout operators: zone-mapped sinks + file-skipping scans,
+Z-order clustered writes, small-file compaction."""
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ontology_matcher_ray.sources.io import FormatError
+from ontology_matcher_ray.sources.layout import (
+    compact_parquet,
+    plan_compaction,
+    prune_parts,
+    scan_between,
+    write_zonemapped,
+    write_zordered,
+    zonemap_table,
+)
+
+
+def _frame_fingerprint(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    rows = sorted(df.apply("|".join, axis=1).tolist())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def _mkdata(n=4000, seed=7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 100_000, n).astype("int64"),
+        "v": rng.integers(-50, 50, n).astype("int64"),
+        "s": [f"s{int(x):05d}" for x in rng.integers(0, 10_000, n)],
+    })
+
+
+# ---------------------------------------------------------------------------
+# zone maps
+# ---------------------------------------------------------------------------
+
+class TestZonemap:
+    @pytest.fixture()
+    def zm_dir(self, tmp_path):
+        df = _mkdata().sort_values("k", ignore_index=True)  # clustered on k
+        out = str(tmp_path / "zm")
+        write_zonemapped(
+            rd.from_pandas(df).repartition(16), out, stat_cols=["k", "v"])
+        return out, df
+
+    def test_scan_matches_brute_filter(self, zm_dir):
+        out, df = zm_dir
+        lo, hi = 20_000, 30_000
+        got = scan_between(out, "k", lo, hi).to_pandas()
+        want = df[(df.k >= lo) & (df.k <= hi)]
+        assert _frame_fingerprint(got) == _frame_fingerprint(want)
+
+    def test_clustered_column_prunes_files(self, zm_dir):
+        out, _ = zm_dir
+        pruned = prune_parts(out, "k", 20_000, 30_000)
+        assert pruned["total"] >= 8
+        # a 10% selectivity range over a sorted-by-k layout must skip
+        # most parts
+        assert pruned["skipped"] >= pruned["total"] // 2
+
+    def test_unclustered_column_still_exact(self, zm_dir):
+        out, df = zm_dir
+        got = scan_between(out, "v", -3, 3).to_pandas()
+        want = df[(df.v >= -3) & (df.v <= 3)]
+        assert _frame_fingerprint(got) == _frame_fingerprint(want)
+
+    def test_empty_range_returns_typed_empty(self, zm_dir):
+        out, df = zm_dir
+        ds = scan_between(out, "k", 10_000_000, 20_000_000)
+        # typed at the Dataset level even though no data file was opened
+        assert ds.schema().names == list(df.columns)
+        assert ds.count() == 0
+
+    def test_column_pruning(self, zm_dir):
+        out, df = zm_dir
+        got = scan_between(out, "k", 0, 50_000, columns=["s"]).to_pandas()
+        assert list(got.columns) == ["s"]
+        assert len(got) == int((df.k <= 50_000).sum())
+
+    def test_zonemap_table_bounded(self, zm_dir):
+        out, _ = zm_dir
+        t = zonemap_table(out)
+        n_parts = len(glob.glob(os.path.join(out, "*.parquet")))
+        assert len(t) == 2 * n_parts          # two stat columns
+        assert (t["min"] <= t["max"]).all()
+
+    def test_unknown_stat_column_raises(self, zm_dir):
+        out, _ = zm_dir
+        with pytest.raises(FormatError, match="no zone map"):
+            prune_parts(out, "s", "a", "b")
+
+    def test_nulls_never_match_between(self, tmp_path):
+        df = pd.DataFrame({
+            "k": pd.array([1, None, 3, None, 5], dtype="Int64"),
+            "x": list("abcde"),
+        })
+        out = str(tmp_path / "zn")
+        write_zonemapped(rd.from_pandas(df), out, stat_cols=["k"])
+        got = scan_between(out, "k", 0, 10).to_pandas()
+        assert sorted(got["x"]) == ["a", "c", "e"]
+
+    def test_all_null_part_pruned(self, tmp_path):
+        out = str(tmp_path / "za")
+        a = pd.DataFrame({"k": pd.array([None, None], dtype="Int64")})
+        b = pd.DataFrame({"k": pd.array([1, 2], dtype="Int64")})
+        write_zonemapped(
+            rd.from_pandas(a).union(rd.from_pandas(b)), out, stat_cols=["k"])
+        pruned = prune_parts(out, "k", 0, 10)
+        assert pruned["skipped"] == 1 and len(pruned["kept"]) == 1
+
+    def test_refuses_nonempty_dir(self, zm_dir):
+        out, df = zm_dir
+        with pytest.raises(FormatError, match="already contains"):
+            write_zonemapped(rd.from_pandas(df), out, stat_cols=["k"])
+
+
+# ---------------------------------------------------------------------------
+# Z-order
+# ---------------------------------------------------------------------------
+
+class TestZorder:
+    @pytest.fixture()
+    def zo(self, tmp_path):
+        rng = np.random.default_rng(11)
+        n = 6000
+        df = pd.DataFrame({
+            "x": rng.integers(0, 1000, n).astype("int64"),
+            "y": rng.integers(0, 1000, n).astype("int64"),
+            "payload": rng.integers(0, 1 << 40, n).astype("int64"),
+        })
+        out = str(tmp_path / "zo")
+        stats = write_zordered(
+            rd.from_pandas(df).repartition(8), out, cols=["x", "y"],
+            num_files=16)
+        return out, df, stats
+
+    def test_exact_on_both_dims(self, zo):
+        out, df, _ = zo
+        for col in ("x", "y"):
+            got = scan_between(out, col, 100, 200).to_pandas()
+            want = df[(df[col] >= 100) & (df[col] <= 200)]
+            assert _frame_fingerprint(got) == _frame_fingerprint(want), col
+
+    def test_prunes_on_both_dims(self, zo):
+        """The whole point of Z-order: a single-column sort prunes one
+        dimension; the Morton layout must prune BOTH."""
+        out, _, stats = zo
+        n_files = int(stats["file_id"].nunique())
+        assert n_files >= 8
+        for col in ("x", "y"):
+            pruned = prune_parts(out, col, 100, 200)  # ~10% selectivity
+            assert pruned["skipped"] >= pruned["total"] // 4, (
+                col, pruned)
+
+    def test_all_rows_land_exactly_once(self, zo):
+        out, df, stats = zo
+        assert int(stats["rows"].sum()) == len(df)
+        got = scan_between(out, "x", -1, 10_000).to_pandas()
+        assert _frame_fingerprint(got) == _frame_fingerprint(df)
+
+    def test_layout_metadata_persisted(self, zo):
+        out, _, _ = zo
+        with open(os.path.join(out, "_zorder.json")) as f:
+            meta = json.load(f)
+        assert meta["cols"] == ["x", "y"]
+        assert meta["zcuts"] == sorted(meta["zcuts"])
+
+    def test_single_column_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match=">= 2 columns"):
+            write_zordered(
+                rd.from_pandas(_mkdata(100)), str(tmp_path / "z1"),
+                cols=["k"])
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+def _small_parts_dir(tmp_path, n_parts=24, rows_per=200) -> tuple:
+    src = str(tmp_path / "small")
+    os.makedirs(src)
+    frames = []
+    rng = np.random.default_rng(3)
+    for i in range(n_parts):
+        f = pd.DataFrame({
+            "k": rng.integers(0, 10_000, rows_per).astype("int64"),
+            "s": [f"r{i:03d}_{j}" for j in range(rows_per)],
+        })
+        f.to_parquet(os.path.join(src, f"in-{i:04d}.parquet"), index=False)
+        frames.append(f)
+    return src, pd.concat(frames, ignore_index=True)
+
+
+class TestCompaction:
+    def test_bins_respect_target(self, tmp_path):
+        src, _ = _small_parts_dir(tmp_path)
+        sizes = {f: os.path.getsize(f)
+                 for f in glob.glob(os.path.join(src, "*.parquet"))}
+        target = 4 * max(sizes.values())
+        bins = plan_compaction(src, target)
+        assert sum(len(b) for b in bins) == len(sizes)
+        for b in bins:
+            if len(b) > 1:
+                assert sum(sizes[f] for f in b) <= target
+
+    def test_content_preserved_and_files_reduced(self, tmp_path):
+        src, full = _small_parts_dir(tmp_path)
+        out = str(tmp_path / "compacted")
+        target = 6 * os.path.getsize(
+            sorted(glob.glob(os.path.join(src, "*.parquet")))[0])
+        stats = compact_parquet(src, out, target_bytes=target)
+        out_parts = glob.glob(os.path.join(out, "*.parquet"))
+        assert 0 < len(out_parts) < 24
+        assert len(out_parts) == len(stats)
+        got = rd.read_parquet(out_parts).to_pandas()
+        assert _frame_fingerprint(got) == _frame_fingerprint(full)
+
+    def test_resume_skips_done_and_rebuilds_deleted(self, tmp_path):
+        src, full = _small_parts_dir(tmp_path)
+        out = str(tmp_path / "resume")
+        stats1 = compact_parquet(src, out, target_bytes=1 << 16)
+        # rerun: nothing to do
+        stats2 = compact_parquet(src, out, target_bytes=1 << 16)
+        assert len(stats2) == 0
+        # delete ONE output part: exactly that bin is rebuilt
+        victim = sorted(glob.glob(os.path.join(out, "*.parquet")))[0]
+        os.remove(victim)
+        stats3 = compact_parquet(src, out, target_bytes=1 << 16)
+        assert len(stats3) == 1
+        got = rd.read_parquet(
+            glob.glob(os.path.join(out, "*.parquet"))).to_pandas()
+        assert _frame_fingerprint(got) == _frame_fingerprint(full)
+        assert int(stats1["rows"].sum()) == len(full)
+
+    def test_plan_is_stable_across_reruns(self, tmp_path):
+        src, _ = _small_parts_dir(tmp_path)
+        out = str(tmp_path / "plan")
+        compact_parquet(src, out, target_bytes=1 << 16)
+        with open(os.path.join(out, "_compaction.json")) as f:
+            saved = json.load(f)
+        assert saved["bins"] == plan_compaction(src, 1 << 16)
+
+    def test_zonemaps_carried_through(self, tmp_path):
+        src, full = _small_parts_dir(tmp_path)
+        out = str(tmp_path / "zmc")
+        compact_parquet(src, out, target_bytes=1 << 16, stat_cols=["k"])
+        got = scan_between(out, "k", 0, 5000).to_pandas()
+        want = full[(full.k >= 0) & (full.k <= 5000)]
+        assert _frame_fingerprint(got) == _frame_fingerprint(want)
+
+    def test_wrong_source_dir_rejected(self, tmp_path):
+        src, _ = _small_parts_dir(tmp_path)
+        out = str(tmp_path / "wrong")
+        compact_parquet(src, out, target_bytes=1 << 16)
+        other = str(tmp_path / "other")
+        shutil.copytree(src, other)
+        with pytest.raises(FormatError, match="was planned from"):
+            compact_parquet(other, out, target_bytes=1 << 16)

@@ -241,3 +241,16 @@ def test_forced_cuts_validation(tmp_path, ray_session):
     with pytest.raises(FormatError, match="different cuts"):
         write_range_partitioned(rd.from_pandas(a), str(tmp_path / "F2"),
                                 "k", num_ranges=4, cuts=[11, 50, 80])
+
+
+def test_read_with_column_pruning(tmp_path):
+    """Regression: columns= on a range-partitioned read used to trip an
+    UnboundLocalError inside Ray's parquet datasource when combined with
+    partitioning=None; the pruned path now reads one file per task with
+    pyarrow's own column selection."""
+    out = str(tmp_path / "rp")
+    df = _mk()
+    write_range_partitioned(rd.from_pandas(df), out, "k", num_ranges=4)
+    back = read_range_partitioned(out, columns=["k"]).to_pandas()
+    assert list(back.columns) == ["k"]
+    assert sorted(back["k"]) == sorted(df["k"])
