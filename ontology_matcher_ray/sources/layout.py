@@ -50,7 +50,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from ontology_matcher_ray.sources.io import FormatError, read_parquet_clean
+from ontology_matcher_ray.sources.io import (
+    FormatError,
+    _range_dir,
+    load_cuts,
+    read_parquet_clean,
+)
 
 _PLAN_FILE = "_compaction.json"
 _ZCUTS_FILE = "_zorder.json"
@@ -95,10 +100,15 @@ def _column_stats(tbl: pa.Table, col: str) -> dict:
     }
 
 
-def _write_zmap(path: str, tbl: pa.Table, stat_cols: Sequence[str]) -> None:
+def _write_zmap(path: str, tbl: pa.Table, stat_cols: Sequence[str],
+                bloom_cols: Sequence[str] = ()) -> None:
     """Sidecar next to ``path`` (atomic rename; a task retry overwrites)."""
     stats = {c: _column_stats(tbl, c) for c in stat_cols}
     meta = {"rows": tbl.num_rows, "stats": stats}
+    if bloom_cols:
+        meta["blooms"] = {
+            c: _bloom_build(tbl.column(c).to_pandas()) for c in bloom_cols
+        }
     sidecar = _zmap_path(path)
     tmp = sidecar + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
@@ -109,9 +119,11 @@ def _write_zmap(path: str, tbl: pa.Table, stat_cols: Sequence[str]) -> None:
 class _ZonemappedSink(rd.Datasink):
     """One Parquet part + one zone-map sidecar per write task."""
 
-    def __init__(self, out_dir: str, stat_cols: Sequence[str]):
+    def __init__(self, out_dir: str, stat_cols: Sequence[str],
+                 bloom_cols: Sequence[str] = ()):
         self._out_dir = out_dir
         self._stat_cols = list(stat_cols)
+        self._bloom_cols = list(bloom_cols)
 
     def write(self, blocks, ctx) -> int:
         from ray.data.block import BlockAccessor
@@ -125,21 +137,24 @@ class _ZonemappedSink(rd.Datasink):
         tmp = path + f".tmp{os.getpid()}"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
-        _write_zmap(path, tbl, self._stat_cols)
+        _write_zmap(path, tbl, self._stat_cols, self._bloom_cols)
         return tbl.num_rows
 
 
 def write_zonemapped(
-    ds: rd.Dataset, out_dir: str, stat_cols: Sequence[str]
+    ds: rd.Dataset, out_dir: str, stat_cols: Sequence[str],
+    bloom_cols: Sequence[str] = (),
 ) -> None:
     """Write ``ds`` as Parquet parts with per-part min/max zone maps on
-    ``stat_cols``.  Part names are deterministic per write task, so a
-    Ray task retry overwrites its own part + sidecar rather than
-    duplicating rows (the same contract as the N-Triples/ORC sinks)."""
+    ``stat_cols`` and per-part Bloom filters on ``bloom_cols`` (point
+    lookups on high-cardinality columns).  Part names are deterministic
+    per write task, so a Ray task retry overwrites its own part +
+    sidecar rather than duplicating rows (the same contract as the
+    N-Triples/ORC sinks)."""
     os.makedirs(out_dir, exist_ok=True)
     if glob.glob(os.path.join(out_dir, "*.parquet")):
         raise FormatError(f"{out_dir} already contains parquet parts")
-    ds.write_datasink(_ZonemappedSink(out_dir, stat_cols))
+    ds.write_datasink(_ZonemappedSink(out_dir, stat_cols, bloom_cols))
 
 
 def zonemap_table(out_dir: str) -> pd.DataFrame:
@@ -411,6 +426,7 @@ def compact_parquet(
     out_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
     stat_cols: Optional[Sequence[str]] = None,
+    bloom_cols: Optional[Sequence[str]] = None,
     resume: bool = True,
 ) -> pd.DataFrame:
     """Bin-pack small Parquet parts into ~``target_bytes`` parts.
@@ -452,6 +468,7 @@ def compact_parquet(
         os.replace(tmp, plan_path)
 
     stat_cols = list(stat_cols or [])
+    bloom_cols = list(bloom_cols or [])
     todo = [
         {"bin_id": i, "files": b} for i, b in enumerate(bins)
         if not os.path.exists(
@@ -473,8 +490,8 @@ def compact_parquet(
             tmp = path + f".tmp{os.getpid()}"
             pq.write_table(tbl, tmp)
             os.replace(tmp, path)
-            if stat_cols:
-                _write_zmap(path, tbl, stat_cols)
+            if stat_cols or bloom_cols:
+                _write_zmap(path, tbl, stat_cols or [], bloom_cols or [])
             rows.append({"bin_id": bin_id, "n_inputs": len(files),
                          "rows": tbl.num_rows})
         return pd.DataFrame(rows) if rows else _EMPTY.copy()
@@ -488,3 +505,243 @@ def compact_parquet(
     return (stats.astype({"bin_id": "int64", "n_inputs": "int64",
                           "rows": "int64"})
             .sort_values("bin_id", ignore_index=True))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter sidecars: point lookups on high-cardinality columns
+# ---------------------------------------------------------------------------
+# Zone maps answer RANGE predicates; an equality probe on a
+# high-cardinality unclustered column (repo name, content sha) gets no
+# help from min/max.  A per-part Bloom filter answers "can this part
+# contain value v?" with a bounded false-positive rate and O(bits)
+# sidecar space — the parquet-bloom-filter / Iceberg recipe, kept in the
+# same `_`-prefixed JSON sidecars so the directory stays readable by any
+# engine.  Hashing is pandas' deterministic 64-bit row hash (stable
+# across processes), double-hashed into k probes.
+
+_BLOOM_K = 7                      # ~optimal for the 1% target fpp
+_BLOOM_BITS_PER_ROW = 10          # m/n = 10 -> fpp ~ 0.8% at k=7
+_BLOOM_MAX_BITS = 1 << 22         # 512 KiB cap per (part, column)
+
+
+def _bloom_positions(values: pd.Series, m: int) -> np.ndarray:
+    """k probe positions per value (len(values) x k), double hashing."""
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy()
+    h1 = h % np.uint64(m)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)     # odd -> full cycle
+    ks = np.arange(_BLOOM_K, dtype=np.uint64)
+    return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def _bloom_build(values: pd.Series) -> dict:
+    import base64
+
+    vals = values.dropna()
+    n = max(1, len(vals))
+    m = int(min(_BLOOM_MAX_BITS, max(64, n * _BLOOM_BITS_PER_ROW)))
+    bits = np.zeros(m, dtype=bool)
+    pos = _bloom_positions(vals, m).ravel()
+    bits[pos] = True
+    packed = np.packbits(bits)
+    return {"m": m,
+            "bits": base64.b64encode(packed.tobytes()).decode("ascii")}
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    import base64
+
+    m = bloom["m"]
+    packed = np.frombuffer(base64.b64decode(bloom["bits"]), dtype=np.uint8)
+    bits = np.unpackbits(packed)[:m].astype(bool)
+    pos = _bloom_positions(pd.Series([value]), m).ravel()
+    return bool(bits[pos].all())
+
+
+def prune_parts_eq(out_dir: str, col: str, value) -> dict:
+    """Which parts can contain a row with ``col == value``?
+
+    Uses the Bloom filter when the column has one (point pruning on
+    high-cardinality columns), narrowed further by the min/max zone map
+    when present.  Same return shape as ``prune_parts``.
+    """
+    sidecars = sorted(glob.glob(os.path.join(out_dir, "_zmap-*.json")))
+    if not sidecars:
+        raise FormatError(f"no zone-map sidecars under {out_dir}")
+    kept = []
+    saw_filter = False
+    for sidecar in sidecars:
+        with open(sidecar) as f:
+            meta = json.load(f)
+        st = meta["stats"].get(col)
+        bloom = meta.get("blooms", {}).get(col)
+        if st is None and bloom is None:
+            raise FormatError(
+                f"column {col!r} has neither zone map nor Bloom filter "
+                f"in {sidecar}")
+        saw_filter = True
+        if st is not None:
+            if st["min"] is None:            # all-null part
+                continue
+            if value < st["min"] or value > st["max"]:
+                continue
+        if bloom is not None and not _bloom_maybe_contains(bloom, value):
+            continue
+        kept.append(_part_of_zmap(sidecar))
+    assert saw_filter
+    return {"kept": kept, "total": len(sidecars),
+            "skipped": len(sidecars) - len(kept)}
+
+
+def scan_eq(
+    out_dir: str, col: str, value,
+    columns: Optional[List[str]] = None,
+) -> rd.Dataset:
+    """Exact ``col == value`` scan with Bloom/zone-map file skipping.
+
+    Identical rows to the brute-force filter (Bloom false positives are
+    removed by the exact pyarrow filter); only the files opened differ.
+    """
+    pruned = prune_parts_eq(out_dir, col, value)
+    kept = pruned["kept"]
+    if not kept:
+        any_part = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))[0]
+        schema = pq.read_schema(any_part).remove_metadata()
+        want = list(columns) if columns is not None else schema.names
+        return rd.from_arrow(schema.empty_table().select(want))
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(list(columns) + [col]))
+
+    def exact(tbl: pa.Table) -> pa.Table:
+        keep = pc.equal(tbl.column(col), pa.scalar(value))
+        out = tbl.filter(pc.fill_null(keep, False))
+        if columns is not None:
+            out = out.select(columns)
+        return out
+
+    ds = read_parquet_clean(kept, columns=read_cols)
+    return ds.map_batches(exact, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO a range-partitioned table
+# ---------------------------------------------------------------------------
+
+def merge_into_range_partitioned(
+    table_dir: str,
+    changes: rd.Dataset,
+    op_col: str = "_op",
+) -> pd.DataFrame:
+    """Apply a changeset (upserts + deletes) to a range-partitioned
+    table, rewriting ONLY the key ranges the changeset touches — the
+    MERGE INTO of a lakehouse, expressed over the engine's own range
+    sink.
+
+    * ``table_dir`` must be a ``write_range_partitioned`` directory; its
+      persisted cut points define which range every change key lands in,
+      so routing is a ``searchsorted`` per batch — no shuffle of the
+      table, and untouched ranges are never opened.
+    * ``changes`` carries the table's columns plus ``op_col`` with
+      values ``"upsert"`` or ``"delete"`` (delete rows need only the
+      key column populated).  The table's partition key is treated as
+      the PRIMARY KEY: an upsert replaces the existing row with that
+      key or inserts a new one; a delete removes it.  Duplicate keys
+      within one changeset are rejected (a changeset is a set of final
+      row states, not a journal — feed CDC streams through
+      ``events.compact_latest`` first).
+    * Each touched range rewrites via tmp-then-rename, so a task retry
+      overwrites its own output and a re-applied merge is IDEMPOTENT
+      (upsert/delete of already-applied states is a no-op) — the
+      crash-recovery story is "run the same merge again".
+
+    Returns per-range stats ``(range_id, rows_before, upserts, deletes,
+    rows_after)``.
+    """
+    import shutil
+
+    from ontology_matcher_ray.stages.exchange import (
+        PARTITION_COL,
+        partitioned_apply_prepartitioned,
+    )
+
+    meta = load_cuts(table_dir)
+    key, cuts = meta["key"], meta["cuts"]
+    cuts_arr = np.asarray(cuts) if cuts else np.asarray([], dtype=object)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ops = b[op_col]
+        bad = ~ops.isin(["upsert", "delete"])
+        if bad.any():
+            raise FormatError(
+                f"unknown {op_col} value {ops[bad].iloc[0]!r} "
+                "(expected 'upsert' or 'delete')")
+        b = b.copy()
+        b[PARTITION_COL] = (
+            np.searchsorted(cuts_arr, b[key].to_numpy(), side="right")
+            .astype("int64") if len(cuts_arr)
+            else np.zeros(len(b), dtype=np.int64))
+        return b
+
+    _EMPTY = pd.DataFrame({
+        "range_id": pd.Series(dtype="int64"),
+        "rows_before": pd.Series(dtype="int64"),
+        "upserts": pd.Series(dtype="int64"),
+        "deletes": pd.Series(dtype="int64"),
+        "rows_after": pd.Series(dtype="int64"),
+    })
+
+    def apply_range(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY.copy()
+        if g[key].duplicated().any():
+            dup = g[key][g[key].duplicated()].iloc[0]
+            raise FormatError(
+                f"changeset has duplicate key {dup!r} — a changeset is "
+                "a set of final row states; compact it first")
+        rid = (int(np.searchsorted(cuts_arr, g[key].iloc[0], side="right"))
+               if len(cuts_arr) else 0)
+        rdir = _range_dir(table_dir, rid)
+        part = os.path.join(rdir, "part-000.parquet")
+        if os.path.isdir(rdir):
+            cur = pd.read_parquet(part)
+        else:
+            # a range that never materialized (held no rows at write
+            # time): inserts create it with the changeset's columns
+            cur = g.drop(columns=[op_col]).iloc[0:0]
+        ups = g[g[op_col] == "upsert"].drop(columns=[op_col])
+        dels = set(g.loc[g[op_col] == "delete", key])
+        before = len(cur)
+        keep = cur[~cur[key].isin(dels) & ~cur[key].isin(set(ups[key]))]
+        new = (pd.concat([keep, ups], ignore_index=True)
+               .sort_values(key, kind="mergesort", ignore_index=True))
+        tmp = rdir + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        new.to_parquet(os.path.join(tmp, "part-000.parquet"), index=False)
+        if os.path.isdir(rdir):
+            # atomic swap: rename old out of the way, new in, drop old.
+            # A crash between the two renames leaves <rdir>.old AND the
+            # committed tmp; re-running the merge re-derives the same
+            # final state from either (idempotence), and .old is swept.
+            old = rdir + ".old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(rdir, old)
+            os.rename(tmp, rdir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, rdir)
+        return pd.DataFrame({
+            "range_id": [rid], "rows_before": [before],
+            "upserts": [len(ups)], "deletes": [int(len(g) - len(ups))],
+            "rows_after": [len(new)],
+        })
+
+    keyed = changes.map_batches(assign, batch_format="pandas")
+    stats = partitioned_apply_prepartitioned(keyed, apply_range, [key])
+    df = stats.to_pandas()          # bounded: one row per TOUCHED range
+    if not len(df):
+        return _EMPTY.copy()
+    return (df.astype({c: "int64" for c in df.columns})
+            .sort_values("range_id", ignore_index=True))

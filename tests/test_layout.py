@@ -267,3 +267,179 @@ class TestCompaction:
         shutil.copytree(src, other)
         with pytest.raises(FormatError, match="was planned from"):
             compact_parquet(other, out, target_bytes=1 << 16)
+
+
+# ---------------------------------------------------------------------------
+# Bloom point lookups
+# ---------------------------------------------------------------------------
+
+class TestBloom:
+    @pytest.fixture()
+    def bl_dir(self, tmp_path):
+        rng = np.random.default_rng(23)
+        n = 5000
+        df = pd.DataFrame({
+            "repo": [f"org{int(a):03d}/repo{int(b):05d}"
+                     for a, b in zip(rng.integers(0, 50, n),
+                                     rng.integers(0, 2000, n))],
+            "stars": rng.integers(0, 10_000, n).astype("int64"),
+        })
+        out = str(tmp_path / "bl")
+        write_zonemapped(
+            rd.from_pandas(df).repartition(16), out,
+            stat_cols=["stars"], bloom_cols=["repo"])
+        return out, df
+
+    def test_point_lookup_exact(self, bl_dir):
+        from ontology_matcher_ray.sources.layout import scan_eq
+
+        out, df = bl_dir
+        target = df["repo"].iloc[1234]
+        got = scan_eq(out, "repo", target).to_pandas()
+        want = df[df.repo == target]
+        assert _frame_fingerprint(got) == _frame_fingerprint(want)
+
+    def test_bloom_prunes_most_parts(self, bl_dir):
+        from ontology_matcher_ray.sources.layout import prune_parts_eq
+
+        out, df = bl_dir
+        # a key that lives in ~1 part: a high-cardinality point probe
+        # must skip most files (fpp ~1% per part)
+        target = df["repo"].iloc[7]
+        pruned = prune_parts_eq(out, "repo", target)
+        assert pruned["total"] >= 8
+        assert pruned["skipped"] >= pruned["total"] // 2, pruned
+
+    def test_absent_key_usually_opens_nothing(self, bl_dir):
+        from ontology_matcher_ray.sources.layout import (
+            prune_parts_eq,
+            scan_eq,
+        )
+
+        out, _ = bl_dir
+        pruned = prune_parts_eq(out, "repo", "org999/never-existed")
+        assert len(pruned["kept"]) <= 2      # fpp gives at most a stray
+        got = scan_eq(out, "repo", "org999/never-existed").to_pandas()
+        assert len(got) == 0
+
+    def test_eq_on_zonemap_only_column_works(self, bl_dir):
+        from ontology_matcher_ray.sources.layout import scan_eq
+
+        out, df = bl_dir
+        v = int(df["stars"].iloc[0])
+        got = scan_eq(out, "stars", v).to_pandas()
+        assert _frame_fingerprint(got) == _frame_fingerprint(
+            df[df.stars == v])
+
+    def test_unknown_column_raises(self, bl_dir):
+        from ontology_matcher_ray.sources.layout import prune_parts_eq
+
+        out, _ = bl_dir
+        with pytest.raises(FormatError, match="neither zone map nor"):
+            prune_parts_eq(out, "nope", 1)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO range-partitioned table
+# ---------------------------------------------------------------------------
+
+class TestMergeInto:
+    @pytest.fixture()
+    def table(self, tmp_path):
+        from ontology_matcher_ray.sources.io import write_range_partitioned
+
+        df = pd.DataFrame({
+            "k": np.arange(0, 1000, dtype="int64"),
+            "v": np.arange(0, 1000, dtype="int64") * 10,
+        })
+        out = str(tmp_path / "tbl")
+        write_range_partitioned(rd.from_pandas(df), out, "k", num_ranges=8)
+        return out, df
+
+    def _apply(self, table_dir, changes: pd.DataFrame):
+        from ontology_matcher_ray.sources.layout import (
+            merge_into_range_partitioned,
+        )
+
+        return merge_into_range_partitioned(
+            table_dir, rd.from_pandas(changes))
+
+    def test_upsert_insert_delete(self, table):
+        from ontology_matcher_ray.sources.io import read_range_partitioned
+
+        out, df = table
+        changes = pd.DataFrame({
+            "k": [5, 2000, 7],
+            "v": [999, 42, 0],
+            "_op": ["upsert", "upsert", "delete"],
+        })
+        stats = self._apply(out, changes)
+        back = read_range_partitioned(out).to_pandas()
+        want = df[df.k != 7].copy()
+        want.loc[want.k == 5, "v"] = 999
+        want = pd.concat(
+            [want, pd.DataFrame({"k": [2000], "v": [42]})],
+            ignore_index=True)
+        assert _frame_fingerprint(back) == _frame_fingerprint(want)
+        assert int(stats["upserts"].sum()) == 2
+        assert int(stats["deletes"].sum()) == 1
+
+    def test_untouched_ranges_not_rewritten(self, table):
+        out, _ = table
+        import glob as g
+        import os as o
+
+        parts = sorted(g.glob(o.path.join(out, "range=*", "*.parquet")))
+        mtimes = {p: o.path.getmtime(p) for p in parts}
+        stats = self._apply(out, pd.DataFrame(
+            {"k": [1], "v": [111], "_op": ["upsert"]}))
+        assert len(stats) == 1               # exactly one range touched
+        untouched = [p for p in parts
+                     if o.path.getmtime(p) == mtimes[p]]
+        assert len(untouched) == len(parts) - 1
+
+    def test_idempotent_reapply(self, table):
+        from ontology_matcher_ray.sources.io import read_range_partitioned
+
+        out, _ = table
+        changes = pd.DataFrame({
+            "k": [3, 900], "v": [33, 0], "_op": ["upsert", "delete"]})
+        self._apply(out, changes)
+        first = read_range_partitioned(out).to_pandas()
+        stats2 = self._apply(out, changes)   # crash-recovery story
+        second = read_range_partitioned(out).to_pandas()
+        assert _frame_fingerprint(first) == _frame_fingerprint(second)
+        assert int(stats2["rows_after"].sum()) >= 0
+
+    def test_ranges_stay_sorted_and_disjoint(self, table):
+        from ontology_matcher_ray.sources.io import load_cuts
+
+        out, _ = table
+        self._apply(out, pd.DataFrame({
+            "k": [0, 500, 999, -5, 10_000],
+            "v": [1, 2, 3, 4, 5],
+            "_op": ["upsert"] * 5}))
+        import glob as g
+        import os as o
+
+        cuts = load_cuts(out)["cuts"]
+        for d in sorted(g.glob(o.path.join(out, "range=*"))):
+            part = pd.read_parquet(d)
+            assert part["k"].is_monotonic_increasing
+            rid = int(o.path.basename(d).split("=")[1])
+            if rid > 0:
+                assert part["k"].iloc[0] > cuts[rid - 1] - 1
+            if rid < len(cuts):
+                assert part["k"].iloc[-1] <= cuts[rid]
+
+    def test_duplicate_changeset_key_rejected(self, table):
+        out, _ = table
+        with pytest.raises(Exception, match="duplicate key"):
+            self._apply(out, pd.DataFrame({
+                "k": [1, 1], "v": [2, 3], "_op": ["upsert", "upsert"]}))
+
+    def test_unknown_op_rejected(self, table):
+        out, _ = table
+        with pytest.raises(Exception, match="unknown _op"):
+            self._apply(out, pd.DataFrame(
+                {"k": [1], "v": [2], "_op": ["replace"]}))
