@@ -745,3 +745,97 @@ def merge_into_range_partitioned(
         return _EMPTY.copy()
     return (df.astype({c: "int64" for c in df.columns})
             .sort_values("range_id", ignore_index=True))
+
+
+# ---------------------------------------------------------------------------
+# lake maintenance: vacuum + schema-evolved reads
+# ---------------------------------------------------------------------------
+
+def vacuum(base_dir: str) -> dict:
+    """Sweep crash debris from a layout/range directory tree: ``*.tmp*``
+    files and directories (interrupted tmp-then-rename writes) and
+    ``range=NNNNN.old`` directories (interrupted merge swaps).
+
+    Every committed artifact in this engine is published by atomic
+    rename, so anything still carrying a ``.tmp``/``.old`` suffix is by
+    construction garbage from a crashed task — a retry or rerun has
+    already re-published the real output under the final name.  Also
+    drops zone-map sidecars whose data part no longer exists (e.g. the
+    part was deleted to force a compaction-bin rebuild).
+
+    Returns ``{"tmp": n, "old": n, "orphan_sidecars": n}``.
+    """
+    import shutil
+
+    n_tmp = n_old = n_orphan = 0
+    for root, dirs, files in os.walk(base_dir, topdown=False):
+        for name in files:
+            p = os.path.join(root, name)
+            if ".tmp" in name:
+                os.remove(p)
+                n_tmp += 1
+            elif name.startswith("_zmap-") and name.endswith(".json"):
+                if not os.path.exists(_part_of_zmap(p)):
+                    os.remove(p)
+                    n_orphan += 1
+        for name in dirs:
+            p = os.path.join(root, name)
+            if ".tmp" in name:
+                shutil.rmtree(p, ignore_errors=True)
+                n_tmp += 1
+            elif name.endswith(".old"):
+                shutil.rmtree(p, ignore_errors=True)
+                n_old += 1
+    return {"tmp": n_tmp, "old": n_old, "orphan_sidecars": n_orphan}
+
+
+def read_evolved(dirs: Sequence[str] | str,
+                 columns: Optional[List[str]] = None) -> rd.Dataset:
+    """Read Parquet parts whose schemas DRIFTED across ingest batches
+    under one unified schema — the schema-evolution contract of a lake
+    table (new columns appear, ints widen) that a plain ``read_parquet``
+    over mixed parts refuses or mangles.
+
+    * The unified schema is ``pa.unify_schemas(...,
+      promote_options="permissive")`` over the part FOOTERS — a
+      driver-side O(files) metadata pass, no data read.
+    * Incompatible drift (string vs int for the same column) fails
+      loudly at plan time, not mid-scan.
+    * One file per read task; each table gains missing columns as
+      typed nulls and casts widened types, so every downstream batch
+      sees one stable schema.
+    """
+    if isinstance(dirs, str):
+        dirs = [dirs]
+    files = sorted(
+        f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        raise FormatError(f"no parquet parts under {list(dirs)}")
+    schemas = [pq.read_schema(f).remove_metadata() for f in files]
+    try:
+        unified = pa.unify_schemas(schemas, promote_options="permissive")
+    except (pa.lib.ArrowException, TypeError) as e:
+        raise FormatError(f"incompatible schema drift: {e}") from e
+    if columns is not None:
+        missing = [c for c in columns if c not in unified.names]
+        if missing:
+            raise FormatError(f"columns {missing} not in any part")
+        unified = pa.schema([unified.field(c) for c in columns])
+
+    def load(b) -> pa.Table:
+        out = []
+        for path in b["item"]:
+            have = set(pq.read_schema(path).names)
+            want_here = [f.name for f in unified if f.name in have]
+            t = pq.read_table(path, columns=want_here)
+            arrays = []
+            for f in unified:
+                if f.name in have:
+                    arrays.append(t.column(f.name).cast(f.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, type=f.type))
+            out.append(pa.Table.from_arrays(arrays, schema=unified))
+        return out[0] if len(out) == 1 else pa.concat_tables(out)
+
+    return rd.from_items(files, override_num_blocks=len(files)).map_batches(
+        load, batch_format="pandas")

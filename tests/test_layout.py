@@ -443,3 +443,97 @@ class TestMergeInto:
         with pytest.raises(Exception, match="unknown _op"):
             self._apply(out, pd.DataFrame(
                 {"k": [1], "v": [2], "_op": ["replace"]}))
+
+
+# ---------------------------------------------------------------------------
+# vacuum + schema evolution
+# ---------------------------------------------------------------------------
+
+class TestVacuum:
+    def test_sweeps_tmp_old_and_orphans(self, tmp_path):
+        from ontology_matcher_ray.sources.io import write_range_partitioned
+        from ontology_matcher_ray.sources.layout import vacuum
+
+        base = str(tmp_path / "lake")
+        df = _mkdata(500)
+        write_range_partitioned(rd.from_pandas(df), base, "k", num_ranges=4)
+        # plant crash debris
+        os.makedirs(os.path.join(base, "range=00001.old"))
+        os.makedirs(os.path.join(base, "range=00099.tmp"))
+        with open(os.path.join(base, "part-000000.parquet.tmp123"), "w"):
+            pass
+        with open(os.path.join(base, "_zmap-part-000042.json"), "w") as f:
+            json.dump({"rows": 0, "stats": {}}, f)
+        counts = vacuum(base)
+        assert counts == {"tmp": 2, "old": 1, "orphan_sidecars": 1}
+        left = set(os.listdir(base))
+        assert not any(".tmp" in n or n.endswith(".old") for n in left)
+        # committed data untouched
+        from ontology_matcher_ray.sources.io import read_range_partitioned
+
+        back = read_range_partitioned(base).to_pandas()
+        assert _frame_fingerprint(back) == _frame_fingerprint(df)
+
+    def test_live_sidecars_survive(self, tmp_path):
+        from ontology_matcher_ray.sources.layout import vacuum
+
+        out = str(tmp_path / "zm")
+        write_zonemapped(rd.from_pandas(_mkdata(300)), out, stat_cols=["k"])
+        n_before = len(glob.glob(os.path.join(out, "_zmap-*.json")))
+        counts = vacuum(out)
+        assert counts["orphan_sidecars"] == 0
+        assert len(glob.glob(os.path.join(out, "_zmap-*.json"))) == n_before
+
+
+class TestSchemaEvolution:
+    @pytest.fixture()
+    def drifted(self, tmp_path):
+        """Three ingest batches with drifting schemas: a new column
+        appears in batch 2, an int column widens in batch 3."""
+        d = str(tmp_path / "drift")
+        os.makedirs(d)
+        b1 = pd.DataFrame({"id": np.array([1, 2], dtype="int32"),
+                           "name": ["a", "b"]})
+        b2 = pd.DataFrame({"id": np.array([3], dtype="int32"),
+                           "name": ["c"], "lang": ["py"]})
+        b3 = pd.DataFrame({"id": np.array([1 << 40], dtype="int64"),
+                           "name": ["d"], "lang": ["rs"]})
+        for i, b in enumerate([b1, b2, b3]):
+            b.to_parquet(os.path.join(d, f"part-{i:03d}.parquet"),
+                         index=False)
+        return d
+
+    def test_unified_read(self, drifted):
+        from ontology_matcher_ray.sources.layout import read_evolved
+
+        got = read_evolved(drifted).to_pandas()
+        assert sorted(got.columns) == ["id", "lang", "name"]
+        assert str(got["id"].dtype) == "int64"
+        assert len(got) == 4
+        assert got.set_index("name")["lang"].to_dict() == {
+            "a": None, "b": None, "c": "py", "d": "rs"}
+
+    def test_column_selection(self, drifted):
+        from ontology_matcher_ray.sources.layout import read_evolved
+
+        got = read_evolved(drifted, columns=["name", "lang"]).to_pandas()
+        assert list(got.columns) == ["name", "lang"]
+        assert len(got) == 4
+
+    def test_missing_column_rejected(self, drifted):
+        from ontology_matcher_ray.sources.layout import read_evolved
+
+        with pytest.raises(FormatError, match="not in any part"):
+            read_evolved(drifted, columns=["nope"])
+
+    def test_incompatible_drift_fails_at_plan_time(self, tmp_path):
+        from ontology_matcher_ray.sources.layout import read_evolved
+
+        d = str(tmp_path / "bad")
+        os.makedirs(d)
+        pd.DataFrame({"id": [1]}).to_parquet(
+            os.path.join(d, "a.parquet"), index=False)
+        pd.DataFrame({"id": ["x"]}).to_parquet(
+            os.path.join(d, "b.parquet"), index=False)
+        with pytest.raises(FormatError, match="incompatible schema drift"):
+            read_evolved(d)
