@@ -183,9 +183,13 @@ def cmd_corpus_kg(args) -> int:
         args.corpus_dir, args.output_dir, snap,
         n_shards=args.shards if args.shards is not None else 4,
         strategy=strategy, files_per_shard=args.files_per_shard,
+        quarantine=args.quarantine,
     )
     triples = sum(r.triple_count for r in records)
-    print(f"kg build: {len(records)} shards, {triples} triples -> {args.output_dir}")
+    nq = sum(r.quarantined for r in records)
+    extra = f" ({nq} corrupt inputs quarantined)" if nq else ""
+    print(f"kg build: {len(records)} shards, {triples} triples"
+          f"{extra} -> {args.output_dir}")
     return 0
 
 
@@ -498,6 +502,10 @@ def main(argv=None) -> int:
                     help="fixed-size shard planning for incremental ingest "
                          "(append files + rerun = only new/changed shards)")
     pc.add_argument("--strategy", choices=["mixture", "unique"], default="mixture")
+    pc.add_argument("--quarantine", action="store_true",
+                    help="pre-validate input files; exclude corrupt parts "
+                         "into _manifest/quarantine.jsonl instead of "
+                         "failing the shard")
     pc.set_defaults(fn=cmd_corpus_kg)
 
     pd_ = sub.add_parser(

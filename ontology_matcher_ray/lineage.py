@@ -37,6 +37,9 @@ class LineageRecord:
     content_sha256_agg: str
     triple_count: int
     wall_time: float
+    #: input files excluded by corrupt-input quarantine (default keeps
+    #: manifests written before the field existed loadable)
+    quarantined: int = 0
 
 
 class Manifest:
@@ -148,6 +151,7 @@ def run_sharded(
             content_sha256_agg=str(stats.get("content_sha256_agg", "")),
             triple_count=int(stats.get("triple_count", 0)),
             wall_time=time.time() - t0,
+            quarantined=int(stats.get("quarantined", 0)),
         )
         manifest.append(rec)
         records.append(rec)

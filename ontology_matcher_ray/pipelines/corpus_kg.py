@@ -318,6 +318,50 @@ def corpus_files(corpus_dir: str) -> List[str]:
     return sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
 
 
+def validate_corpus_files(
+    files: List[str], required_cols: List[str], full: bool = False,
+) -> pd.DataFrame:
+    """Distributed pre-flight health check of a shard's input files.
+
+    At 10^12 files some parts WILL be corrupt (truncated upload, bad
+    disk, partial replication), and one bad file must not kill a shard
+    after hours of work.  Each Ray task opens its files' FOOTERS
+    (``pq.read_metadata`` validates magic bytes + thrift structure —
+    catches truncation and garbage, the dominant real corruption) and
+    checks the required columns exist; ``full=True`` additionally
+    decodes every page (catches mid-file bitrot at full read cost).
+    Only the BAD rows return to the driver — bounded by the corruption
+    count, never the file count.
+    """
+    import pyarrow.parquet as pq
+
+    def check(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path in b["item"]:
+            try:
+                schema = pq.read_schema(path)
+                missing = [c for c in required_cols
+                           if c not in schema.names]
+                if missing:
+                    rows.append({"path": path,
+                                 "error": f"missing columns {missing}"})
+                    continue
+                pq.read_metadata(path)
+                if full:
+                    pq.read_table(path, columns=required_cols)
+            except Exception as e:  # noqa: BLE001 — any decode error
+                rows.append(
+                    {"path": path, "error": f"{type(e).__name__}: {e}"})
+        return pd.DataFrame(
+            rows, columns=["path", "error"]).astype(
+            {"path": "string", "error": "string"})
+
+    nb = max(1, min(len(files), 64))
+    return (rd.from_items(files, override_num_blocks=nb)
+            .map_batches(check, batch_format="pandas")
+            .to_pandas())
+
+
 def _shard_pipeline(
     input_files: List[str],
     out_dir: str,
@@ -329,6 +373,7 @@ def _shard_pipeline(
     term_ref=None,
     unique_subjects: bool = False,
     del1_ref=None,
+    quarantine_log: Optional[str] = None,
 ) -> Dict[str, object]:
     # Read-block sizing is BYTE-driven: let Ray's planner split to
     # target_max_block_size (forcing a per-pool block count makes blocks
@@ -339,6 +384,25 @@ def _shard_pipeline(
     pool = extract_concurrency if isinstance(extract_concurrency, int) else (
         extract_concurrency[1] if extract_concurrency else 8
     )
+    n_quarantined = 0
+    if quarantine_log is not None:
+        bad = validate_corpus_files(
+            input_files, ["repo", "path", "lang", "content"])
+        if len(bad):
+            import json as _json
+
+            bad_set = set(bad["path"])
+            input_files = [f for f in input_files if f not in bad_set]
+            if not input_files:
+                raise RuntimeError(
+                    "every input file of this shard failed validation — "
+                    "refusing to emit an empty shard silently; see "
+                    f"{quarantine_log}")
+            os.makedirs(os.path.dirname(quarantine_log), exist_ok=True)
+            with open(quarantine_log, "a") as f:
+                for rec in bad.to_dict("records"):
+                    f.write(_json.dumps(rec) + "\n")
+            n_quarantined = len(bad)
     disk_bytes = sum(os.path.getsize(f) for f in input_files)
     # ~4x decompression factor; target ~96MB in-memory read blocks
     nblocks = max(2 * pool, int(disk_bytes * 4 / (96 << 20)) + 1)
@@ -435,6 +499,7 @@ def _shard_pipeline(
         "row_count": n_rows,
         "content_sha256_agg": "%032x" % acc,
         "triple_count": total - n_agg,
+        "quarantined": n_quarantined,
     }
 
 
@@ -482,6 +547,7 @@ def build_kg(
     link_concurrency=None,
     unique_subjects: bool = False,
     files_per_shard: int = None,
+    quarantine: bool = False,
 ) -> List:
     """Run the full corpus KG build, sharded + resumable.
 
@@ -492,6 +558,14 @@ def build_kg(
     only the previously-partial last shard plus the new shards — earlier
     shards keep identical input lists and are skipped by the manifest's
     input-validated resume.
+
+    ``quarantine=True`` pre-validates every shard's input files
+    (``validate_corpus_files``) and EXCLUDES corrupt/mis-schema'd parts
+    instead of letting one bad file kill the shard: excluded paths are
+    appended to ``_manifest/quarantine.jsonl`` with the error, and the
+    shard's lineage record carries the ``quarantined`` count.  Default
+    off — fail-fast is the right behavior when the corpus is supposed
+    to be healthy.
     """
     from ontology_matcher_ray.corpus import token_lexicon_terms
 
@@ -534,6 +608,9 @@ def build_kg(
             files, shard_out, routes_ref, spec, extract_concurrency,
             link_concurrency, strategy, term_ref, unique_subjects,
             del1_ref,
+            quarantine_log=(os.path.join(out_dir, "_manifest",
+                                         "quarantine.jsonl")
+                            if quarantine else None),
         ),
     )
 

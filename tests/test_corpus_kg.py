@@ -245,3 +245,75 @@ def test_incremental_append_with_input_validated_resume(tmp_path):
     fresh = str(tmp_path / "kg_fresh")
     corpus_kg.build_kg(str(work), fresh, snap, files_per_shard=2)
     assert triple_set(out) == triple_set(fresh)
+
+
+def test_quarantine_excludes_corrupt_inputs(corpus_env, tmp_path):
+    """A truncated part and a wrong-schema part must not kill the build
+    when quarantine is on: they are excluded, logged with the error, and
+    the surviving triples equal the healthy corpus minus the bad files'
+    contributions."""
+    import glob
+
+    import pandas as pd
+
+    root, snap, corpus_dir = corpus_env
+    # copy the corpus and damage two files
+    bad_dir = str(tmp_path / "damaged")
+    shutil.copytree(corpus_dir, bad_dir)
+    files = sorted(glob.glob(os.path.join(bad_dir, "*.parquet")))
+    assert len(files) >= 4          # the corpus writes ~8 parts
+    truncated, wrong_schema = files[1], files[len(files) // 2]
+    with open(truncated, "r+b") as f:
+        f.truncate(os.path.getsize(truncated) // 2)
+    pd.DataFrame({"not_content": [1, 2]}).to_parquet(
+        wrong_schema, index=False)
+
+    # fail-fast default: the corrupt file kills the build
+    with pytest.raises(Exception):
+        corpus_kg.build_kg(bad_dir, str(tmp_path / "kg_failfast"),
+                           snap, n_shards=3)
+
+    out = str(tmp_path / "kg_quarantined")
+    records = corpus_kg.build_kg(bad_dir, out, snap, n_shards=3,
+                                 quarantine=True)
+    assert sum(r.quarantined for r in records) == 2
+    qlog = os.path.join(out, "_manifest", "quarantine.jsonl")
+    with open(qlog) as f:
+        entries = [json.loads(line) for line in f]
+    assert {e["path"] for e in entries} == {truncated, wrong_schema}
+    assert all(e["error"] for e in entries)
+
+    # triples == clean-corpus result restricted to surviving subjects:
+    # rebuild against the pristine corpus and drop the two bad files'
+    # triples by their subject prefix (subjects embed the file path)
+    clean_out = str(tmp_path / "kg_clean")
+    corpus_kg.build_kg(corpus_dir, clean_out, snap, n_shards=3)
+    clean = triple_set(clean_out)
+    bad_names = {os.path.basename(truncated), os.path.basename(wrong_schema)}
+    import pyarrow.parquet as pq
+
+    bad_paths = set()
+    for name in bad_names:
+        t = pq.read_table(os.path.join(corpus_dir, name),
+                          columns=["repo", "path"])
+        bad_paths |= {f"{r}/{p}" for r, p in
+                      zip(t.column("repo").to_pylist(),
+                          t.column("path").to_pylist())}
+    want = {t for t in clean if t[0] not in bad_paths
+            and t[2] not in bad_paths}
+    got = triple_set(out)
+    assert got == want
+
+
+def test_quarantine_all_bad_shard_raises(corpus_env, tmp_path):
+    import glob
+
+    root, snap, corpus_dir = corpus_env
+    bad_dir = str(tmp_path / "allbad")
+    os.makedirs(bad_dir)
+    for i in range(4):
+        with open(os.path.join(bad_dir, f"f{i:03d}.parquet"), "wb") as f:
+            f.write(b"junk")
+    with pytest.raises(RuntimeError, match="every input file"):
+        corpus_kg.build_kg(bad_dir, str(tmp_path / "kg"), snap,
+                           n_shards=2, quarantine=True)
