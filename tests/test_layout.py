@@ -537,3 +537,96 @@ class TestSchemaEvolution:
             os.path.join(d, "b.parquet"), index=False)
         with pytest.raises(FormatError, match="incompatible schema drift"):
             read_evolved(d)
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure kernels + randomized merge equivalence)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+class TestLayoutProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=20), min_size=1,
+                    max_size=50))
+    def test_bloom_has_no_false_negatives(self, values):
+        from ontology_matcher_ray.sources.layout import (
+            _bloom_build,
+            _bloom_maybe_contains,
+        )
+
+        bloom = _bloom_build(pd.Series(values, dtype=object))
+        for v in values:
+            assert _bloom_maybe_contains(bloom, v)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+                    min_size=1, max_size=200))
+    def test_morton_interleave_is_injective_on_codes(self, pairs):
+        from ontology_matcher_ray.sources.layout import _interleave_bits
+
+        xs = np.array([p[0] for p in pairs], dtype=np.uint64)
+        ys = np.array([p[1] for p in pairs], dtype=np.uint64)
+        z = _interleave_bits([xs, ys], bits=10)
+        # injective: distinct (x, y) -> distinct z
+        seen = {}
+        for x, y, zz in zip(xs, ys, z):
+            if (x, y) in seen:
+                assert seen[(x, y)] == zz
+            else:
+                assert zz not in set(seen.values())
+                seen[(x, y)] = zz
+        # bit budget: 2 cols x 10 bits
+        assert int(z.max()) < (1 << 20)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(-10_000, 10_000), min_size=1,
+                    max_size=300),
+           st.integers(2, 64))
+    def test_rank_codes_monotone_and_bounded(self, vals, ladder_n):
+        from ontology_matcher_ray.sources.layout import _rank_code
+
+        arr = np.sort(np.array(vals, dtype=np.int64))
+        ladder = np.sort(np.array(vals, dtype=np.int64))[:ladder_n]
+        codes = _rank_code(arr, np.sort(ladder), bits=8)
+        assert (codes < 256).all() and (codes >= 0).all()
+        assert (np.diff(codes) >= 0).all()      # monotone in the value
+
+
+def test_merge_into_random_changesets_match_pandas_model(tmp_path):
+    """Ten random upsert/delete changesets applied sequentially: the
+    range-partitioned table must track a plain pandas primary-key model
+    exactly at every step."""
+    from ontology_matcher_ray.sources.io import (
+        read_range_partitioned,
+        write_range_partitioned,
+    )
+    from ontology_matcher_ray.sources.layout import (
+        merge_into_range_partitioned,
+    )
+
+    rng = np.random.default_rng(99)
+    model = pd.DataFrame({
+        "k": np.arange(0, 400, dtype="int64"),
+        "v": rng.integers(0, 1000, 400).astype("int64"),
+    })
+    out = str(tmp_path / "tbl")
+    write_range_partitioned(
+        rd.from_pandas(model), out, "k", num_ranges=6)
+    for step in range(10):
+        n = int(rng.integers(1, 30))
+        keys = rng.choice(np.arange(-50, 600), size=n, replace=False)
+        ops = rng.choice(["upsert", "delete"], size=n)
+        vals = rng.integers(0, 10_000, n)
+        changes = pd.DataFrame({
+            "k": keys.astype("int64"), "v": vals.astype("int64"),
+            "_op": ops})
+        merge_into_range_partitioned(out, rd.from_pandas(changes))
+        # pandas primary-key model
+        ups = changes[changes._op == "upsert"].drop(columns=["_op"])
+        dels = set(changes.loc[changes._op == "delete", "k"])
+        model = model[~model.k.isin(dels) & ~model.k.isin(set(ups.k))]
+        model = pd.concat([model, ups], ignore_index=True)
+        back = read_range_partitioned(out).to_pandas()
+        assert _frame_fingerprint(back) == _frame_fingerprint(model), step
