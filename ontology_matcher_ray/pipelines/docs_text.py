@@ -694,6 +694,30 @@ def dedup_substring(sf_dir: str, k: int = 8, max_df: int = 8,
                                       num_partitions)
 
 
+def prior_snapshot_hashes(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """DISTINCT content hashes of the PRIOR corpus snapshot (the
+    even-``doc_id`` half — deterministic stand-in for yesterday's
+    manifest), as (ph, in_prior=1) rows.  Distinct matters: a duplicated
+    prior hash would fan out the left join.  Shared by
+    ``dedup_incremental`` and ``docs_train.curate_decisions``."""
+    from ontology_matcher_ray.functions.hashing import sha256_hex
+    from ontology_matcher_ray.stages import exchange
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def prior_rows(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"].astype("int64") % 2 == 0]
+        return pd.DataFrame({
+            "ph": sha256_hex(keep["text"].astype(str)).to_numpy(),
+            "in_prior": np.ones(len(keep), dtype=np.int64),
+        })
+
+    return exchange.distinct(
+        docs.map_batches(prior_rows, batch_format="pandas"),
+        ["ph"], num_partitions,
+    )
+
+
 def dedup_incremental(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     """Continuous-ingestion exact dedup: flag each document whose content
     already exists in a PRIOR corpus snapshot.
@@ -722,19 +746,7 @@ def dedup_incremental(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
 
     hashed = docs.map_batches(hash_rows, batch_format="pandas")
 
-    def prior_rows(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b[b["doc_id"].astype("int64") % 2 == 0]
-        return pd.DataFrame({
-            "ph": sha256_hex(keep["text"].astype(str)).to_numpy(),
-            "in_prior": np.ones(len(keep), dtype=np.int64),
-        })
-
-    # DISTINCT prior hashes: a duplicated prior hash would fan out the
-    # left join (one output row per matching right row)
-    prior = exchange.distinct(
-        docs.map_batches(prior_rows, batch_format="pandas"),
-        ["ph"], num_partitions,
-    )
+    prior = prior_snapshot_hashes(sf_dir, num_partitions)
 
     joined = exchange.hash_join(
         hashed, prior, "h", "ph",
@@ -964,72 +976,75 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
     Batch-local by construction (all metrics are per-doc), so it streams
     at any corpus size.
     """
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(quality_stage, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def quality_stage(t: pa.Table) -> pa.Table:
+    """Per-batch Gopher quality kernel (module-level so fused scans —
+    ``docs_train.curate_decisions`` — reuse the EXACT band definition)."""
     import pyarrow.compute as pc
 
-    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    n_rows = t.num_rows
+    text = pc.cast(t["text"], pa.string())
+    def _one_chunk(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
-    def stage(t: pa.Table) -> pa.Table:
-        n_rows = t.num_rows
-        text = pc.cast(t["text"], pa.string())
-        def _one_chunk(a):
-            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    toks = _one_chunk(pc.split_pattern(text, " "))
+    flat = _one_chunk(pc.list_flatten(toks))
+    parent = _one_chunk(pc.list_parent_indices(toks))
 
-        toks = _one_chunk(pc.split_pattern(text, " "))
-        flat = _one_chunk(pc.list_flatten(toks))
-        parent = _one_chunk(pc.list_parent_indices(toks))
+    # (doc, token) counts -> per-doc max / total / distinct
+    tc = pa.table({"p": parent, "tok": flat}).group_by(
+        ["p", "tok"]).aggregate([("tok", "count")])
+    agg = tc.group_by("p").aggregate(
+        [("tok_count", "max"), ("tok_count", "sum"), ("tok", "count")]
+    )
+    p_idx = agg["p"].to_numpy()
+    mx = np.zeros(n_rows, dtype=np.int64)
+    n = np.ones(n_rows, dtype=np.int64)
+    nd = np.ones(n_rows, dtype=np.int64)
+    mx[p_idx] = agg["tok_count_max"].to_numpy()
+    n[p_idx] = agg["tok_count_sum"].to_numpy()
+    nd[p_idx] = agg["tok_count"].to_numpy()
 
-        # (doc, token) counts -> per-doc max / total / distinct
-        tc = pa.table({"p": parent, "tok": flat}).group_by(
-            ["p", "tok"]).aggregate([("tok", "count")])
-        agg = tc.group_by("p").aggregate(
-            [("tok_count", "max"), ("tok_count", "sum"), ("tok", "count")]
+    # adjacent-token bigrams within each doc (vectorized slice+join)
+    nf = len(flat)
+    if nf > 1:
+        lead = flat.slice(1, nf - 1)
+        base = flat.slice(0, nf - 1)
+        same_doc = pc.equal(parent.slice(0, nf - 1), parent.slice(1, nf - 1))
+        bg = pc.binary_join_element_wise(base, lead, " ")
+        bt = pa.table({"p": parent.slice(0, nf - 1), "bg": bg}).filter(same_doc)
+        bagg = bt.group_by("p").aggregate(
+            [("bg", "count"), ("bg", "count_distinct")]
         )
-        p_idx = agg["p"].to_numpy()
-        mx = np.zeros(n_rows, dtype=np.int64)
-        n = np.ones(n_rows, dtype=np.int64)
-        nd = np.ones(n_rows, dtype=np.int64)
-        mx[p_idx] = agg["tok_count_max"].to_numpy()
-        n[p_idx] = agg["tok_count_sum"].to_numpy()
-        nd[p_idx] = agg["tok_count"].to_numpy()
+        bp = bagg["p"].to_numpy()
+        nbg = np.zeros(n_rows, dtype=np.int64)
+        nbgd = np.zeros(n_rows, dtype=np.int64)
+        nbg[bp] = bagg["bg_count"].to_numpy()
+        nbgd[bp] = bagg["bg_count_distinct"].to_numpy()
+    else:
+        nbg = np.zeros(n_rows, dtype=np.int64)
+        nbgd = np.zeros(n_rows, dtype=np.int64)
 
-        # adjacent-token bigrams within each doc (vectorized slice+join)
-        nf = len(flat)
-        if nf > 1:
-            lead = flat.slice(1, nf - 1)
-            base = flat.slice(0, nf - 1)
-            same_doc = pc.equal(parent.slice(0, nf - 1), parent.slice(1, nf - 1))
-            bg = pc.binary_join_element_wise(base, lead, " ")
-            bt = pa.table({"p": parent.slice(0, nf - 1), "bg": bg}).filter(same_doc)
-            bagg = bt.group_by("p").aggregate(
-                [("bg", "count"), ("bg", "count_distinct")]
-            )
-            bp = bagg["p"].to_numpy()
-            nbg = np.zeros(n_rows, dtype=np.int64)
-            nbgd = np.zeros(n_rows, dtype=np.int64)
-            nbg[bp] = bagg["bg_count"].to_numpy()
-            nbgd[bp] = bagg["bg_count_distinct"].to_numpy()
-        else:
-            nbg = np.zeros(n_rows, dtype=np.int64)
-            nbgd = np.zeros(n_rows, dtype=np.int64)
-
-        mil = 1_000_000
-        top_frac = mx * mil // n
-        repeat = (n - nd) * mil // n
-        bg_repeat = (nbg - nbgd) * mil // np.maximum(nbg, 1)
-        band = np.where(
-            (top_frac > 140_000) | (repeat > 650_000), "low",
-            np.where((repeat < 400_000) & (bg_repeat < 20_000), "high", "medium"),
-        )
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "n_tokens": pa.array(n, pa.int64()),
-            "top_token_frac_micro": pa.array(top_frac, pa.int64()),
-            "repeat_ratio_micro": pa.array(repeat, pa.int64()),
-            "bigram_repeat_micro": pa.array(bg_repeat, pa.int64()),
-            "quality_band": pa.array(band.astype(object), pa.string()),
-        })
-
-    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    mil = 1_000_000
+    top_frac = mx * mil // n
+    repeat = (n - nd) * mil // n
+    bg_repeat = (nbg - nbgd) * mil // np.maximum(nbg, 1)
+    band = np.where(
+        (top_frac > 140_000) | (repeat > 650_000), "low",
+        np.where((repeat < 400_000) & (bg_repeat < 20_000), "high", "medium"),
+    )
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pa.array(n, pa.int64()),
+        "top_token_frac_micro": pa.array(top_frac, pa.int64()),
+        "repeat_ratio_micro": pa.array(repeat, pa.int64()),
+        "bigram_repeat_micro": pa.array(bg_repeat, pa.int64()),
+        "quality_band": pa.array(band.astype(object), pa.string()),
+    })
 
 
 # BPE-ish pre-tokenizer for source code: identifier runs, digit runs,
