@@ -2883,6 +2883,8 @@ UNION ALL
 SELECT 'orc', doc_id, declared_lang, guessed_lang FROM ({li})
 UNION ALL
 SELECT 'ipc', doc_id, declared_lang, guessed_lang FROM ({li})
+UNION ALL
+SELECT 'zonemap', doc_id, declared_lang, guessed_lang FROM ({li})
 """
 
     # --- formatted sinks: MIXTURE / UNIQUE / UNIQUE-failed ---------------

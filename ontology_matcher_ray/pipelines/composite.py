@@ -114,11 +114,13 @@ _LANG_ID_COLS = ["doc_id", "declared_lang", "guessed_lang"]
 
 def lang_id_roundtrip(sf_dir: str) -> rd.Dataset:
     """lang_id over the documents read directly (via='direct') and over
-    the same documents round-tripped through THREE distributed
+    the same documents round-tripped through FOUR distributed
     sink/source pairs — gzip JSONL ('jsonl', how real ``.jsonl.gz``
     corpora ship), ORC ('orc', the Hive/Trino lake format) and
-    zstd Arrow IPC ('ipc', Feather v2 interchange) — each a lossless
-    round trip under one oracle."""
+    zstd Arrow IPC ('ipc', Feather v2 interchange), plus the
+    zone-mapped lake layout ('zonemap': write_zonemapped sidecars +
+    the scan_between file-skipping read) — each a lossless round trip
+    under one oracle."""
     import shutil
 
     from ontology_matcher_ray.sources import io as sio
@@ -144,7 +146,19 @@ def lang_id_roundtrip(sf_dir: str) -> rd.Dataset:
     )
     orc = roundtrip("orc", sio.write_orc, sio.read_orc)
     ipc = roundtrip("ipc", sio.write_ipc, sio.read_ipc)
-    return direct.union(jsonl).union(orc).union(ipc)
+    # zone-mapped lake layout: write with per-part min/max sidecars, read
+    # back through the file-skipping scan with an all-keys range — the
+    # whole prune+exact-filter path under the same value-hash oracle
+    from ontology_matcher_ray.sources import layout as slayout
+
+    zonemap = roundtrip(
+        "zonemap",
+        lambda ds, out: slayout.write_zonemapped(
+            ds, out, stat_cols=["doc_id"]),
+        lambda out: slayout.scan_between(
+            out, "doc_id", -(1 << 62), 1 << 62),
+    )
+    return direct.union(jsonl).union(orc).union(ipc).union(zonemap)
 
 
 _FMT_COLS = [
