@@ -396,6 +396,19 @@ def cmd_layout(args) -> int:
             num_files=args.num_files)
         print(f"zorder: {int(stats['rows'].sum())} rows -> "
               f"{len(stats)} Z-clustered parts -> {args.output_dir}")
+    elif args.action == "vacuum":
+        counts = layout.vacuum(args.input_dir)
+        print(f"vacuum: removed {counts['tmp']} tmp, {counts['old']} old, "
+              f"{counts['orphan_sidecars']} orphan sidecars "
+              f"under {args.input_dir}")
+    elif args.action == "merge":
+        from ontology_matcher_ray.sources.io import read_parquet_clean
+
+        stats = layout.merge_into_range_partitioned(
+            args.input_dir, read_parquet_clean(args.changes))
+        print(f"merge: {int(stats['upserts'].sum())} upserts, "
+              f"{int(stats['deletes'].sum())} deletes across "
+              f"{len(stats)} touched ranges of {args.input_dir}")
     else:  # scan
         pruned = layout.prune_parts(args.input_dir, args.col,
                                     _coerce(args.lo), _coerce(args.hi))
@@ -552,7 +565,9 @@ def main(argv=None) -> int:
     pl = sub.add_parser(
         "layout", help="Storage layout: compact small parquet parts, "
                        "Z-order cluster, zone-map pruned scan.")
-    pl.add_argument("action", choices=["compact", "zorder", "scan"])
+    pl.add_argument("action",
+                    choices=["compact", "zorder", "scan", "merge",
+                             "vacuum"])
     pl.add_argument("--input-dir", required=True)
     pl.add_argument("--output-dir",
                     help="compact/zorder destination directory")
@@ -564,6 +579,9 @@ def main(argv=None) -> int:
                     help="zorder: comma-separated clustering columns")
     pl.add_argument("--num-files", type=int, default=32,
                     help="zorder: output part count")
+    pl.add_argument("--changes",
+                    help="merge: parquet path/dir of the changeset "
+                         "(table columns + _op upsert|delete)")
     pl.add_argument("--col", help="scan: predicate column")
     pl.add_argument("--lo", help="scan: lower bound (inclusive)")
     pl.add_argument("--hi", help="scan: upper bound (inclusive)")
@@ -572,7 +590,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if getattr(args, "fn", None) is cmd_layout:
         need = {"compact": ["output_dir"], "zorder": ["output_dir", "cols"],
-                "scan": ["col", "lo", "hi"]}[args.action]
+                "scan": ["col", "lo", "hi"], "merge": ["changes"],
+                "vacuum": []}[args.action]
         missing = [n for n in need if getattr(args, n) in (None, "")]
         if missing:
             p.error(f"layout {args.action} requires "

@@ -190,3 +190,27 @@ def test_layout_missing_flags_rejected(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["layout", "compact", "--input-dir", str(tmp_path)])
+
+
+def test_layout_merge_and_vacuum(tmp_path, capsys):
+    import numpy as np
+    import ray.data as rd
+
+    from ontology_matcher_ray.sources.io import write_range_partitioned
+
+    tbl = tmp_path / "tbl"
+    df = pd.DataFrame({"k": np.arange(100, dtype="int64"),
+                       "v": np.arange(100, dtype="int64")})
+    write_range_partitioned(rd.from_pandas(df), str(tbl), "k", num_ranges=4)
+    ch = tmp_path / "changes"
+    ch.mkdir()
+    pd.DataFrame({"k": [5, 200], "v": [99, 1],
+                  "_op": ["upsert", "upsert"]}).to_parquet(
+        ch / "c.parquet", index=False)
+    assert main(["layout", "merge", "--input-dir", str(tbl),
+                 "--changes", str(ch)]) == 0
+    assert "2 upserts" in capsys.readouterr().out
+
+    (tbl / "range=00000.old").mkdir()
+    assert main(["layout", "vacuum", "--input-dir", str(tbl)]) == 0
+    assert "1 old" in capsys.readouterr().out
