@@ -673,6 +673,59 @@ def read_range_partitioned(
     )
 
 
+def read_range_between(
+    out_dir: str,
+    lo,
+    hi,
+    columns: Optional[List[str]] = None,
+) -> rd.Dataset:
+    """Exact ``lo <= key <= hi`` scan over a range-partitioned directory
+    opening ONLY the range dirs whose key interval intersects the bound
+    — the persisted cut points are a zone map on the partition key, so
+    pruning is a driver-side ``searchsorted`` over O(num_ranges)
+    metadata.  The exact row filter runs on the (at most two) boundary
+    ranges; interior ranges pass through untouched."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    meta = load_cuts(out_dir)
+    key, cuts = meta["key"], meta["cuts"]
+    cuts_arr = np.asarray(cuts) if cuts else np.asarray([], dtype=object)
+    first = (int(np.searchsorted(cuts_arr, lo, side="right"))
+             if len(cuts_arr) else 0)
+    last = (int(np.searchsorted(cuts_arr, hi, side="right"))
+            if len(cuts_arr) else 0)
+    try:
+        ds = read_range_partitioned(out_dir, columns=None,
+                                    ranges=list(range(first, last + 1)))
+    except FormatError:
+        # every intersecting range held no rows at write time (only
+        # non-empty ranges materialize): a typed empty result from one
+        # existing part's footer
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        any_part = sorted(_glob.glob(
+            os.path.join(out_dir, "range=*", "*.parquet")))[0]
+        schema = pq.read_schema(any_part).remove_metadata()
+        want = list(columns) if columns is not None else schema.names
+        return rd.from_arrow(schema.empty_table().select(want))
+
+    def exact(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column(key), pa.scalar(lo)),
+            pc.less_equal(t.column(key), pa.scalar(hi)),
+        )
+        out = t.filter(pc.fill_null(keep, False))
+        if columns is not None:
+            out = out.select(list(columns))
+        return out
+
+    return ds.map_batches(exact, batch_format="pyarrow")
+
+
 def merge_join_range_partitioned(
     left_dir: str,
     right_dir: str,

@@ -254,3 +254,40 @@ def test_read_with_column_pruning(tmp_path):
     back = read_range_partitioned(out, columns=["k"]).to_pandas()
     assert list(back.columns) == ["k"]
     assert sorted(back["k"]) == sorted(df["k"])
+
+
+def test_read_range_between_prunes_and_matches(tmp_path):
+    """Key-range scans open only the range dirs whose interval intersects
+    the bound (the persisted cuts ARE a zone map on the key)."""
+    import numpy as np
+
+    from ontology_matcher_ray.sources.io import read_range_between
+
+    out = str(tmp_path / "rp")
+    df = pd.DataFrame({"k": np.arange(0, 1000, dtype="int64"),
+                       "v": np.arange(0, 1000, dtype="int64") * 3})
+    write_range_partitioned(rd.from_pandas(df), out, "k", num_ranges=8)
+    got = read_range_between(out, 100, 199).to_pandas()
+    want = df[(df.k >= 100) & (df.k <= 199)]
+    assert sorted(got["k"]) == sorted(want["k"])
+    assert sorted(got["v"]) == sorted(want["v"])
+    # column selection applies after the exact filter
+    one_col = read_range_between(out, 100, 199, columns=["v"]).to_pandas()
+    assert list(one_col.columns) == ["v"] and len(one_col) == len(want)
+    # empty intersection (beyond all cuts) still returns cleanly
+    assert read_range_between(out, 5000, 6000).count() == 0
+
+
+def test_read_range_between_all_ranges_missing(tmp_path):
+    """A key range whose every intersecting range dir never materialized
+    (empty at write time) returns a typed empty dataset, not an error."""
+    from ontology_matcher_ray.sources.io import read_range_between
+
+    out = str(tmp_path / "rp")
+    df = pd.DataFrame({"k": [0, 1, 2, 500, 501, 502], "v": range(6)})
+    # force cuts that leave a middle range empty
+    write_range_partitioned(rd.from_pandas(df), out, "k", num_ranges=3,
+                            cuts=[2, 100])
+    ds = read_range_between(out, 50, 99)   # range (2, 100] is empty
+    assert ds.count() == 0
+    assert "k" in ds.schema().names
