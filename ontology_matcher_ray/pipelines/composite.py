@@ -361,14 +361,43 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     doc_quality's n_tokens / bpe's n_tokens / lm's lm_n_scored duplicate
     columns already carried by another side (same tokenizer/positions)
     and are dropped before the join (disjoint non-key names)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ontology_matcher_ray.functions.text import rolling_fingerprint
+    from ontology_matcher_ray.pipelines.docs_text import (
+        quality_stage,
+        read_documents,
+        stats_stage,
+    )
     from ontology_matcher_ray.stages import exchange
 
-    stats = docs_text.doc_stats(sf_dir)
-    quality = docs_text.doc_quality(sf_dir).map_batches(
-        lambda b: b.drop(columns=["n_tokens"]), batch_format="pandas"
-    )
-    fps = docs_text.fingerprints(sf_dir)
-    decon = docs_train.decontaminate(sf_dir)
+    # Scan fusion: stats / quality / fingerprint / contamination are all
+    # per-doc map-only signals over the same text, so ONE fused scan
+    # computes the four (reusing the component kernels verbatim — the
+    # standalone operators stay byte-identical) instead of four separate
+    # content passes; the bpe/lm/bm25/dsir/chunk legs keep their own
+    # scans because each depends on distributed or broadcast state
+    # (trained merges, LM counts, document frequencies).
+    ngrams = docs_train.decon_ngrams(sf_dir)
+
+    from ontology_matcher_ray.pipelines.docs_train import decon_hits
+
+    def fused(t: pa.Table) -> pd.DataFrame:
+        out = stats_stage(t).to_pandas()
+        q = quality_stage(t)             # row-aligned with t by design
+        for c in ("top_token_frac_micro", "repeat_ratio_micro",
+                  "bigram_repeat_micro", "quality_band"):
+            out[c] = q[c].to_pandas().to_numpy()
+        text = pd.Series(t["text"].to_pandas(), dtype=object).astype(str)
+        out["fingerprint"] = rolling_fingerprint(text).to_numpy()
+        out["contaminated"] = decon_hits(text, ngrams).astype(np.int64)
+        return out
+
+    fused_ds = read_documents(
+        sf_dir, columns=["doc_id", "lang", "text"]
+    ).map_batches(fused, batch_format="pyarrow")
+
     imp = docs_train.dsir_importance(sf_dir)
     bpe = docs_train.bpe_encode(sf_dir).map_batches(
         lambda b: b.drop(columns=["n_tokens"]), batch_format="pandas")
@@ -377,23 +406,18 @@ def doc_profile(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     bm = docs_train.bm25_scores(sf_dir)
     ch = docs_train.chunk_profile(sf_dir)
 
-    stats_schema = {
+    fused_schema = {
         "doc_id": "int64", "lang": "object", "n_tokens": "int64",
         "n_distinct_tokens": "int64", "n_chars": "int64",
         "stopword_ratio_micro": "int64", "avg_token_len_micro": "int64",
-        "quality_micro": "int64",
+        "quality_micro": "int64", "top_token_frac_micro": "int64",
+        "repeat_ratio_micro": "int64", "bigram_repeat_micro": "int64",
+        "quality_band": "object", "fingerprint": "int64",
+        "contaminated": "int64",
     }
     return exchange.multi_join(
-        stats, stats_schema, "doc_id",
+        fused_ds, fused_schema, "doc_id",
         [
-            (quality, "doc_id",
-             {"doc_id": "int64", "top_token_frac_micro": "int64",
-              "repeat_ratio_micro": "int64", "bigram_repeat_micro": "int64",
-              "quality_band": "object"}, "inner"),
-            (fps, "doc_id",
-             {"doc_id": "int64", "fingerprint": "int64"}, "inner"),
-            (decon, "doc_id",
-             {"doc_id": "int64", "contaminated": "int64"}, "inner"),
             (imp, "doc_id",
              {"doc_id": "int64", "n_bigrams": "int64",
               "dsir_score_micro": "int64"}, "inner"),

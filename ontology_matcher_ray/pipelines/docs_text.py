@@ -49,58 +49,66 @@ def doc_stats(sf_dir: str) -> rd.Dataset:
     anywhere (the pandas kernel ``functions/text.doc_stats_frame`` remains
     as the per-cell reference implementation for unit tests).
     """
-    import pyarrow as pa
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+    return ds.map_batches(stats_stage, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_STOP_ARR = None
+
+
+def stats_stage(t: pa.Table) -> pa.Table:
+    """Per-batch doc-stats kernel (module-level so fused scans —
+    ``composite.doc_profile`` — reuse the EXACT micro-unit algebra)."""
     import pyarrow.compute as pc
 
     from ontology_matcher_ray.functions.text import EN_STOPWORDS
 
-    ds = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
-    stop_arr = pa.array(sorted(EN_STOPWORDS), pa.string())
-
-    def stage(t: pa.Table) -> pa.Table:
-        text = pc.cast(t["text"], pa.string())
-        toks = pc.split_pattern(text, " ")
-        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
-        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks)
-        per_tok = pa.table(
-            {
-                "p": parent,
-                "tok": flat,
-                "is_stop": pc.cast(pc.is_in(flat, value_set=stop_arr), pa.int64()),
-            }
-        )
-        agg = per_tok.group_by("p").aggregate(
-            [("tok", "count_distinct"), ("is_stop", "sum")]
-        ).sort_by("p")                       # every row has >= 1 token
-        n_distinct = pc.cast(agg["tok_count_distinct"], pa.int64())
-        n_stop = pc.cast(agg["is_stop_sum"], pa.int64())
-        denom = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
-        mil = pa.scalar(1_000_000, pa.int64())
-        stop_ratio = pc.divide(pc.multiply(n_stop, mil), denom)
-        avg_tok_len = pc.divide(
-            pc.multiply(pc.subtract(n_chars, pc.subtract(n_tokens, pa.scalar(1, pa.int64()))), mil),
-            denom,
-        )
-        quality = pc.add(
-            pc.divide(pc.multiply(n_distinct, pa.scalar(500_000, pa.int64())), denom),
-            pc.divide(pc.subtract(mil, stop_ratio), pa.scalar(2, pa.int64())),
-        )
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "lang": t["lang"],
-                "n_tokens": n_tokens,
-                "n_distinct_tokens": n_distinct,
-                "n_chars": n_chars,
-                "stopword_ratio_micro": stop_ratio,
-                "avg_token_len_micro": avg_tok_len,
-                "quality_micro": quality,
-            }
-        )
-
-    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    global _STOP_ARR
+    if _STOP_ARR is None:
+        _STOP_ARR = pa.array(sorted(EN_STOPWORDS), pa.string())
+    stop_arr = _STOP_ARR
+    text = pc.cast(t["text"], pa.string())
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    per_tok = pa.table(
+        {
+            "p": parent,
+            "tok": flat,
+            "is_stop": pc.cast(pc.is_in(flat, value_set=stop_arr), pa.int64()),
+        }
+    )
+    agg = per_tok.group_by("p").aggregate(
+        [("tok", "count_distinct"), ("is_stop", "sum")]
+    ).sort_by("p")                       # every row has >= 1 token
+    n_distinct = pc.cast(agg["tok_count_distinct"], pa.int64())
+    n_stop = pc.cast(agg["is_stop_sum"], pa.int64())
+    denom = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+    mil = pa.scalar(1_000_000, pa.int64())
+    stop_ratio = pc.divide(pc.multiply(n_stop, mil), denom)
+    avg_tok_len = pc.divide(
+        pc.multiply(pc.subtract(n_chars, pc.subtract(n_tokens, pa.scalar(1, pa.int64()))), mil),
+        denom,
+    )
+    quality = pc.add(
+        pc.divide(pc.multiply(n_distinct, pa.scalar(500_000, pa.int64())), denom),
+        pc.divide(pc.subtract(mil, stop_ratio), pa.scalar(2, pa.int64())),
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": n_distinct,
+            "n_chars": n_chars,
+            "stopword_ratio_micro": stop_ratio,
+            "avg_token_len_micro": avg_tok_len,
+            "quality_micro": quality,
+        }
+    )
 
 
 def lang_stats(sf_dir: str) -> rd.Dataset:
