@@ -427,6 +427,39 @@ def _coerce(s: str):
         return s
 
 
+def cmd_table(args) -> int:
+    """Versioned (MVCC) table maintenance: create / merge / log /
+    vacuum over a snapshot-isolated range-partitioned table
+    (sources/versioned.py)."""
+    _ensure_ray()
+    from ontology_matcher_ray.sources import versioned as vt
+    from ontology_matcher_ray.sources.io import read_parquet_clean
+
+    if args.action == "create":
+        stats = vt.create_versioned(
+            read_parquet_clean(args.input_dir), args.base, args.key,
+            num_ranges=args.num_ranges)
+        print(f"table create: v1 with {int(stats['rows'].sum())} rows in "
+              f"{len(stats)} ranges -> {args.base}")
+    elif args.action == "merge":
+        stats = vt.merge_versioned(
+            args.base, read_parquet_clean(args.changes))
+        head = vt.list_versions(args.base)[-1]
+        print(f"table merge: v{head} ({int(stats['upserts'].sum())} "
+              f"upserts, {int(stats['deletes'].sum())} deletes, "
+              f"{len(stats)} ranges rewritten)")
+    elif args.action == "log":
+        for v in vt.list_versions(args.base):
+            m = vt.load_manifest(args.base, v)
+            print(f"v{v}: op={m['op']} parent={m['parent']} "
+                  f"ranges={len(m['ranges'])}")
+    else:  # vacuum
+        out = vt.vacuum_versions(args.base, keep_last=args.keep_last)
+        print(f"table vacuum: dropped {out['versions_dropped']} versions, "
+              f"deleted {out['parts_deleted']} parts")
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """Run an analytics/training-prep operator over an sf-style table
     directory and write partitioned Parquet."""
@@ -587,7 +620,30 @@ def main(argv=None) -> int:
     pl.add_argument("--hi", help="scan: upper bound (inclusive)")
     pl.set_defaults(fn=cmd_layout)
 
+    ptb = sub.add_parser(
+        "table", help="Versioned (MVCC) table: snapshot-isolated "
+                      "create/merge, version log, vacuum.")
+    ptb.add_argument("action", choices=["create", "merge", "log", "vacuum"])
+    ptb.add_argument("--base", required=True,
+                     help="versioned table directory")
+    ptb.add_argument("--input-dir", help="create: source parquet dir")
+    ptb.add_argument("--key", help="create: partition/primary key column")
+    ptb.add_argument("--num-ranges", type=int, default=16)
+    ptb.add_argument("--changes",
+                     help="merge: parquet dir of the changeset "
+                          "(table columns + _op upsert|delete)")
+    ptb.add_argument("--keep-last", type=int, default=2,
+                     help="vacuum: versions to retain")
+    ptb.set_defaults(fn=cmd_table)
+
     args = p.parse_args(argv)
+    if getattr(args, "fn", None) is cmd_table:
+        need = {"create": ["input_dir", "key"], "merge": ["changes"],
+                "log": [], "vacuum": []}[args.action]
+        missing = [n for n in need if getattr(args, n) in (None, "")]
+        if missing:
+            p.error(f"table {args.action} requires "
+                    + ", ".join("--" + n.replace("_", "-") for n in missing))
     if getattr(args, "fn", None) is cmd_layout:
         need = {"compact": ["output_dir"], "zorder": ["output_dir", "cols"],
                 "scan": ["col", "lo", "hi"], "merge": ["changes"],

@@ -214,3 +214,35 @@ def test_layout_merge_and_vacuum(tmp_path, capsys):
     (tbl / "range=00000.old").mkdir()
     assert main(["layout", "vacuum", "--input-dir", str(tbl)]) == 0
     assert "1 old" in capsys.readouterr().out
+
+
+def test_table_command(tmp_path, capsys):
+    import numpy as np
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"k": np.arange(50, dtype="int64"),
+                  "v": np.arange(50, dtype="int64")}).to_parquet(
+        src / "a.parquet", index=False)
+    base = str(tmp_path / "vt")
+    assert main(["table", "create", "--base", base,
+                 "--input-dir", str(src), "--key", "k",
+                 "--num-ranges", "4"]) == 0
+    assert "v1 with 50 rows" in capsys.readouterr().out
+
+    ch = tmp_path / "ch"
+    ch.mkdir()
+    pd.DataFrame({"k": [1, 100], "v": [99, 1],
+                  "_op": ["upsert", "upsert"]}).to_parquet(
+        ch / "c.parquet", index=False)
+    assert main(["table", "merge", "--base", base,
+                 "--changes", str(ch)]) == 0
+    assert "v2 (2 upserts" in capsys.readouterr().out
+
+    assert main(["table", "log", "--base", base]) == 0
+    log = capsys.readouterr().out
+    assert "v1: op=create" in log and "v2: op=merge" in log
+
+    assert main(["table", "vacuum", "--base", base,
+                 "--keep-last", "1"]) == 0
+    assert "dropped 1 versions" in capsys.readouterr().out

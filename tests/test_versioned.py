@@ -1,0 +1,169 @@
+"""MVCC-versioned tables: snapshot isolation, time travel, optimistic
+commits, version vacuum."""
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ontology_matcher_ray.sources.io import FormatError
+from ontology_matcher_ray.sources.versioned import (
+    CommitConflict,
+    create_versioned,
+    list_versions,
+    load_manifest,
+    merge_versioned,
+    read_versioned,
+    vacuum_versions,
+)
+
+
+def _fp(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    rows = sorted(df.apply("|".join, axis=1).tolist())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.fixture()
+def table(tmp_path):
+    df = pd.DataFrame({
+        "k": np.arange(0, 500, dtype="int64"),
+        "v": np.arange(0, 500, dtype="int64") * 7,
+    })
+    base = str(tmp_path / "vt")
+    stats = create_versioned(rd.from_pandas(df), base, "k", num_ranges=5)
+    assert int(stats["rows"].sum()) == len(df)
+    return base, df
+
+
+def _merge(base, changes: pd.DataFrame, **kw):
+    return merge_versioned(base, rd.from_pandas(changes), **kw)
+
+
+def test_create_and_read_head(table):
+    base, df = table
+    assert list_versions(base) == [1]
+    assert _fp(read_versioned(base).to_pandas()) == _fp(df)
+
+
+def test_merge_creates_new_version_and_time_travel(table):
+    base, df = table
+    changes = pd.DataFrame({
+        "k": [3, 9999, 7], "v": [111, 222, 0],
+        "_op": ["upsert", "upsert", "delete"]})
+    stats = _merge(base, changes)
+    assert list_versions(base) == [1, 2]
+    assert int(stats["upserts"].sum()) == 2
+    # head reflects the merge
+    want = df[df.k != 7].copy()
+    want.loc[want.k == 3, "v"] = 111
+    want = pd.concat([want, pd.DataFrame({"k": [9999], "v": [222]})],
+                     ignore_index=True)
+    assert _fp(read_versioned(base).to_pandas()) == _fp(want)
+    # time travel: v1 still returns the ORIGINAL rows exactly
+    assert _fp(read_versioned(base, version=1).to_pandas()) == _fp(df)
+
+
+def test_untouched_ranges_share_part_files(table):
+    base, _ = table
+    _merge(base, pd.DataFrame(
+        {"k": [1], "v": [5], "_op": ["upsert"]}))
+    m1 = load_manifest(base, 1)["ranges"]
+    m2 = load_manifest(base, 2)["ranges"]
+    shared = [r for r in m1 if m1[r] == m2.get(r)]
+    assert len(shared) == len(m1) - 1       # exactly one range rewritten
+
+
+def test_snapshot_isolation_mid_scan(table):
+    """A dataset pinned BEFORE a merge reads pre-merge rows even when
+    consumed after the merge landed (the manifest pins the part list)."""
+    base, df = table
+    pinned = read_versioned(base)           # lazy: not yet consumed
+    _merge(base, pd.DataFrame(
+        {"k": [0], "v": [0], "_op": ["delete"]}))
+    got = pinned.to_pandas()                 # consumed after the merge
+    assert _fp(got) == _fp(df)
+
+
+def test_commit_conflict_on_concurrent_writer(table):
+    base, _ = table
+    # simulate a concurrent writer that already committed v2
+    import json
+
+    from ontology_matcher_ray.sources.versioned import _manifest_path
+
+    head = load_manifest(base)
+    rival = dict(head, version=2, parent=1, op="merge")
+    with open(_manifest_path(base, 2), "w") as f:
+        json.dump(rival, f)
+    with pytest.raises(CommitConflict):
+        _merge(base, pd.DataFrame(
+            {"k": [1], "v": [2], "_op": ["upsert"]}),
+            expected_head=1)
+    # without expected_head, the merge builds on the rival's head (v2)
+    # and commits v3 cleanly
+    stats = _merge(base, pd.DataFrame(
+        {"k": [1], "v": [2], "_op": ["upsert"]}))
+    assert list_versions(base) == [1, 2, 3]
+    assert int(stats["upserts"].sum()) == 1
+
+
+def test_expected_head_guard(table):
+    base, _ = table
+    _merge(base, pd.DataFrame({"k": [1], "v": [2], "_op": ["upsert"]}))
+    with pytest.raises(CommitConflict, match="expected v1"):
+        _merge(base, pd.DataFrame(
+            {"k": [1], "v": [3], "_op": ["upsert"]}), expected_head=1)
+
+
+def test_vacuum_drops_old_versions_and_orphan_parts(table):
+    base, df = table
+    for i in range(3):
+        _merge(base, pd.DataFrame(
+            {"k": [i], "v": [1000 + i], "_op": ["upsert"]}))
+    head_before = read_versioned(base).to_pandas()
+    n_parts_before = len(glob.glob(os.path.join(base, "parts", "*.parquet")))
+    out = vacuum_versions(base, keep_last=2)
+    assert out["versions_dropped"] == 2      # v1, v2 gone
+    assert out["parts_deleted"] >= 1
+    assert list_versions(base) == [3, 4]
+    # retained versions still read exactly
+    assert _fp(read_versioned(base).to_pandas()) == _fp(head_before)
+    with pytest.raises(FormatError, match="possibly vacuumed"):
+        read_versioned(base, version=1)
+    assert len(glob.glob(os.path.join(base, "parts", "*.parquet"))) \
+        < n_parts_before
+
+
+def test_range_emptied_by_deletes_leaves_manifest(table):
+    base, df = table
+    m1 = load_manifest(base)
+    # delete every key of range 0
+    cuts = m1["cuts"]
+    r0_keys = df.k[df.k <= cuts[0]]
+    _merge(base, pd.DataFrame({
+        "k": r0_keys.to_numpy(), "v": np.zeros(len(r0_keys), dtype="int64"),
+        "_op": ["delete"] * len(r0_keys)}))
+    m2 = load_manifest(base)
+    assert "0" not in m2["ranges"]
+    got = read_versioned(base).to_pandas()
+    assert _fp(got) == _fp(df[df.k > cuts[0]])
+
+
+def test_duplicate_changeset_key_rejected(table):
+    base, _ = table
+    with pytest.raises(Exception, match="duplicate key"):
+        _merge(base, pd.DataFrame(
+            {"k": [1, 1], "v": [2, 3], "_op": ["upsert", "upsert"]}))
+
+
+def test_create_twice_rejected(table, tmp_path):
+    base, df = table
+    with pytest.raises(FormatError, match="already has committed"):
+        create_versioned(rd.from_pandas(df), base, "k")
