@@ -495,6 +495,65 @@ def triple_delta(old: rd.Dataset, new: rd.Dataset,
                                       num_partitions)
 
 
+TK_SEP = "\x1f"        # unit separator: never appears in triple parts
+
+
+def publish_triples(base: str, new_triples: rd.Dataset,
+                    num_ranges: int = 16,
+                    num_partitions: int = 32) -> pd.DataFrame:
+    """Incremental KG publish into an MVCC-versioned table
+    (``sources/versioned``): the continuously-rebuilt KG ships each
+    rebuild as ONE atomic snapshot-isolated version instead of
+    rewriting files under its readers.
+
+    * First publish: the triple set becomes version 1, range-partitioned
+      on a surrogate key ``tk = subj\x1fpred\x1fobj`` (the triple IS
+      the primary key, so upsert/delete semantics degenerate to exact
+      set insert/remove — idempotent by construction).
+    * Later publishes: ``triple_delta`` diffs the HEAD snapshot against
+      the new set in one exchange; only the add/del rows become a
+      changeset, and ``merge_versioned`` rewrites only the ranges they
+      land in.  Downstream readers pinned to any retained version are
+      untouched; ``read_versioned(base, v)`` is the KG as of publish v.
+
+    Returns the delta stats frame (op counts for this publish).
+    """
+    from ontology_matcher_ray.sources import versioned as vt
+
+    def with_tk(b: pd.DataFrame) -> pd.DataFrame:
+        s_, p_, o_ = (b["subj"].astype(str), b["pred"].astype(str),
+                      b["obj"].astype(str))
+        return pd.DataFrame({
+            "tk": s_ + TK_SEP + p_ + TK_SEP + o_,
+            "subj": s_, "pred": p_, "obj": o_,
+        })
+
+    keyed_new = new_triples.map_batches(with_tk, batch_format="pandas")
+    if not vt.list_versions(base):
+        stats = vt.create_versioned(keyed_new, base, "tk",
+                                    num_ranges=num_ranges)
+        return pd.DataFrame({"op": ["add"], "rows": [int(stats["rows"].sum())]})
+
+    old = vt.read_versioned(base, columns=["subj", "pred", "obj"])
+    delta = triple_delta(old, new_triples, num_partitions=num_partitions)
+
+    def to_changes(b: pd.DataFrame) -> pd.DataFrame:
+        out = with_tk(b)
+        out["_op"] = np.where(b["op"].to_numpy() == "add",
+                              "upsert", "delete")
+        return out
+
+    changes = delta.map_batches(to_changes, batch_format="pandas")
+    mstats = vt.merge_versioned(base, changes)
+    # one consumption of the delta; counts come from the merge stats
+    # (an empty delta commits nothing and reports 0/0)
+    return pd.DataFrame({
+        "op": ["add", "del"],
+        "rows": [int(mstats["upserts"].sum()),
+                 int(mstats["deletes"].sum())],
+    })
+
+
 def kg_delta(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:
     """Demonstration wiring of ``triple_delta``: diff the KG built from
     the even-doc_id half of the corpus (the "previous snapshot") against

@@ -167,3 +167,51 @@ def test_create_twice_rejected(table, tmp_path):
     base, df = table
     with pytest.raises(FormatError, match="already has committed"):
         create_versioned(rd.from_pandas(df), base, "k")
+
+
+def test_incremental_kg_publish_end_to_end(tmp_path):
+    """The flagship story: corpus rebuild -> triple diff -> one atomic
+    versioned publish.  Readers of v1 are untouched; the head equals the
+    new build exactly; a republish of the same build is a no-op."""
+    from ontology_matcher_ray import corpus as corpus_mod
+    from ontology_matcher_ray.pipelines import corpus_kg
+    from ontology_matcher_ray.pipelines.docs_kg import publish_triples
+    from ontology_matcher_ray.schemas import DISEASE_SPEC
+    from ontology_matcher_ray.state.snapshot import build_snapshot
+
+    snap = build_snapshot(DISEASE_SPEC, n_synthetic=100, seed=42)
+    base = str(tmp_path / "kg_table")
+
+    def build(n_files: int, tag: str):
+        cdir = str(tmp_path / f"corpus_{tag}")
+        corpus_mod.generate_corpus(cdir, n_files, snap)
+        out = str(tmp_path / f"kg_{tag}")
+        corpus_kg.build_kg(cdir, out, snap, n_shards=2)
+        return corpus_kg.read_triples(out).materialize()
+
+    t1 = build(300, "a")
+    stats1 = publish_triples(base, t1)
+    assert list_versions(base) == [1]
+    assert int(stats1["rows"].sum()) == t1.count()
+
+    # the corpus GROWS (the generator is deterministic per index, so the
+    # first 300 files are identical -> the diff is exactly the new files'
+    # triples minus any now-shared ones)
+    t2 = build(400, "b")
+    stats2 = publish_triples(base, t2)
+    assert list_versions(base) == [1, 2]
+    adds = int(stats2.loc[stats2.op == "add", "rows"].sum())
+    assert adds > 0
+
+    set1 = set(map(tuple, t1.to_pandas()[["subj", "pred", "obj"]].values))
+    set2 = set(map(tuple, t2.to_pandas()[["subj", "pred", "obj"]].values))
+    head = read_versioned(base, columns=["subj", "pred", "obj"]).to_pandas()
+    assert set(map(tuple, head.values)) == set2
+    v1 = read_versioned(base, version=1,
+                        columns=["subj", "pred", "obj"]).to_pandas()
+    assert set(map(tuple, v1.values)) == set1
+
+    # republish of the identical build: no new version, 0/0 delta
+    stats3 = publish_triples(base, t2)
+    assert list_versions(base) == [1, 2]
+    assert int(stats3["rows"].sum()) == 0
