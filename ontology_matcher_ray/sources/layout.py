@@ -525,8 +525,21 @@ _BLOOM_MAX_BITS = 1 << 22         # 512 KiB cap per (part, column)
 
 
 def _bloom_positions(values: pd.Series, m: int) -> np.ndarray:
-    """k probe positions per value (len(values) x k), double hashing."""
-    h = pd.util.hash_pandas_object(values, index=False).to_numpy()
+    """k probe positions per value (len(values) x k), double hashing.
+
+    Hashing is blake2b over the value's string form (the engine's
+    ``stable_hash64`` convention) — NOT pandas' vectorized string hash,
+    whose categorize path compares C strings and silently merges values
+    at an embedded NUL (found by the hypothesis round trip: a filter
+    built over ['', '\x00'] answered False for '\x00')."""
+    import hashlib
+
+    h = np.fromiter(
+        (int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
+            "big")
+         for v in values),
+        dtype=np.uint64, count=len(values))
     h1 = h % np.uint64(m)
     h2 = (h >> np.uint64(33)) | np.uint64(1)     # odd -> full cycle
     ks = np.arange(_BLOOM_K, dtype=np.uint64)
