@@ -215,3 +215,34 @@ def test_incremental_kg_publish_end_to_end(tmp_path):
     stats3 = publish_triples(base, t2)
     assert list_versions(base) == [1, 2]
     assert int(stats3["rows"].sum()) == 0
+
+
+def test_versioned_random_changesets_match_pandas_model(tmp_path):
+    """Eight random changesets: the HEAD tracks a pandas primary-key
+    model exactly at every step, and EVERY retained historical version
+    still reproduces its own snapshot at the end (time-travel audit)."""
+    rng = np.random.default_rng(7)
+    model = pd.DataFrame({
+        "k": np.arange(0, 300, dtype="int64"),
+        "v": rng.integers(0, 1000, 300).astype("int64"),
+    })
+    base = str(tmp_path / "vt")
+    create_versioned(rd.from_pandas(model), base, "k", num_ranges=4)
+    snapshots = {1: model.copy()}
+    for step in range(8):
+        n = int(rng.integers(1, 25))
+        keys = rng.choice(np.arange(-20, 400), size=n, replace=False)
+        changes = pd.DataFrame({
+            "k": keys.astype("int64"),
+            "v": rng.integers(0, 10_000, n).astype("int64"),
+            "_op": rng.choice(["upsert", "delete"], size=n)})
+        merge_versioned(base, rd.from_pandas(changes))
+        ups = changes[changes._op == "upsert"].drop(columns=["_op"])
+        dels = set(changes.loc[changes._op == "delete", "k"])
+        model = model[~model.k.isin(dels) & ~model.k.isin(set(ups.k))]
+        model = pd.concat([model, ups], ignore_index=True)
+        snapshots[step + 2] = model.copy()
+        assert _fp(read_versioned(base).to_pandas()) == _fp(model), step
+    # every retained version reproduces its exact historical state
+    for v, snap in snapshots.items():
+        assert _fp(read_versioned(base, version=v).to_pandas()) == _fp(snap), v
