@@ -328,6 +328,27 @@ def _bench_once(stats_query: str | None = None) -> dict:
         consume(scan_between(f"{lay_base}/zo", col, lo_b, hi_b))
     qtimes["zorder_scan"] = round(time.time() - tq, 3)
 
+    # ---- MVCC-versioned table: snapshot-isolated create + merge ----
+    from ontology_matcher_ray.sources import versioned as vt
+
+    vt_base = f"{lay_base}/vtable"
+    ods = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_totalprice"])
+    tq = time.time()
+    vt.create_versioned(ods, vt_base, "o_orderkey", num_ranges=32)
+    qtimes["versioned_create"] = round(time.time() - tq, 3)
+    n_changes = 4096
+    ch = ods.limit(n_changes).map_batches(
+        lambda b: b.assign(
+            o_totalprice=b["o_totalprice"] + 1,
+            _op=["upsert"] * len(b)),
+        batch_format="pandas")
+    tq = time.time()
+    mstats = vt.merge_versioned(vt_base, ch)
+    qtimes["versioned_merge"] = round(time.time() - tq, 3)
+    print(f"versioned merge: {int(mstats['upserts'].sum())} upserts "
+          f"rewrote {len(mstats)}/32 ranges", file=sys.stderr)
+
     ray.shutdown()
     return {
         "metric": "kg_build_sec",
