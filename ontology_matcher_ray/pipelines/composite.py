@@ -527,40 +527,88 @@ def dedup_assignments(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     prior-snapshot flag ⋈ the end-to-end curation decision
     (docs_train.curate_decisions) on doc_id (inner; one row per
     content-group-representative document)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ontology_matcher_ray.functions.hashing import sha256_hex, simhash64
+    from ontology_matcher_ray.pipelines.docs_text import (
+        prior_snapshot_hashes,
+        quality_stage,
+        read_documents,
+    )
+    from ontology_matcher_ray.pipelines.docs_train import decon_hits
+    from ontology_matcher_ray.stages import dedup as dedup_stages
     from ontology_matcher_ray.stages import exchange
 
-    exact = docs_text.dedup_exact(sf_dir)
     clusters = docs_text.dedup_clusters(sf_dir)
-    sim = docs_text.dedup_simhash(sf_dir)
-    inc = docs_text.dedup_incremental(sf_dir)
-    # curation decision inputs: the join already carries keep/in_prior,
-    # so attach only the two missing flags (quality band, contamination)
-    # and apply the shared precedence kernel — re-running
-    # curate_decisions here would execute the clustering and
-    # prior-snapshot subtrees a second time
-    qual = docs_text.doc_quality(sf_dir).map_batches(
-        lambda b: b[["doc_id", "quality_band"]], batch_format="pandas"
+    # Scan fusion (same pattern as curate_decisions/doc_profile): the
+    # content hash, simhash+bucket, quality band and contamination flag
+    # are all per-doc map-only signals — ONE fused scan computes all
+    # (kernels shared verbatim: sha256_hex / simhash64 with
+    # simhash_buckets' prefix_bits=16 / quality_stage / decon_hits), and
+    # the narrow result is materialized once to feed both the
+    # exact-group aggregation and the flag join.  The MinHash-cluster
+    # subtree and the prior-snapshot side keep their own scans.
+    ngrams = docs_train.decon_ngrams(sf_dir)
+
+    def fused(t: pa.Table) -> pd.DataFrame:
+        q = quality_stage(t)
+        text = pd.Series(t["text"].to_pandas(), dtype=object).astype(str)
+        sh = simhash64(text)
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy().astype("int64"),
+            "content_sha256": sha256_hex(text).to_numpy(),
+            "simhash": sh,
+            "bucket": (sh.astype(np.uint64) >> np.uint64(48))
+            .astype(np.int64),
+            "quality_band": q["quality_band"].to_pandas().to_numpy(),
+            "contaminated": decon_hits(text, ngrams).astype(np.int64),
+        })
+
+    fused_ds = read_documents(
+        sf_dir, columns=["doc_id", "text"]
+    ).map_batches(fused, batch_format="pyarrow", batch_size=1024)
+    # consumed twice (exact groups + flag join) WITHOUT materializing:
+    # a materialize here is a pipeline barrier that serializes against
+    # the clusters subtree (measured slower); two executions of the
+    # fused scan still replace five separate content scans
+
+    exact = dedup_stages.exact_groups(fused_ds)
+    prior = prior_snapshot_hashes(sf_dir, num_partitions)
+    withprior = exchange.hash_join(
+        fused_ds, prior, "content_sha256", "ph",
+        {"doc_id": "int64", "content_sha256": "object", "simhash": "int64",
+         "bucket": "int64", "quality_band": "object",
+         "contaminated": "int64"},
+        {"ph": "object", "in_prior": "int64"},
+        how="left", num_partitions=num_partitions,
     )
-    dc = docs_train.decontaminate(sf_dir)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "simhash": b["simhash"].astype("int64").to_numpy(),
+            "bucket": b["bucket"].astype("int64").to_numpy(),
+            "quality_band": b["quality_band"].to_numpy(),
+            "contaminated": b["contaminated"].astype("int64").to_numpy(),
+            "in_prior": b["in_prior"].fillna(0).astype("int64").to_numpy(),
+        })
+
+    flags = withprior.map_batches(fin, batch_format="pandas")
 
     exact_schema = {"content_sha256": "object", "doc_id": "int64",
                     "n_dups": "int64"}
-    # ONE exchange for the whole 6-way flag meet (exchange.multi_join)
+    # ONE exchange for the whole flag meet (exchange.multi_join)
     j5 = exchange.multi_join(
         exact, exact_schema, "doc_id",
         [
             (clusters, "doc_id",
              {"doc_id": "int64", "cluster_id": "int64", "keep": "bool"},
              "inner"),
-            (sim, "doc_id",
-             {"doc_id": "int64", "simhash": "int64", "bucket": "int64"},
-             "inner"),
-            (inc, "doc_id",
-             {"doc_id": "int64", "in_prior": "int64"}, "inner"),
-            (qual, "doc_id",
-             {"doc_id": "int64", "quality_band": "object"}, "inner"),
-            (dc, "doc_id",
-             {"doc_id": "int64", "contaminated": "int64"}, "inner"),
+            (flags, "doc_id",
+             {"doc_id": "int64", "simhash": "int64", "bucket": "int64",
+              "quality_band": "object", "contaminated": "int64",
+              "in_prior": "int64"}, "inner"),
         ],
         num_partitions=num_partitions,
     )

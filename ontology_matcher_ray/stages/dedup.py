@@ -43,7 +43,15 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
     as arg-min over the id column.  Emits (content_sha256, doc_id, n_dups).
     """
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pandas")
+    return exact_groups(hashed, id_col)
 
+
+def exact_groups(hashed: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+    """The aggregation half of ``exact_dedup`` over an ALREADY-hashed
+    dataset carrying ``content_sha256`` (extra columns ignored) —
+    module-level so fused scans (``composite.dedup_assignments``) reuse
+    the exact group/representative semantics without a second hash
+    pass."""
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("content_sha256", sort=False).agg(
             doc_id=(id_col, "min"), n_dups=(id_col, "size")
