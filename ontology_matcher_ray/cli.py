@@ -410,11 +410,17 @@ def cmd_layout(args) -> int:
               f"{int(stats['deletes'].sum())} deletes across "
               f"{len(stats)} touched ranges of {args.input_dir}")
     else:  # scan
-        pruned = layout.prune_parts(args.input_dir, args.col,
-                                    _coerce(args.lo), _coerce(args.hi))
-        n = layout.scan_between(args.input_dir, args.col,
-                                _coerce(args.lo), _coerce(args.hi)).count()
-        print(f"scan: {n} rows; zone maps skipped "
+        if args.eq is not None:
+            v = _coerce(args.eq)
+            pruned = layout.prune_parts_eq(args.input_dir, args.col, v)
+            n = layout.scan_eq(args.input_dir, args.col, v).count()
+            what = "Bloom/zone maps"
+        else:
+            lo, hi = _coerce(args.lo), _coerce(args.hi)
+            pruned = layout.prune_parts(args.input_dir, args.col, lo, hi)
+            n = layout.scan_between(args.input_dir, args.col, lo, hi).count()
+            what = "zone maps"
+        print(f"scan: {n} rows; {what} skipped "
               f"{pruned['skipped']}/{pruned['total']} files")
     return 0
 
@@ -618,6 +624,8 @@ def main(argv=None) -> int:
     pl.add_argument("--col", help="scan: predicate column")
     pl.add_argument("--lo", help="scan: lower bound (inclusive)")
     pl.add_argument("--hi", help="scan: upper bound (inclusive)")
+    pl.add_argument("--eq", help="scan: equality probe (uses the Bloom "
+                                 "sidecar when the column has one)")
     pl.set_defaults(fn=cmd_layout)
 
     ptb = sub.add_parser(
@@ -646,8 +654,11 @@ def main(argv=None) -> int:
                     + ", ".join("--" + n.replace("_", "-") for n in missing))
     if getattr(args, "fn", None) is cmd_layout:
         need = {"compact": ["output_dir"], "zorder": ["output_dir", "cols"],
-                "scan": ["col", "lo", "hi"], "merge": ["changes"],
+                "scan": ["col"], "merge": ["changes"],
                 "vacuum": []}[args.action]
+        if args.action == "scan" and args.eq is None and (
+                args.lo is None or args.hi is None):
+            p.error("layout scan requires --lo/--hi or --eq")
         missing = [n for n in need if getattr(args, n) in (None, "")]
         if missing:
             p.error(f"layout {args.action} requires "

@@ -630,3 +630,32 @@ def test_merge_into_random_changesets_match_pandas_model(tmp_path):
         model = pd.concat([model, ups], ignore_index=True)
         back = read_range_partitioned(out).to_pandas()
         assert _frame_fingerprint(back) == _frame_fingerprint(model), step
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.integers(-1000, 1000), min_size=1,
+                         max_size=30), min_size=1, max_size=8),
+       st.integers(-1100, 1100), st.integers(0, 300))
+def test_pruning_is_sound_for_any_partitioning(tmp_path_factory,
+                                               parts, lo, width):
+    """Pure zone-map soundness: whatever rows land in whatever parts,
+    every part containing a match for [lo, lo+width] is kept (no Ray —
+    parts and sidecars written directly)."""
+    import pyarrow as pa2
+
+    from ontology_matcher_ray.sources.layout import _write_zmap
+
+    hi = lo + width
+    d = str(tmp_path_factory.mktemp("zs"))
+    expect_kept = set()
+    for i, vals in enumerate(parts):
+        path = os.path.join(d, f"part-{i:06d}.parquet")
+        tbl = pa2.table({"k": pd.Series(vals, dtype="int64")})
+        import pyarrow.parquet as pq2
+
+        pq2.write_table(tbl, path)
+        _write_zmap(path, tbl, ["k"])
+        if any(lo <= v <= hi for v in vals):
+            expect_kept.add(path)
+    pruned = prune_parts(d, "k", lo, hi)
+    assert expect_kept <= set(pruned["kept"])     # soundness: no misses
