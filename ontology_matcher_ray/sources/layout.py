@@ -516,8 +516,8 @@ def compact_parquet(
 # contain value v?" with a bounded false-positive rate and O(bits)
 # sidecar space — the parquet-bloom-filter / Iceberg recipe, kept in the
 # same `_`-prefixed JSON sidecars so the directory stays readable by any
-# engine.  Hashing is pandas' deterministic 64-bit row hash (stable
-# across processes), double-hashed into k probes.
+# engine.  Hashing is the NUL-safe ``content_hash64`` (stable across
+# processes), double-hashed into k probes.
 
 _BLOOM_K = 7                      # ~optimal for the 1% target fpp
 _BLOOM_BITS_PER_ROW = 10          # m/n = 10 -> fpp ~ 0.8% at k=7
@@ -527,19 +527,15 @@ _BLOOM_MAX_BITS = 1 << 22         # 512 KiB cap per (part, column)
 def _bloom_positions(values: pd.Series, m: int) -> np.ndarray:
     """k probe positions per value (len(values) x k), double hashing.
 
-    Hashing is blake2b over the value's string form (the engine's
-    ``stable_hash64`` convention) — NOT pandas' vectorized string hash,
-    whose categorize path compares C strings and silently merges values
-    at an embedded NUL (found by the hypothesis round trip: a filter
-    built over ['', '\x00'] answered False for '\x00')."""
-    import hashlib
+    Hashing is the NUL-safe ``content_hash64`` over the value's string
+    form — NOT pandas' plain string hash, whose categorize path compares
+    C strings and silently merges values at an embedded NUL (found by
+    the hypothesis round trip: a filter built over ['', '\x00'] answered
+    False for '\x00'; first fixed with a per-value blake2b loop in
+    commit 529816c, now the shared vectorized kernel)."""
+    from ontology_matcher_ray.functions.hashing import content_hash64
 
-    h = np.fromiter(
-        (int.from_bytes(
-            hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
-            "big")
-         for v in values),
-        dtype=np.uint64, count=len(values))
+    h = content_hash64(values.astype(str))
     h1 = h % np.uint64(m)
     h2 = (h >> np.uint64(33)) | np.uint64(1)     # odd -> full cycle
     ks = np.arange(_BLOOM_K, dtype=np.uint64)

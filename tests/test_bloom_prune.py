@@ -78,3 +78,21 @@ def test_priority_semi_counts_bloom_matches_plain():
     without = srt(priority_semi_counts(SF, bloom=False))
     pd.testing.assert_frame_equal(with_bloom, without)
     assert with_bloom["n_orders"].sum() > 0
+
+
+def test_bloom_nul_string_keys_no_false_negative():
+    """Round-4 VERDICT 'wrong' #2: the string fallback of the Bloom key
+    hash used pandas' NUL-unstable string hash — a false NEGATIVE here
+    silently drops matching join rows.  NUL-adversarial members must all
+    survive the prune, in every batch composition."""
+    members = pd.DataFrame({"k": ["", "\x00", "x", "x\x00", "\x00x",
+                                  "x\x00y", "xy", "\x00\x00"]})
+    bits = exchange.bloom_build(rd.from_pandas(members), "k")
+    kept = exchange.bloom_prune(
+        rd.from_pandas(members), "k", bits).to_pandas()
+    assert sorted(kept["k"]) == sorted(members["k"])
+    # probing one-at-a-time (different categorize batches) agrees too
+    for v in members["k"]:
+        one = exchange.bloom_prune(
+            rd.from_pandas(pd.DataFrame({"k": [v]})), "k", bits).count()
+        assert one == 1, repr(v)

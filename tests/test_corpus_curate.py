@@ -107,3 +107,49 @@ def test_boilerplate_hashes_sorted_unique(corpus_dir):
     bp = corpus_curate.corpus_boilerplate(corpus_dir, MIN_FILES)
     h = corpus_curate.boilerplate_hashes(bp)
     assert (h[1:] > h[:-1]).all()          # strictly sorted => unique
+
+
+def test_nul_line_not_falsely_scrubbed(tmp_path):
+    """Round-4 VERDICT 'wrong' #1: pandas' string hash merges values at
+    an embedded NUL, so a line sharing a NUL-truncated prefix with a
+    boilerplate line ('abc\\x00tail' vs boilerplate 'abc') was at risk
+    of silent deletion.  With the NUL-safe content hash it must
+    survive — and the true boilerplate must still be removed."""
+    d = tmp_path / "nulcorp"
+    d.mkdir()
+    bp_line = "abc"
+    victim = "abc\x00tail"       # NOT boilerplate; C-string-equal to it
+    files = [f"{bp_line}\nuniq{i}" for i in range(3)] + [f"{victim}\nlast"]
+    pd.DataFrame({
+        "repo": ["r"] * 4, "path": [f"f{i}" for i in range(4)],
+        "lang": ["py"] * 4, "content": files,
+        "size_bytes": [len(c) for c in files], "sha256": ["0"] * 4,
+    }).to_parquet(d / "part-0.parquet", index=False)
+    bp = corpus_curate.corpus_boilerplate(str(d), 3).to_pandas()
+    assert list(bp["line"]) == [bp_line]
+    clean = (corpus_curate.corpus_line_dedup(str(d), 3)
+             .to_pandas().sort_values("path", ignore_index=True))
+    # boilerplate stripped from the three carriers
+    assert list(clean["clean_content"][:3]) == [f"uniq{i}" for i in range(3)]
+    # the NUL-truncated cousin is untouched
+    assert clean["clean_content"][3] == f"{victim}\nlast"
+    assert clean["n_removed"][3] == 0
+
+
+def test_line_hash_exhaustive_nul_alphabet():
+    """content-hash injectivity over EVERY string of length <= 4 from
+    {'a', 'b', NUL} — the exhaustive version of the hypothesis NUL case
+    that caught the layout-Bloom bug (commit 529816c): equal values hash
+    equal, distinct values hash distinct, independent of batch makeup."""
+    import itertools
+
+    vals = [""]
+    for n in range(1, 5):
+        vals += ["".join(t) for t in itertools.product("ab\x00", repeat=n)]
+    h = corpus_curate._line_hash(pd.Series(vals, dtype=object))
+    assert len(set(h.tolist())) == len(vals)          # injective here
+    # per-value stability regardless of surrounding batch
+    for i in [0, 1, 5, 17, len(vals) - 1]:
+        single = corpus_curate._line_hash(
+            pd.Series([vals[i]], dtype=object))[0]
+        assert single == h[i]
