@@ -26,7 +26,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """EXACTLY 50 queries covering all 78 verified operator surfaces.
+    """EXACTLY 50 queries covering every verified operator surface
+    (authoritative count: COVERAGE.md top section, self-checked by
+    tests/test_contract.py::test_coverage_surface_count).
 
     The driver's correctness harness records at most 50 queries per round
     (round 3: exactly the first 50 of 67, in dict order; round 2: all 36
@@ -70,7 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_xref_triples": composite.xref_surface,      # get_alias_ids (M7) + merge clusters
         "resolve_route": docs_kg.resolve_route,             # §2.8 routing tree
         "format_entities": composite.format_entities_all,   # MIXTURE + UNIQUE + failed
-        "canonical_merge": docs_kg.canonical_merge,         # A1 dedup aggregation
+        "canonical_merge": composite.canonical_merge_versioned,  # A1 dedup aggregation through MVCC create/merge/time-travel
         "kg_triples": composite.kg_triples_roundtrip,       # flagship + N-Triples round trip
         # --- similarity search / ANN ---
         "knn_methods": composite.knn_methods,               # brute + LSH + IVF

@@ -2872,6 +2872,35 @@ UNION ALL
 SELECT 'nt', subj, pred, obj FROM ({kg})
 """
 
+    # --- canonical merge routed through the MVCC versioned table --------
+    # head leg == the plain canonical_merge result (MERGE applied inserts
+    # + updates + deletes correctly); v1 leg == the pre-merge snapshot
+    # with bucket-1 names staled and the synthetic bucket-2 tombstone
+    # rows present, READ AFTER the v2 commit (time travel / snapshot
+    # isolation).  bucket = md5_number_lower(mkey) % 5, identical to the
+    # engine's md5half split by construction.
+    cmq = take("canonical_merge")
+    cm_cols = ("id, label, name, description, resource, taxid, xrefs, "
+               "synonyms, pmids, raw_id")
+    sql["canonical_merge"] = f"""
+WITH cm AS ({cmq}),
+kb AS (SELECT *, id || '|' || label AS mkey,
+              CAST(md5_number_lower(id || '|' || label) % 5 AS BIGINT)
+                AS bucket
+       FROM cm)
+SELECT 'head' AS leg, CAST(2 AS BIGINT) AS version, mkey, {cm_cols}
+FROM kb
+UNION ALL
+SELECT 'v1', CAST(1 AS BIGINT), mkey, id, label,
+       CASE WHEN bucket = 1 THEN 'stale|' || name ELSE name END,
+       description, resource, taxid, xrefs, synonyms, pmids, raw_id
+FROM kb WHERE bucket <> 0
+UNION ALL
+SELECT 'v1', CAST(1 AS BIGINT), '_tmp|' || mkey, id, label,
+       '', '', '', '', '', '', '', ''
+FROM kb WHERE bucket = 2
+"""
+
     # --- lang_id + lossless JSONL round trip ----------------------------
     li = take("lang_id")
     take("lang_id_jsonl")
@@ -2885,6 +2914,8 @@ UNION ALL
 SELECT 'ipc', doc_id, declared_lang, guessed_lang FROM ({li})
 UNION ALL
 SELECT 'zonemap', doc_id, declared_lang, guessed_lang FROM ({li})
+UNION ALL
+SELECT 'bloomscan', doc_id, declared_lang, guessed_lang FROM ({li})
 """
 
     # --- formatted sinks: MIXTURE / UNIQUE / UNIQUE-failed ---------------

@@ -158,7 +158,38 @@ def lang_id_roundtrip(sf_dir: str) -> rd.Dataset:
         lambda out: slayout.scan_between(
             out, "doc_id", -(1 << 62), 1 << 62),
     )
-    return direct.union(jsonl).union(orc).union(ipc).union(zonemap)
+
+    # Bloom-sidecar point-lookup path ('bloomscan'): write with a Bloom
+    # filter on `lang`, read back as the union of `scan_eq` point probes
+    # over every distinct lang — lossless iff scan_eq's prune+exact
+    # filter drops nothing it shouldn't and opens every part it must.
+    def read_bloom(out: str) -> rd.Dataset:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        # distinct probe values from the lang column only (manifest-scale
+        # driver read: one dictionary column per part, bounded by the
+        # part count — at lake scale this comes from a catalog instead)
+        langs: set = set()
+        for p in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
+            langs.update(
+                _pq.read_table(p, columns=["lang"])
+                .column("lang").unique().to_pylist())
+        parts = [slayout.scan_eq(out, "lang", v) for v in sorted(langs)]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
+
+    bloomscan = roundtrip(
+        "bloomscan",
+        lambda ds, out: slayout.write_zonemapped(
+            ds, out, stat_cols=["doc_id"], bloom_cols=["lang"]),
+        read_bloom,
+    )
+    return (direct.union(jsonl).union(orc).union(ipc).union(zonemap)
+            .union(bloomscan))
 
 
 _FMT_COLS = [
@@ -190,6 +221,91 @@ def format_entities_all(sf_dir: str) -> rd.Dataset:
                 "strategy", "failed_unique", cols),
     ]
     return parts[0].union(parts[1]).union(parts[2])
+
+
+_CM_COLS = ["id", "label", "name", "description", "resource", "taxid",
+            "xrefs", "synonyms", "pmids", "raw_id"]
+_CM_PAYLOAD = [c for c in _CM_COLS if c not in ("id", "label")]
+
+
+def canonical_merge_versioned(sf_dir: str) -> rd.Dataset:
+    """Canonical-merge (A1) routed through the MVCC versioned table —
+    the round-4 flagship addition under the driver's value-hash oracle.
+
+    The merged entity table (key ``mkey = id|label``) is split by
+    ``md5_number_lower(mkey) % 5`` (DuckDB-recomputable):
+
+    * v1 = buckets 1-4, with bucket-1 names STALED (``'stale|' || name``)
+      and a synthetic ``'_tmp|' || mkey`` row per bucket-2 key;
+    * one MERGE then exercises all three change kinds at once —
+      INSERTS (bucket 0), UPDATES (bucket 1 back to the true payload),
+      DELETES (the synthetic bucket-2 rows) — committing v2.
+
+    The query returns head (leg='head', == the plain canonical_merge
+    result by construction) UNION the v1 snapshot READ AFTER the v2
+    commit (leg='v1', time travel): a hash mismatch on the v1 leg means
+    snapshot isolation broke; on the head leg, that MERGE upsert/delete
+    semantics broke.  Scratch table lives under /tmp and is removed
+    after both legs materialize (entity-table scale, not corpus scale).
+    """
+    import shutil
+
+    from ontology_matcher_ray.functions.hashing import md5half
+    from ontology_matcher_ray.sources import versioned as sver
+
+    base = _scratch("mvcc")
+    out_cols = ["mkey"] + _CM_COLS
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["mkey"] = b["id"].astype(str) + "|" + b["label"].astype(str)
+        b["bucket"] = (b["mkey"].map(md5half) % 5).astype("int64")
+        return b
+
+    cm = (docs_kg.canonical_merge(sf_dir)
+          .map_batches(keyed, batch_format="pandas").materialize())
+
+    def v1_rows(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["bucket"] != 0].copy()
+        stale = keep["bucket"] == 1
+        keep.loc[stale, "name"] = "stale|" + keep.loc[stale, "name"]
+        tmp = b[b["bucket"] == 2].copy()
+        tmp["mkey"] = "_tmp|" + tmp["mkey"]
+        for c in _CM_PAYLOAD:
+            tmp[c] = ""
+        return pd.concat([keep, tmp], ignore_index=True)[out_cols]
+
+    sver.create_versioned(
+        cm.map_batches(v1_rows, batch_format="pandas"),
+        base, key="mkey", num_ranges=8)
+
+    def changes(b: pd.DataFrame) -> pd.DataFrame:
+        ups = b[b["bucket"].isin([0, 1])].copy()
+        ups["_op"] = "upsert"
+        dels = b[b["bucket"] == 2].copy()
+        dels["mkey"] = "_tmp|" + dels["mkey"]
+        for c in _CM_PAYLOAD:
+            dels[c] = ""
+        dels["_op"] = "delete"
+        return pd.concat([ups, dels],
+                         ignore_index=True)[out_cols + ["_op"]]
+
+    sver.merge_versioned(
+        base, cm.map_batches(changes, batch_format="pandas"))
+
+    def tag(ds: rd.Dataset, leg: str, version: int) -> rd.Dataset:
+        def stage(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["leg"] = leg
+            out["version"] = np.int64(version)
+            return out[["leg", "version"] + out_cols]
+
+        return ds.map_batches(stage, batch_format="pandas")
+
+    head = tag(sver.read_versioned(base), "head", 2).materialize()
+    v1r = tag(sver.read_versioned(base, version=1), "v1", 1).materialize()
+    shutil.rmtree(base, ignore_errors=True)
+    return head.union(v1r)
 
 
 _Q_COLS = ["o_orderpriority", "q25", "q50", "q75", "q95"]

@@ -33,3 +33,51 @@ def test_queries_and_oracles_consistent():
     assert set(o) <= set(q), sorted(set(o) - set(q))
     assert len(q) >= 25
     assert len(o) >= 17
+
+
+def test_coverage_surface_count():
+    """COVERAGE.md's headline surface count is ARITHMETIC over its own
+    gate map (round-4 VERDICT flagged 69/78/81 drift across three
+    places): surfaces = components in the consolidation table (first
+    cell, parenthesized text stripped, split on '/' and '⋈') plus
+    standalone queries (50 - table rows).  Also pins queries() at
+    exactly 50 and every mapped driver-query name to a real entry."""
+    import re
+
+    import __ray_entry__ as m
+
+    q = m.queries()
+    assert len(q) == 50
+
+    text = (REPO / "COVERAGE.md").read_text()
+    head = re.search(
+        r"## Driver-gate consolidation: 50 queries, (\d+) verified",
+        text)
+    assert head, "COVERAGE.md headline count missing"
+    stated = int(head.group(1))
+
+    components, rows, qnames = 0, 0, []
+    in_tbl = False
+    for line in text.splitlines():
+        if line.startswith("| Component operator"):
+            in_tbl = True
+            continue
+        if in_tbl:
+            if not line.startswith("|"):
+                break
+            if line.startswith("|---"):
+                continue
+            cells = line.split("|")
+            first = re.sub(r"\([^)]*\)", "", cells[1])
+            components += len(re.split(r"/|⋈", first))
+            rows += 1
+            mq = re.search(r"`(\w+)`", cells[2])
+            assert mq, f"no driver-query name in: {cells[2][:60]}"
+            qnames.append(mq.group(1))
+    assert rows > 15, "consolidation table not found"
+    assert len(set(qnames)) == rows, "duplicate composite rows"
+    for name in qnames:
+        assert name in q, f"table maps to unknown query {name!r}"
+    assert stated == components + (50 - rows), (
+        f"COVERAGE.md says {stated}, table arithmetic gives "
+        f"{components} components + {50 - rows} standalone")
