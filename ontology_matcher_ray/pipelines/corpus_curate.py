@@ -24,7 +24,9 @@ pipelines detect and strip them per line, not per document.  Two ops:
     corpus pass rebuilds each file from its surviving lines.  Hash
     membership admits a 2^-64-per-pair false-positive (two distinct
     lines colliding); at 10^8 boilerplate lines the expected collisions
-    are ~1e-4 — documented, not hidden.
+    are ~1e-4 — documented, not hidden.  Past ``driver_gate``
+    boilerplate lines a level-2 exchange path replaces the broadcast
+    (see ``corpus_line_dedup``); both levels are bit-identical.
 
 Reference parity: the reference engine has no corpus curation at all
 (it normalizes pre-extracted entity tables); this family is part of the
@@ -114,18 +116,43 @@ def boilerplate_hashes(bp: rd.Dataset) -> np.ndarray:
     return np.sort(np.unique(parts["h"].to_numpy().view("uint64")))
 
 
+# Above this many boilerplate lines (800 MB of uint64 at the default),
+# the broadcast-array path stops being node-friendly and the exchange
+# path (level 2) takes over — mirroring global_scan's size-gated levels.
+LINE_DEDUP_DRIVER_GATE = 100_000_000
+
+
 def corpus_line_dedup(
     corpus_dir: str, min_files: int = 8, num_partitions: int = 64,
     boilerplate: rd.Dataset | None = None,
+    driver_gate: int = LINE_DEDUP_DRIVER_GATE,
 ) -> rd.Dataset:
     """Per-file boilerplate removal: (repo, path, lang, clean_content,
     n_lines, n_removed), one row per input file, file order of the
     surviving lines preserved.  Pass a precomputed ``boilerplate``
     dataset (e.g. a materialized ``corpus_boilerplate`` result) to
-    avoid re-running the count pipeline when both outputs are wanted."""
+    avoid re-running the count pipeline when both outputs are wanted.
+
+    Two size-gated paths, bit-identical (the cut-over is forced on
+    small data in tests/test_corpus_curate.py):
+
+    * level 1 (boilerplate lines <= ``driver_gate``): the sorted-hash
+      broadcast — 8 B per boilerplate line held once per NODE, file
+      content never shuffles;
+    * level 2 (past the gate): no node holds the hash set.  One
+      ``hash_join(how='semi')`` on the line hash marks boilerplate
+      occurrences as pure-int (fkey, li) rows, then ONE file-keyed
+      exchange meets those removal lists with the file rows and
+      rebuilds each file — content shuffles exactly once, which is the
+      price of membership state too big to replicate.
+    """
     if boilerplate is None:
         boilerplate = corpus_boilerplate(corpus_dir, min_files,
                                          num_partitions)
+    boilerplate = boilerplate.materialize()   # reused: count + hashes
+    if boilerplate.count() > driver_gate:
+        return _line_dedup_exchange(corpus_dir, boilerplate,
+                                    num_partitions)
     hashes_ref = ray.put(boilerplate_hashes(boilerplate))
 
     def scrub(tbl: pa.Table) -> pd.DataFrame:
@@ -155,3 +182,124 @@ def corpus_line_dedup(
     return _read_corpus(
         corpus_dir, ["repo", "path", "lang", "content"]
     ).map_batches(scrub, batch_format="pyarrow")
+
+
+def _file_key(tbl: pa.Table) -> np.ndarray:
+    """Stable int64 file key from (repo, path) — lets the level-2 line
+    rows stay pure-int (no string re-shipped per line).  A 2^-63
+    per-pair collision would merge two files' removal lists — at or
+    below the documented 2^-64 line-hash membership bound."""
+    from ontology_matcher_ray.functions.hashing import content_hash64
+
+    joined = pc.binary_join_element_wise(
+        pc.fill_null(pc.cast(tbl.column("repo"), pa.string()), ""),
+        pc.fill_null(pc.cast(tbl.column("path"), pa.string()), ""),
+        "\x1f")
+    return (content_hash64(joined) >> np.uint64(1)).astype(np.int64)
+
+
+def _line_dedup_exchange(
+    corpus_dir: str, boilerplate: rd.Dataset, num_partitions: int,
+) -> rd.Dataset:
+    """Level-2 scrub: membership by exchange instead of broadcast.
+
+    Exchange volume: 24 B per non-empty line (fkey, li, h — never the
+    text) through the semi join, then the file rows once.  Output is
+    bit-identical to the broadcast path (same ``_line_hash``, same
+    rebuild semantics)."""
+    from ontology_matcher_ray.stages import exchange
+
+    def line_rows(tbl: pa.Table) -> pd.DataFrame:
+        parents, flat, n_lines = _split_lines(tbl)
+        fkey = _file_key(tbl)
+        h = _line_hash(flat).view(np.int64)
+        starts = np.repeat(
+            np.concatenate([[0], np.cumsum(n_lines)[:-1]]).astype(np.int64),
+            n_lines)
+        li = np.arange(len(h), dtype=np.int64) - starts
+        keep = flat.to_numpy() != ""     # '' is never boilerplate
+        return pd.DataFrame({"fkey": fkey[parents][keep],
+                             "li": li[keep], "h": h[keep]})
+
+    corpus_cols = ["repo", "path", "lang", "content"]
+    lines = _read_corpus(corpus_dir, corpus_cols).map_batches(
+        line_rows, batch_format="pyarrow")
+    bp_h = boilerplate.map_batches(
+        lambda b: pd.DataFrame({"h": _line_hash(b["line"]).view("int64")}),
+        batch_format="pandas")
+    matched = exchange.hash_join(
+        lines, bp_h, on="h", right_on="h",
+        left_schema={"fkey": "int64", "li": "int64", "h": "int64"},
+        right_schema={"h": "int64"},
+        how="semi", num_partitions=num_partitions)
+
+    # ONE fkey exchange: file rows (side 0) meet their removal rows
+    # (side 1); the per-partition kernel rebuilds each file locally.
+    def tag_files(tbl: pa.Table) -> pd.DataFrame:
+        fkey = _file_key(tbl)
+        content = pc.fill_null(tbl.column("content"), "").to_pandas()
+        return pd.DataFrame({
+            "fkey": fkey, "side": np.zeros(len(fkey), dtype=np.int8),
+            "repo": tbl.column("repo").to_pandas(),
+            "path": tbl.column("path").to_pandas(),
+            "lang": tbl.column("lang").to_pandas(),
+            "content": content,
+            "li": np.full(len(fkey), -1, dtype=np.int64),
+        })
+
+    def tag_removals(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "fkey": b["fkey"].to_numpy(), "side": np.ones(n, dtype=np.int8),
+            "repo": np.full(n, "", dtype=object),
+            "path": np.full(n, "", dtype=object),
+            "lang": np.full(n, "", dtype=object),
+            "content": np.full(n, "", dtype=object),
+            "li": b["li"].to_numpy(dtype=np.int64),
+        })
+
+    tagged = (_read_corpus(corpus_dir, corpus_cols)
+              .map_batches(tag_files, batch_format="pyarrow")
+              .union(matched.map_batches(tag_removals,
+                                         batch_format="pandas")))
+
+    _OUT = pd.DataFrame({
+        "repo": pd.Series(dtype=object), "path": pd.Series(dtype=object),
+        "lang": pd.Series(dtype=object),
+        "clean_content": pd.Series(dtype=object),
+        "n_lines": pd.Series(dtype="int64"),
+        "n_removed": pd.Series(dtype="int64"),
+    })
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        files = g[g["side"] == 0]
+        if not len(files):
+            return _OUT.copy()
+        rm = g[g["side"] == 1]
+        rmd = {k: np.unique(v.to_numpy())
+               for k, v in rm.groupby("fkey", sort=False)["li"]}
+        out = {c: [] for c in _OUT.columns}
+        for fkey, repo, path, lang, content in zip(
+                files["fkey"].to_numpy(), files["repo"].to_numpy(),
+                files["path"].to_numpy(), files["lang"].to_numpy(),
+                files["content"].to_numpy()):
+            lns = content.split("\n")
+            ridx = rmd.get(fkey)
+            if ridx is None or not len(ridx):
+                clean, n_rm = content, 0
+            else:
+                drop = set(ridx.tolist())
+                clean = "\n".join(
+                    x for i, x in enumerate(lns) if i not in drop)
+                n_rm = len(drop)
+            out["repo"].append(repo)
+            out["path"].append(path)
+            out["lang"].append(lang)
+            out["clean_content"].append(clean)
+            out["n_lines"].append(len(lns))
+            out["n_removed"].append(n_rm)
+        f = pd.DataFrame(out)
+        return f.astype({"n_lines": "int64", "n_removed": "int64"})
+
+    return exchange.partitioned_apply(
+        tagged, ["fkey"], rebuild, num_partitions)

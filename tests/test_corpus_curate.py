@@ -153,3 +153,34 @@ def test_line_hash_exhaustive_nul_alphabet():
         single = corpus_curate._line_hash(
             pd.Series([vals[i]], dtype=object))[0]
         assert single == h[i]
+
+
+def test_line_dedup_level2_bit_identical(corpus_dir):
+    """driver_gate=0 forces the level-2 exchange path (semi join on the
+    line hash + one file-keyed rebuild exchange) on small data; output
+    must be bit-identical to the broadcast path — the same contract
+    global_scan's size-gated levels carry."""
+    a = (corpus_curate.corpus_line_dedup(corpus_dir, MIN_FILES)
+         .to_pandas().sort_values(["repo", "path"], ignore_index=True))
+    b = (corpus_curate.corpus_line_dedup(corpus_dir, MIN_FILES,
+                                         driver_gate=0)
+         .to_pandas().sort_values(["repo", "path"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert b["n_removed"].sum() > 0      # the fixture really scrubs
+
+
+def test_line_dedup_level2_nul_safe(tmp_path):
+    """The NUL-truncated cousin survives on the exchange path too."""
+    d = tmp_path / "nulcorp2"
+    d.mkdir()
+    files = ["abc\nuniq%d" % i for i in range(3)] + ["abc\x00tail\nlast"]
+    pd.DataFrame({
+        "repo": ["r"] * 4, "path": [f"f{i}" for i in range(4)],
+        "lang": ["py"] * 4, "content": files,
+        "size_bytes": [len(c) for c in files], "sha256": ["0"] * 4,
+    }).to_parquet(d / "part-0.parquet", index=False)
+    clean = (corpus_curate.corpus_line_dedup(str(d), 3, driver_gate=0)
+             .to_pandas().sort_values("path", ignore_index=True))
+    assert list(clean["clean_content"]) == [
+        "uniq0", "uniq1", "uniq2", "abc\x00tail\nlast"]
+    assert list(clean["n_removed"]) == [1, 1, 1, 0]
