@@ -155,7 +155,7 @@ def kg_bfs_dist(
     sf_dir: str,
     hops: int = 3,
     num_partitions: int = 32,
-    salt: int = 4,
+    salt: int | str = "auto",
     trips: rd.Dataset | None = None,
     seed_mod: int = 10,
 ) -> rd.Dataset:
@@ -194,6 +194,12 @@ def kg_bfs_dist(
     )
     settled = seeds.materialize()
     frontier = settled
+    # the frontier's nodes are DISTINCT (uniform histogram by
+    # construction), so the hub signal lives on the edge side: a hub's
+    # out-edges all hash to one partition.  One pre-flight over the
+    # materialized edge list sizes the salt for every hop.
+    hop_salt = (exchange.adaptive_salt(edges, ["src"], num_partitions)
+                if salt == "auto" else salt)
     for d in range(1, hops + 1):
         hop = exchange.hash_join(
             frontier.map_batches(
@@ -205,7 +211,7 @@ def kg_bfs_dist(
             "node", "esrc",
             {"node": "object"},
             {"esrc": "object", "edst": "object"},
-            num_partitions=num_partitions, salt=salt,
+            num_partitions=num_partitions, salt=hop_salt,
         ).map_batches(
             lambda b: pd.DataFrame({"node": b["edst"]}).drop_duplicates(),
             batch_format="pandas",
@@ -234,7 +240,7 @@ def kg_reach(
     sf_dir: str,
     hops: int = 2,
     num_partitions: int = 32,
-    salt: int = 4,
+    salt: int | str = "auto",
     trips: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """(node, n_reach): distinct nodes reachable from ``node`` along
@@ -251,11 +257,12 @@ def kg_reach(
     frontier's destination against the edge source.  ``salt`` spreads
     HOT intermediate nodes (a popular entity reached by many documents
     multiplied by its own out-degree) by replicating the edge side of
-    the hop join — ON by default (salt=4, measured free at bench
-    scale) because real KGs always have hub entities; the cost is a
-    salt-times-larger edge-side shuffle per hop, the win is that no
-    single partition materializes a hub's in-degree x out-degree row
-    blowup alone.  The final count is skew-robust by construction:
+    the hop join — ADAPTIVE by default (``salt="auto"``: a
+    ``partition_load`` pre-flight over both join sides sizes the salt
+    to the measured imbalance, 1 when balanced); the cost when it
+    engages is a salt-times-larger edge-side shuffle per hop, the win
+    is that no single partition materializes a hub's in-degree x
+    out-degree row blowup alone.  The final count is skew-robust by construction:
     distinct on the (src, dst) PAIR key (no hub key exists at pair
     granularity), then a per-batch combiner + node-keyed exchange sums
     bounded partials — a hub node's reach set is never collected into
@@ -274,7 +281,20 @@ def kg_reach(
 
     tiers = [edges]
     frontier = edges
+    # per-key blowup in a hop join is (frontier rows at key) x (edge
+    # rows at key): measure BOTH sides' partition histograms and take
+    # the max — the edge side once (it never changes), the frontier
+    # side per hop.  Every measured dataset is materialized (edges, or
+    # the distinct()d previous tier), so each histogram is a cheap
+    # combiner re-read, never a pipeline recompute.  Balanced data
+    # measures salt 1 and pays zero replication.
+    edge_salt = (exchange.adaptive_salt(edges, ["src"], num_partitions)
+                 if salt == "auto" else 0)
     for h in range(hops - 1):
+        hop_salt = (max(edge_salt,
+                        exchange.adaptive_salt(frontier, ["dst"],
+                                               num_partitions))
+                    if salt == "auto" else salt)
         nxt = exchange.hash_join(
             frontier.map_batches(
                 lambda b: b.rename(columns={"dst": "via"}),
@@ -287,7 +307,7 @@ def kg_reach(
             "via", "esrc",
             {"src": "object", "via": "object"},
             {"esrc": "object", "edst": "object"},
-            num_partitions=num_partitions, salt=salt,
+            num_partitions=num_partitions, salt=hop_salt,
         ).map_batches(
             lambda b: pd.DataFrame({
                 "src": b["src"], "dst": b["edst"],

@@ -18,7 +18,7 @@ faster than ``groupby(cols).aggregate(Count)`` on the triple-dedup shape.
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -741,6 +741,92 @@ def multi_join(
         return out
 
     return partitioned_apply(tagged, [on], per_partition, num_partitions)
+
+
+# max/mean partition-load ratio above which an exchange is called skewed
+SKEW_SALT_RATIO = 4.0
+
+
+def adaptive_salt(
+    ds: rd.Dataset,
+    key_cols: Sequence[str],
+    num_partitions: int = 32,
+    max_salt: int = 16,
+    ratio: float = SKEW_SALT_RATIO,
+) -> int:
+    """CONSUME the ``partition_load`` pre-flight: the salt an exchange
+    on ``key_cols`` should use.  Balanced histogram (max <= ratio x
+    mean) -> 1 (plain exchange, no replication cost); skewed -> the
+    smallest power of two >= the imbalance ratio, capped at
+    ``max_salt`` — enough replicas that the hottest partition lands
+    near the mean, never more.
+
+    The histogram is a combiner pass over ``ds`` (no shuffle), but it
+    EXECUTES ``ds``: pass a materialized or cheap-to-recompute dataset
+    (the hop-join call sites feed their already-materialized
+    frontiers).  Any return value is semantically safe — salt only
+    moves work, never changes the joined set."""
+    hist = partition_load(ds, key_cols, num_partitions)
+    n = hist["n_rows"].to_numpy()
+    total = int(n.sum())
+    if total == 0:
+        return 1
+    imbalance = float(n.max()) * num_partitions / total
+    if imbalance <= ratio:
+        return 1
+    return int(min(max_salt,
+                   1 << int(np.ceil(np.log2(max(imbalance, 2.0))))))
+
+
+def adaptive_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str,
+    left_schema: dict,
+    right_schema: dict,
+    how: str = "inner",
+    num_partitions: int = 32,
+    max_salt: int = 16,
+    ratio: float = SKEW_SALT_RATIO,
+    broadcast_small_right: bool = False,
+    plan: Optional[dict] = None,
+) -> rd.Dataset:
+    """Pre-flight-planned equi-join: ``partition_load`` over the LEFT
+    key picks the physical plan, the logical result is identical on
+    every path (hash_join and skew_join are output-set-identical for
+    any salt / heavy set by construction).
+
+    * balanced -> plain ``hash_join`` (no replication, no sampling);
+    * skewed + ``broadcast_small_right`` (caller declares the right
+      side per-key broadcast-small, e.g. a dimension or pre-aggregated
+      table) -> ``skew_join``: heavy keys never enter the exchange;
+    * skewed otherwise -> ``hash_join(salt=2^k)`` sized to the
+      measured imbalance.
+
+    LEFT is consumed twice (histogram + join): pass a materialized or
+    column-pruned left.  ``plan``, when given, is filled with
+    {"plan", "salt"} so callers/tests can observe the choice."""
+    salt = adaptive_salt(left, [on], num_partitions, max_salt, ratio)
+    chosen: dict = {"plan": "hash", "salt": salt}
+    if salt == 1:
+        out = hash_join(left, right, on, right_on, left_schema,
+                        right_schema, how=how,
+                        num_partitions=num_partitions)
+    elif broadcast_small_right and how in ("inner", "left", "semi",
+                                           "anti"):
+        chosen["plan"] = "skew"
+        out = skew_join(left, right, on, right_on, left_schema,
+                        right_schema, how=how,
+                        num_partitions=num_partitions)
+    else:
+        chosen["plan"] = "salted"
+        out = hash_join(left, right, on, right_on, left_schema,
+                        right_schema, how=how,
+                        num_partitions=num_partitions, salt=salt)
+    if plan is not None:
+        plan.update(chosen)
+    return out
 
 
 def partition_load(
