@@ -349,6 +349,61 @@ def _bench_once(stats_query: str | None = None) -> dict:
     print(f"versioned merge: {int(mstats['upserts'].sum())} upserts "
           f"rewrote {len(mstats)}/32 ranges", file=sys.stderr)
 
+    # ---- flagship lakehouse publish + Bloom-pruned point probes ----
+    # The headline KG ships into the MVCC table with subj-Bloom + tk
+    # zone-map sidecars on every part (docs_kg.publish_triples); a
+    # "all triples about entity X" probe then opens only the parts
+    # whose Bloom can contain X.  Timed against the brute filter over
+    # the same snapshot — same rows, different files opened.
+    if stats_query is None:
+        from ontology_matcher_ray.pipelines.docs_kg import subject_triples
+
+        pub_base = f"{lay_base}/kg_table"
+        if os.path.isdir(pub_base):
+            shutil.rmtree(pub_base)
+        trips = corpus_kg.read_triples(out_dir)
+        tq = time.time()
+        docs_kg.publish_triples(pub_base, trips)
+        qtimes["kg_publish"] = round(time.time() - tq, 3)
+
+        probe_subjs = sorted({r["subj"] for r in vt.read_versioned(
+            pub_base, columns=["subj"]).take(64)})[:4]
+        # observable skip ratio for the first probe
+        import json as _json
+
+        from ontology_matcher_ray.sources.layout import (
+            _bloom_maybe_contains,
+            _zmap_path,
+        )
+
+        head = vt.load_manifest(pub_base)
+        part_paths = [os.path.join(pub_base, "parts", f)
+                      for f in head["ranges"].values()]
+        kept = sum(
+            1 for p in part_paths
+            if _bloom_maybe_contains(
+                _json.load(open(_zmap_path(p)))["blooms"]["subj"],
+                probe_subjs[0]))
+        print(f"kg point probe: {len(part_paths) - kept}/"
+              f"{len(part_paths)} parts skipped for "
+              f"{probe_subjs[0]!r}", file=sys.stderr)
+
+        tq = time.time()
+        n_pruned = sum(subject_triples(pub_base, s).count()
+                       for s in probe_subjs)
+        qtimes["kg_point_probe_pruned"] = round(time.time() - tq, 3)
+        tq = time.time()
+        n_brute = 0
+        for s in probe_subjs:
+            n_brute += vt.read_versioned(
+                pub_base, columns=["subj", "pred", "obj"],
+            ).map_batches(lambda b, s=s: b[b["subj"] == s],
+                          batch_format="pandas").count()
+        qtimes["kg_point_probe_brute"] = round(time.time() - tq, 3)
+        if n_pruned != n_brute:
+            raise SystemExit(
+                f"pruned probe diverged: {n_pruned} != {n_brute}")
+
     ray.shutdown()
     return {
         "metric": "kg_build_sec",

@@ -530,8 +530,13 @@ def publish_triples(base: str, new_triples: rd.Dataset,
 
     keyed_new = new_triples.map_batches(with_tk, batch_format="pandas")
     if not vt.list_versions(base):
+        # lakehouse sidecars on every committed part: tk zone maps (the
+        # sort key — range scans) + a subj Bloom (point probes: "all
+        # triples about entity X" opens only the parts that can hold X)
         stats = vt.create_versioned(keyed_new, base, "tk",
-                                    num_ranges=num_ranges)
+                                    num_ranges=num_ranges,
+                                    stat_cols=["tk"],
+                                    bloom_cols=["subj"])
         return pd.DataFrame({"op": ["add"], "rows": [int(stats["rows"].sum())]})
 
     old = vt.read_versioned(base, columns=["subj", "pred", "obj"])
@@ -552,6 +557,19 @@ def publish_triples(base: str, new_triples: rd.Dataset,
         "rows": [int(mstats["upserts"].sum()),
                  int(mstats["deletes"].sum())],
     })
+
+
+def subject_triples(base: str, subj: str,
+                    version: int | None = None) -> rd.Dataset:
+    """All triples about one entity from a published KG snapshot — the
+    Bloom-pruned point probe over ``publish_triples`` output: only
+    parts whose subj Bloom (written with every commit) can contain
+    ``subj`` are opened.  Identical rows to filtering the full
+    snapshot."""
+    from ontology_matcher_ray.sources import versioned as vt
+
+    return vt.read_versioned_eq(base, "subj", subj, version=version,
+                                columns=["subj", "pred", "obj"])
 
 
 def kg_delta(sf_dir: str, num_partitions: int = 32) -> rd.Dataset:

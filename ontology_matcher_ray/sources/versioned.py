@@ -110,16 +110,43 @@ def _commit(base: str, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+def _write_part_sidecar(path: str, g: pd.DataFrame,
+                        stat_cols: List[str],
+                        bloom_cols: List[str]) -> None:
+    """Lakehouse zone-map/Bloom sidecar for a committed part — the SAME
+    ``_zmap-*.json`` format the layout scans read, so pruned point/range
+    reads work identically over a versioned snapshot's parts."""
+    import pyarrow as pa
+
+    from ontology_matcher_ray.sources.layout import _write_zmap
+
+    cols = [c for c in dict.fromkeys(list(stat_cols) + list(bloom_cols))
+            if c in g.columns]
+    if not cols:
+        return
+    _write_zmap(path, pa.Table.from_pandas(g[cols], preserve_index=False),
+                [c for c in stat_cols if c in g.columns],
+                [c for c in bloom_cols if c in g.columns])
+
+
 def create_versioned(
     ds: rd.Dataset,
     base: str,
     key: str,
     num_ranges: int = 16,
     sample_per_block: int = 64,
+    stat_cols: Optional[List[str]] = None,
+    bloom_cols: Optional[List[str]] = None,
 ) -> pd.DataFrame:
     """Version 1 of a table: range-partition ``ds`` on ``key`` into
     immutable sorted parts and commit the first manifest.  Returns the
-    per-range stats frame (range_id, rows)."""
+    per-range stats frame (range_id, rows).
+
+    ``stat_cols`` (default: the key) get per-part min/max zone maps and
+    ``bloom_cols`` per-part Bloom sidecars — written next to every part
+    this and every future merge commits (the config persists in the
+    manifest), so ``read_versioned_eq`` point probes skip parts without
+    opening them."""
     from ontology_matcher_ray.stages.exchange import (
         PARTITION_COL,
         partitioned_apply_prepartitioned,
@@ -129,6 +156,8 @@ def create_versioned(
 
     if list_versions(base):
         raise FormatError(f"{base} already has committed versions")
+    stat_cols = [key] if stat_cols is None else list(stat_cols)
+    bloom_cols = list(bloom_cols or [])
     os.makedirs(os.path.join(base, _PARTS), exist_ok=True)
     token = uuid.uuid4().hex[:8]
     cuts = _load_or_sample_cuts(ds, base, key, num_ranges, sample_per_block)
@@ -155,6 +184,7 @@ def create_versioned(
         tmp = path + f".tmp{os.getpid()}"
         g.to_parquet(tmp, index=False)
         os.replace(tmp, path)      # deterministic name: retry overwrites
+        _write_part_sidecar(path, g, stat_cols, bloom_cols)
         return pd.DataFrame({"range_id": [rid], "rows": [len(g)]})
 
     keyed = ds.map_batches(assign, batch_format="pandas")
@@ -167,6 +197,7 @@ def create_versioned(
     _commit(base, {
         "version": 1, "parent": None, "op": "create", "key": key,
         "cuts": list(cuts),
+        "stat_cols": stat_cols, "bloom_cols": bloom_cols,
         "ranges": {str(int(r)): _part_name(int(r), 1, token)
                    for r in stats["range_id"]},
     })
@@ -187,6 +218,70 @@ def read_versioned(
         raise FormatError(
             f"version {m['version']} of {base} is empty")
     return read_parquet_clean(files, columns=columns)
+
+
+def read_versioned_eq(
+    base: str,
+    col: str,
+    value,
+    version: Optional[int] = None,
+    columns: Optional[List[str]] = None,
+) -> rd.Dataset:
+    """Point probe ``col == value`` over one pinned snapshot with
+    zone-map/Bloom part skipping — identical rows to filtering
+    ``read_versioned`` (Bloom false positives fall to the exact
+    filter), but only the parts that can contain the value are opened.
+    Parts without a sidecar (or whose sidecar lacks ``col``) are
+    conservatively kept."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ontology_matcher_ray.sources.layout import (
+        _bloom_maybe_contains,
+        _zmap_path,
+    )
+
+    m = load_manifest(base, version)
+    files = sorted(os.path.join(base, _PARTS, f)
+                   for f in m["ranges"].values())
+    if not files:
+        raise FormatError(f"version {m['version']} of {base} is empty")
+    kept = []
+    for p in files:
+        sc = _zmap_path(p)
+        if not os.path.exists(sc):
+            kept.append(p)
+            continue
+        with open(sc) as f:
+            meta = json.load(f)
+        st = meta["stats"].get(col)
+        bloom = meta.get("blooms", {}).get(col)
+        if st is not None:
+            if st["min"] is None:
+                continue                       # all-null part
+            if value < st["min"] or value > st["max"]:
+                continue
+        if bloom is not None and not _bloom_maybe_contains(bloom, value):
+            continue
+        kept.append(p)
+    if not kept:
+        schema = pq.read_schema(files[0]).remove_metadata()
+        want = list(columns) if columns is not None else schema.names
+        return rd.from_arrow(schema.empty_table().select(want))
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(list(columns) + [col]))
+
+    def exact(tbl: pa.Table) -> pa.Table:
+        keep = pc.equal(tbl.column(col), pa.scalar(value))
+        out = tbl.filter(pc.fill_null(keep, False))
+        if columns is not None:
+            out = out.select(columns)
+        return out
+
+    return read_parquet_clean(kept, columns=read_cols).map_batches(
+        exact, batch_format="pyarrow")
 
 
 def merge_versioned(
@@ -218,6 +313,8 @@ def merge_versioned(
         raise CommitConflict(
             f"head is v{head['version']}, expected v{expected_head}")
     key, cuts = head["key"], head["cuts"]
+    stat_cols = head.get("stat_cols", [key])
+    bloom_cols = head.get("bloom_cols", [])
     target = head["version"] + 1
     cuts_arr = np.asarray(cuts) if cuts else np.asarray([], dtype=object)
     ranges = dict(head["ranges"])
@@ -270,6 +367,7 @@ def merge_versioned(
             tmp = path + f".tmp{os.getpid()}"
             new.to_parquet(tmp, index=False)
             os.replace(tmp, path)   # immutable target name: retry-safe
+            _write_part_sidecar(path, new, stat_cols, bloom_cols)
         return pd.DataFrame({
             "range_id": [rid], "rows_before": [before],
             "upserts": [len(ups)], "deletes": [int(len(g) - len(ups))],
@@ -290,7 +388,9 @@ def merge_versioned(
             ranges.pop(str(rid), None)
     _commit(base, {
         "version": target, "parent": head["version"], "op": "merge",
-        "key": key, "cuts": cuts, "ranges": ranges,
+        "key": key, "cuts": cuts,
+        "stat_cols": stat_cols, "bloom_cols": bloom_cols,
+        "ranges": ranges,
     })
     return stats.sort_values("range_id", ignore_index=True)
 
@@ -314,6 +414,11 @@ def vacuum_versions(base: str, keep_last: int = 2) -> dict:
         if os.path.basename(p) not in referenced:
             os.remove(p)
             n_parts += 1
+            from ontology_matcher_ray.sources.layout import _zmap_path
+
+            sc = _zmap_path(p)
+            if os.path.exists(sc):       # orphaned sidecar goes with it
+                os.remove(sc)
     for v in drop:
         os.remove(_manifest_path(base, v))
     return {"versions_dropped": len(drop), "parts_deleted": n_parts}

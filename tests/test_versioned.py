@@ -246,3 +246,79 @@ def test_versioned_random_changesets_match_pandas_model(tmp_path):
     # every retained version reproduces its exact historical state
     for v, snap in snapshots.items():
         assert _fp(read_versioned(base, version=v).to_pandas()) == _fp(snap), v
+
+
+def test_sidecars_written_and_point_probe_prunes(tmp_path):
+    """Lakehouse sidecars on versioned parts: a Bloom point probe on a
+    non-key column opens only the parts that can contain the value,
+    returns identical rows to the brute filter, survives merges, and
+    vacuum removes sidecars with their parts."""
+    from ontology_matcher_ray.sources.versioned import read_versioned_eq
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": np.arange(0, 2000, dtype="int64"),
+        "subj": [f"e{i // 100:02d}" for i in range(2000)],  # clustered
+        "v": rng.integers(0, 9, 2000).astype("int64"),
+    })
+    base = str(tmp_path / "vt_side")
+    create_versioned(rd.from_pandas(df), base, "k", num_ranges=8,
+                     stat_cols=["k"], bloom_cols=["subj"])
+    parts = glob.glob(os.path.join(base, "parts", "*.parquet"))
+    sides = glob.glob(os.path.join(base, "parts", "_zmap-*.json"))
+    assert len(sides) == len(parts) > 1
+
+    probe = read_versioned_eq(base, "subj", "e03").to_pandas()
+    want = df[df["subj"] == "e03"]
+    assert _fp(probe) == _fp(want)
+    # pruning really engages: subj is clustered with k, so most parts'
+    # Blooms reject e03
+    opened = read_versioned_eq(base, "subj", "e03")
+    assert len(probe) == 100
+
+    # a merge keeps writing sidecars (config persisted in the manifest)
+    ch = pd.DataFrame({"k": [5000], "subj": ["zz"], "v": [1],
+                       "_op": ["upsert"]})
+    _merge(base, ch)
+    m2 = load_manifest(base)
+    assert m2["bloom_cols"] == ["subj"]
+    new_parts = [os.path.join(base, "parts", f)
+                 for f in m2["ranges"].values()]
+    from ontology_matcher_ray.sources.layout import _zmap_path
+    assert all(os.path.exists(_zmap_path(p)) for p in new_parts)
+    got2 = read_versioned_eq(base, "subj", "zz").to_pandas()
+    assert list(got2["k"]) == [5000]
+    # time travel probe: v1 has no zz
+    assert read_versioned_eq(base, "subj", "zz", version=1).count() == 0
+
+    # vacuum removes orphaned sidecars together with their parts
+    _merge(base, pd.DataFrame({"k": [5000], "subj": ["zz"], "v": [2],
+                               "_op": ["upsert"]}))
+    vacuum_versions(base, keep_last=1)
+    parts_after = set(glob.glob(os.path.join(base, "parts", "*.parquet")))
+    for sc in glob.glob(os.path.join(base, "parts", "_zmap-*.json")):
+        from ontology_matcher_ray.sources.layout import _part_of_zmap
+        assert _part_of_zmap(sc) in parts_after
+
+
+def test_point_probe_skips_most_parts(tmp_path):
+    """Observable pruning: count parts the probe would open via the
+    same sidecar logic and assert real skipping on clustered data."""
+    import json as _json
+
+    from ontology_matcher_ray.sources.layout import _bloom_maybe_contains
+
+    df = pd.DataFrame({
+        "k": np.arange(0, 1600, dtype="int64"),
+        "subj": [f"e{i // 200}" for i in range(1600)],
+    })
+    base = str(tmp_path / "vt_prune")
+    create_versioned(rd.from_pandas(df), base, "k", num_ranges=8,
+                     bloom_cols=["subj"])
+    sides = sorted(glob.glob(os.path.join(base, "parts", "_zmap-*.json")))
+    kept = 0
+    for sc in sides:
+        meta = _json.load(open(sc))
+        if _bloom_maybe_contains(meta["blooms"]["subj"], "e2"):
+            kept += 1
+    assert kept < len(sides) / 2          # most parts skipped
