@@ -721,6 +721,64 @@ def ivf_expected_parquet(top_k: int = 5, n_queries: int = 4, nlist: int = 16,
     return path
 
 
+def knn_join_expected_parquet(top_k: int = 3, nlist: int = 16,
+                              nprobe: int = 4, seed: int = 11) -> str:
+    """Expected ``knn_join`` (bulk IVF kNN join) result per testdata
+    scale — EVERY vector is a query.  Engine-free numpy recomputation
+    (plain pyarrow + numpy, no Ray, no stages/ann search path); only
+    the seeded centroid recipe is shared, because bit-identical
+    centroids ARE the determinism contract.  Candidate set per query:
+    every OTHER vector whose home (argmax) bucket is among the query's
+    ``nprobe`` probed buckets; rank by (cos_sim desc, vec_id asc)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ontology_matcher_ray.stages.ann import kmeanspp_centroids
+
+    def norm(m):
+        return m / np.maximum(
+            np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    entries, tag = _embedding_scales()
+    out_dir = "/tmp/onto_ray_oracle"
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(
+        out_dir, f"expected_knnjoin_{tag}_{top_k}_{nlist}_{nprobe}.parquet")
+    if os.path.exists(path):
+        return path
+    frames = []
+    for ids, raw, fp in entries:
+        stride = max(1, len(ids) // 2048)
+        smask = (ids % stride == 0) if stride > 1 else np.ones(
+            len(ids), bool)
+        smat = norm(raw[smask][:2048])
+        cents = norm(kmeanspp_centroids(smat, nlist, seed))
+        # pre-sort by vec_id so tie-breaks match the engine's column
+        # ordering contract
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], norm(raw[order])
+        sims_c = mat @ cents.T
+        assign = np.argmax(sims_c, axis=1)
+        probe = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]
+        rows = []
+        for qi in range(len(ids)):
+            cand = np.isin(assign, probe[qi])
+            cand[qi] = False
+            sims = mat[cand] @ mat[qi]
+            cids = ids[cand]
+            pick = np.lexsort((cids, -sims))[:top_k]
+            for r, j in enumerate(pick):
+                rows.append((int(ids[qi]), int(cids[j]),
+                             int(np.floor(sims[j] * 1_000_000)),
+                             r + 1, fp))
+        frames.append(pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "cos_sim_micro",
+                           "rank", "emb_fp"]))
+    return _write_expected(path, pd.concat(frames, ignore_index=True))
+
+
 def _embedding_scales():
     """(ids, raw, fp) per distinct testdata embeddings table, plus the
     combined cache tag.  The fingerprint read (one parquet scan per
@@ -2253,6 +2311,15 @@ WHERE emb_fp = (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 100000
                                      AS BIGINT)) AS BIGINT) FROM embeddings)
 """
 
+    # bulk IVF kNN join: every vector a query (same expected-parquet
+    # mechanism — k-means bucketing is non-SQL algebra)
+    sql["knn_join"] = f"""
+SELECT query_id, vec_id, cos_sim_micro, rank
+FROM read_parquet('{knn_join_expected_parquet()}')
+WHERE emb_fp = (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                                     AS BIGINT)) AS BIGINT) FROM embeddings)
+"""
+
     sql["media_featurize"] = f"""
 SELECT media_id, kind, width, height, duration_ms, payload_sha256, feat_sha256
 FROM read_parquet('{media_expected_parquet()}')
@@ -2860,7 +2927,7 @@ SELECT 'topk', doc_id, lang, CAST(0 AS BIGINT), sample_rank FROM ({fk})
     knn_cols = "query_id, vec_id, cos_sim_micro, rank"
     sql["knn_methods"] = "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, {knn_cols} FROM ({take('knn_' + m)})"
-        for m in ("brute", "lsh", "ivf")
+        for m in ("brute", "lsh", "ivf", "join")
     )
 
     # --- flagship triples + lossless N-Triples round trip ---------------

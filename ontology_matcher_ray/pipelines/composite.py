@@ -71,17 +71,24 @@ def _scratch(prefix: str) -> str:
 # ---------------------------------------------------------------------------
 
 def knn_methods(sf_dir: str) -> pd.DataFrame:
-    """ANN family in one row set: brute-force / LSH / IVF top-k, tagged by
-    ``method``.  Identical schemas (query_id, vec_id, cos_sim_micro, rank)."""
+    """ANN family in one row set: brute-force / LSH / IVF top-k for the
+    bounded query set, plus the bulk IVF kNN JOIN (every vector a
+    query, one centroid-keyed exchange), tagged by ``method``.
+    Identical schemas (query_id, vec_id, cos_sim_micro, rank).  The
+    join leg's to_pandas is gate glue over an n x k result (bounded by
+    the embeddings table, tiny at sf); production consumers keep it a
+    Dataset."""
     parts = []
     for method, fn in (
         ("brute", docs_text.knn_brute),
         ("lsh", docs_text.knn_lsh),
         ("ivf", docs_text.knn_ivf),
+        ("join", lambda sf: docs_text.knn_join(sf).to_pandas()),
     ):
         df = fn(sf_dir).copy()
         df.insert(0, "method", method)
-        parts.append(df)
+        parts.append(df[["method", "query_id", "vec_id",
+                         "cos_sim_micro", "rank"]])
     return pd.concat(parts, ignore_index=True)
 
 

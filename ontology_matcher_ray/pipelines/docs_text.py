@@ -970,6 +970,14 @@ def knn_ivf(sf_dir: str, top_k: int = 5, n_queries: int = 4) -> pd.DataFrame:
     return ann_stages.ivf_topk(ds, qmat, qids, top_k=top_k)
 
 
+def knn_join(sf_dir: str, top_k: int = 3) -> "rd.Dataset":
+    """Bulk IVF kNN JOIN: top-k neighbors for EVERY embedding row via
+    one centroid-keyed exchange — no driver pass over the embeddings
+    (see stages/ann.ivf_knn_join)."""
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    return ann_stages.ivf_knn_join(ds, top_k=top_k)
+
+
 def doc_quality(sf_dir: str) -> rd.Dataset:
     """Gopher-style repetition/quality heuristics per document — Arrow
     hash aggregation, no shuffle, no Python row loop.

@@ -387,3 +387,113 @@ def ivf_query_index(
     partial = ds.map_batches(Stage, batch_format="pandas",
                              concurrency=(1, 8), batch_size=4096)
     return _reduce_topk(partial, top_k)
+
+
+def ivf_knn_join(
+    ds: rd.Dataset,
+    top_k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Bulk kNN JOIN: top-``k`` IVF-routed neighbors for EVERY vector —
+    the SemDeDup/retrieval building block at corpus scale, with NO
+    driver pass over the embeddings and no broadcast of the table.
+
+    Shape: one map assigns each vector its home bucket (nearest
+    centroid) and its ``nprobe`` probe buckets, emitting the vector
+    once as a CANDIDATE (home bucket) and ``nprobe`` times as a QUERY;
+    ONE centroid-keyed exchange co-locates each bucket's queries with
+    its candidates and scores them in a single per-bucket matmul,
+    keeping a per-(query, bucket) top-k; a second, k-bounded exchange
+    on query_id merges each query's <= nprobe partial lists into the
+    final ranking.  Exchange volume: (nprobe + 1) x vectors for pass
+    one, n x nprobe x k skinny rows for pass two — never quadratic,
+    never driver-resident.  Centroids are the shared deterministic
+    ``_train_centroids`` recipe (bounded 2048-row spread sample), so an
+    engine-free numpy recomputation reproduces the result exactly
+    (the same contract as ``ivf_topk``'s oracle).
+
+    Semantics (the deterministic, oracle-checkable definition): a
+    query's candidate set is every OTHER vector whose home bucket is
+    among the query's ``nprobe`` probed buckets; ranking is
+    (cos_sim desc, vec_id asc); output (query_id, vec_id,
+    cos_sim_micro, rank), ranks 1..k.
+    """
+    from ontology_matcher_ray.stages import exchange
+
+    cents = _train_centroids(ds, nlist, seed, id_col, vec_col)
+    cents_ref = ray.put(cents)
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        mat = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
+        sims_c = mat @ c.T                              # (n, nlist)
+        assign = np.argmax(sims_c, axis=1).astype(np.int64)
+        probe = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]
+        n = len(ids)
+        emb = [v.tolist() for v in mat]                 # normalized once
+        return pd.DataFrame({
+            "bucket": np.concatenate([assign, probe.reshape(-1)]),
+            "is_query": np.concatenate([
+                np.zeros(n, dtype=np.int8),
+                np.ones(n * nprobe, dtype=np.int8)]),
+            "vid": np.concatenate([ids, np.repeat(ids, nprobe)]),
+            "emb": emb + [e for e in emb for _ in range(nprobe)],
+        })
+
+    routed = ds.map_batches(route, batch_format="pandas",
+                            batch_size=4096)
+
+    _PART = pd.DataFrame({
+        "query_id": pd.Series(dtype="int64"),
+        "vec_id": pd.Series(dtype="int64"),
+        "cos_sim": pd.Series(dtype="float64"),
+    })
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("bucket", sort=False):
+            isq = grp["is_query"].to_numpy() == 1
+            data, qs = grp[~isq], grp[isq]
+            if not len(data) or not len(qs):
+                continue
+            ids = data["vid"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            dmat = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in data["emb"].iloc[order]])
+            qids = qs["vid"].to_numpy(dtype=np.int64)
+            qmat = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in qs["emb"]])
+            sims = qmat @ dmat.T
+            sims[ids[None, :] == qids[:, None]] = -np.inf   # no self
+            part = _topk_rows(sims, ids, qids, top_k)
+            out.append(part)
+        if not out:
+            return _PART.copy()
+        return pd.concat(out, ignore_index=True)
+
+    partial = exchange.partitioned_apply(
+        routed, ["bucket"], score_bucket,
+        num_partitions=min(num_partitions, nlist))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "cos_sim_micro": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            })
+        # a vector reaches a bucket's candidate side once (its home),
+        # so (query, candidate) pairs are already unique across buckets
+        return _finalize_topk(g, top_k)
+
+    return exchange.partitioned_apply(
+        partial, ["query_id"], finalize, num_partitions)
