@@ -442,9 +442,10 @@ def cmd_table(args) -> int:
     from ontology_matcher_ray.sources.io import read_parquet_clean
 
     if args.action == "create":
+        blooms = [c for c in (args.bloom_cols or "").split(",") if c]
         stats = vt.create_versioned(
             read_parquet_clean(args.input_dir), args.base, args.key,
-            num_ranges=args.num_ranges)
+            num_ranges=args.num_ranges, bloom_cols=blooms or None)
         print(f"table create: v1 with {int(stats['rows'].sum())} rows in "
               f"{len(stats)} ranges -> {args.base}")
     elif args.action == "merge":
@@ -459,6 +460,17 @@ def cmd_table(args) -> int:
             m = vt.load_manifest(args.base, v)
             print(f"v{v}: op={m['op']} parent={m['parent']} "
                   f"ranges={len(m['ranges'])}")
+    elif args.action == "recut":
+        stats = vt.recut_versioned(args.base, num_ranges=args.num_ranges)
+        head = vt.list_versions(args.base)[-1]
+        print(f"table recut: v{head} rebalanced into {len(stats)} ranges "
+              f"(max {int(stats['rows'].max())} rows)")
+    elif args.action == "probe":
+        if not args.col or args.value is None:
+            raise SystemExit("probe needs --col and --value")
+        n = vt.read_versioned_eq(args.base, args.col, args.value,
+                                 version=args.version).count()
+        print(f"table probe: {n} rows with {args.col} == {args.value!r}")
     else:  # vacuum
         out = vt.vacuum_versions(args.base, keep_last=args.keep_last)
         print(f"table vacuum: dropped {out['versions_dropped']} versions, "
@@ -631,7 +643,8 @@ def main(argv=None) -> int:
     ptb = sub.add_parser(
         "table", help="Versioned (MVCC) table: snapshot-isolated "
                       "create/merge, version log, vacuum.")
-    ptb.add_argument("action", choices=["create", "merge", "log", "vacuum"])
+    ptb.add_argument("action", choices=["create", "merge", "log",
+                                        "vacuum", "recut", "probe"])
     ptb.add_argument("--base", required=True,
                      help="versioned table directory")
     ptb.add_argument("--input-dir", help="create: source parquet dir")
@@ -642,12 +655,19 @@ def main(argv=None) -> int:
                           "(table columns + _op upsert|delete)")
     ptb.add_argument("--keep-last", type=int, default=2,
                      help="vacuum: versions to retain")
+    ptb.add_argument("--bloom-cols", default="",
+                     help="create: comma list of Bloom sidecar columns")
+    ptb.add_argument("--col", help="probe: column to point-probe")
+    ptb.add_argument("--value", help="probe: value (col == value)")
+    ptb.add_argument("--version", type=int, default=None,
+                     help="probe: pin a snapshot (default head)")
     ptb.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)
     if getattr(args, "fn", None) is cmd_table:
         need = {"create": ["input_dir", "key"], "merge": ["changes"],
-                "log": [], "vacuum": []}[args.action]
+                "log": [], "vacuum": [], "recut": [],
+                "probe": ["col", "value"]}[args.action]
         missing = [n for n in need if getattr(args, n) in (None, "")]
         if missing:
             p.error(f"table {args.action} requires "

@@ -474,6 +474,33 @@ def load_cuts(out_dir: str) -> dict:
         return json.load(f)
 
 
+def _sample_cuts(ds: "rd.Dataset", key: str, num_ranges: int,
+                 sample_per_block: int) -> list:
+    """Equi-depth cut points from a bounded stride sample (<=
+    sample_per_block keys leave each block — the driver read is
+    O(blocks), never O(rows)).  No persistence: callers needing
+    resume-stable cuts go through ``_load_or_sample_cuts``; the
+    versioned-table RECUT deliberately wants fresh cuts from the live
+    distribution."""
+    import numpy as np
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        take = min(sample_per_block, n)
+        idx = np.unique(np.linspace(0, n - 1, take).astype(np.int64))
+        return pd.DataFrame({"k": b[key].iloc[idx]})
+
+    ks = ds.map_batches(sample, batch_format="pandas").to_pandas()["k"]
+    ks = ks.sort_values(kind="mergesort", ignore_index=True)
+    if len(ks) == 0 or num_ranges <= 1:
+        cuts = []
+    else:
+        # equi-depth: cut after each 1/num_ranges quantile of the sample
+        pos = (np.arange(1, num_ranges) * len(ks)) // num_ranges
+        cuts = sorted(set(ks.iloc[pos].tolist()))
+    return [c.item() if hasattr(c, "item") else c for c in cuts]
+
+
 def _load_or_sample_cuts(
     ds: rd.Dataset, out_dir: str, key: str, num_ranges: int,
     sample_per_block: int, forced_cuts: Optional[list] = None,
@@ -513,23 +540,7 @@ def _load_or_sample_cuts(
         os.rename(tmp, cuts_path)
         return cuts
 
-    import numpy as np
-
-    def sample(b: pd.DataFrame) -> pd.DataFrame:
-        n = len(b)
-        take = min(sample_per_block, n)
-        idx = np.unique(np.linspace(0, n - 1, take).astype(np.int64))
-        return pd.DataFrame({"k": b[key].iloc[idx]})
-
-    ks = ds.map_batches(sample, batch_format="pandas").to_pandas()["k"]
-    ks = ks.sort_values(kind="mergesort", ignore_index=True)
-    if len(ks) == 0 or num_ranges <= 1:
-        cuts = []
-    else:
-        # equi-depth: cut after each 1/num_ranges quantile of the sample
-        pos = (np.arange(1, num_ranges) * len(ks)) // num_ranges
-        cuts = sorted(set(ks.iloc[pos].tolist()))
-    cuts = [c.item() if hasattr(c, "item") else c for c in cuts]
+    cuts = _sample_cuts(ds, key, num_ranges, sample_per_block)
     os.makedirs(out_dir, exist_ok=True)
     tmp = cuts_path + ".tmp"
     with open(tmp, "w") as f:

@@ -42,6 +42,7 @@ import ray.data as rd
 from ontology_matcher_ray.sources.io import (
     FormatError,
     _load_or_sample_cuts,
+    _sample_cuts,
     read_parquet_clean,
 )
 
@@ -391,6 +392,85 @@ def merge_versioned(
         "key": key, "cuts": cuts,
         "stat_cols": stat_cols, "bloom_cols": bloom_cols,
         "ranges": ranges,
+    })
+    return stats.sort_values("range_id", ignore_index=True)
+
+
+def recut_versioned(
+    base: str,
+    num_ranges: int = 16,
+    sample_per_block: int = 64,
+) -> pd.DataFrame:
+    """Rebalancing compaction: commit head+1 whose parts are freshly
+    range-partitioned on NEW cut points sampled from the CURRENT head.
+
+    Why: ``create_versioned`` freezes the cuts at v1; a long run of
+    skewed inserts (e.g. a KG growing into one id prefix) then funnels
+    every merge into a few ranges — those parts grow without bound and
+    each touching merge rewrites the whole hot part.  A periodic recut
+    is the lakehouse ``OPTIMIZE``/compaction step for this table shape:
+    data identical (same rows, re-binned), history intact (old versions
+    keep their manifests/parts until ``vacuum_versions``), readers
+    never blocked (same create-exclusive commit as a merge).
+
+    Returns the new per-range stats frame (range_id, rows).
+    """
+    from ontology_matcher_ray.stages.exchange import (
+        PARTITION_COL,
+        partitioned_apply_prepartitioned,
+    )
+
+    import uuid
+
+    head = load_manifest(base)
+    key = head["key"]
+    stat_cols = head.get("stat_cols", [key])
+    bloom_cols = head.get("bloom_cols", [])
+    target = head["version"] + 1
+    token = uuid.uuid4().hex[:8]
+    ds = read_versioned(base)
+    # fresh cuts from the live distribution (NOT the persisted v1 cuts:
+    # bypass the _load_or_sample_cuts cache by sampling directly)
+    cuts = _sample_cuts(ds, key, num_ranges, sample_per_block)
+    cuts_arr = np.asarray(cuts) if cuts else np.asarray([], dtype=object)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[PARTITION_COL] = (
+            np.searchsorted(cuts_arr, b[key].to_numpy(), side="right")
+            .astype("int64") if len(cuts_arr)
+            else np.zeros(len(b), dtype=np.int64))
+        return b
+
+    _EMPTY = pd.DataFrame({"range_id": pd.Series(dtype="int64"),
+                           "rows": pd.Series(dtype="int64")})
+
+    def write_range(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY.copy()
+        rid = (int(np.searchsorted(cuts_arr, g[key].iloc[0], side="right"))
+               if len(cuts_arr) else 0)
+        g = g.sort_values(key, kind="mergesort", ignore_index=True)
+        path = os.path.join(base, _PARTS, _part_name(rid, target, token))
+        tmp = path + f".tmp{os.getpid()}"
+        g.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+        _write_part_sidecar(path, g, stat_cols, bloom_cols)
+        return pd.DataFrame({"range_id": [rid], "rows": [len(g)]})
+
+    keyed = ds.map_batches(assign, batch_format="pandas")
+    stats = partitioned_apply_prepartitioned(
+        keyed, write_range, [key]).to_pandas()
+    if len(stats):
+        stats = stats.astype({"range_id": "int64", "rows": "int64"})
+    else:
+        stats = _EMPTY.copy()
+    _commit(base, {
+        "version": target, "parent": head["version"], "op": "recut",
+        "key": key, "cuts": list(cuts),
+        "stat_cols": stat_cols, "bloom_cols": bloom_cols,
+        "ranges": {str(int(r)): _part_name(int(r), target, token)
+                   for r in stats["range_id"]},
     })
     return stats.sort_values("range_id", ignore_index=True)
 

@@ -322,3 +322,46 @@ def test_point_probe_skips_most_parts(tmp_path):
         if _bloom_maybe_contains(meta["blooms"]["subj"], "e2"):
             kept += 1
     assert kept < len(sides) / 2          # most parts skipped
+
+
+def test_recut_rebalances_and_preserves_history(table):
+    """Skewed inserts funnel into one range; recut_versioned commits a
+    rebalanced version with identical data, working sidecar config and
+    intact time travel."""
+    from ontology_matcher_ray.sources.versioned import recut_versioned
+
+    base, df = table
+    # all new keys land past the v1 max -> ONE range absorbs everything
+    ins = pd.DataFrame({
+        "k": np.arange(10_000, 14_000, dtype="int64"),
+        "v": np.arange(4000, dtype="int64"),
+        "_op": ["upsert"] * 4000,
+    })
+    _merge(base, ins)
+    head_before = read_versioned(base).to_pandas()
+    m2 = load_manifest(base)
+    sizes_before = [
+        len(pd.read_parquet(os.path.join(base, "parts", f)))
+        for f in m2["ranges"].values()]
+    assert max(sizes_before) >= 4000          # the hot range
+
+    stats = recut_versioned(base, num_ranges=8)
+    m3 = load_manifest(base)
+    assert m3["op"] == "recut" and m3["version"] == m2["version"] + 1
+    assert m3["cuts"] != m2["cuts"]           # fresh cuts, not the frozen v1
+    # identical data, rebalanced bins
+    pd.testing.assert_frame_equal(
+        read_versioned(base).to_pandas().sort_values(
+            "k", ignore_index=True),
+        head_before.sort_values("k", ignore_index=True))
+    assert int(stats["rows"].sum()) == len(head_before)
+    assert stats["rows"].max() < max(sizes_before)
+    # history intact: v1 and v2 still reproduce their snapshots
+    assert len(read_versioned(base, version=1).to_pandas()) == len(df)
+    assert len(read_versioned(base, version=2).to_pandas()) == len(
+        head_before)
+    # a merge AFTER the recut routes through the new cuts
+    _merge(base, pd.DataFrame({"k": [13_999], "v": [-1],
+                               "_op": ["upsert"]}))
+    got = read_versioned(base).to_pandas()
+    assert int(got.loc[got["k"] == 13_999, "v"].iloc[0]) == -1
