@@ -250,6 +250,9 @@ ANALYZE_OPS = {
             "embedding PCA spectrum from the distributed moment table"),
     "sample-k": ("docs_train", "sample_fixed_k",
                  "exactly-k-per-language deterministic sample"),
+    "knn-join": ("docs_text", "knn_join",
+                 "bulk IVF kNN join: top-k neighbors for EVERY vector "
+                 "via one centroid-keyed exchange"),
     "xref-clusters": ("graph", "xref_entity_clusters",
                       "transitive ontology-merge components over xrefs"),
     "kcore": ("graph", "kg_kcore",
