@@ -105,6 +105,36 @@ def corpus_boilerplate(
     return exchange.partitioned_apply(pre, ["line"], combine, num_partitions)
 
 
+def boilerplate_hash_counts(
+    corpus_dir: str, min_files: int = 8, num_partitions: int = 64
+) -> rd.Dataset:
+    """(h, n_files) for distinct non-empty line HASHES in >= min_files
+    files — the count pipeline ``corpus_line_dedup`` uses when the line
+    TEXT is not wanted: the exchange moves 16 B/row of ints instead of
+    line strings, and the combine groupby is int-keyed.  Counting by
+    hash merges colliding lines' file counts — within the same 2^-64
+    per-pair bound the scrub membership already documents (callers
+    needing exact per-line counts use ``corpus_boilerplate``)."""
+
+    def partial(tbl: pa.Table) -> pd.DataFrame:
+        parents, flat, _ = _split_lines(tbl)
+        h = _line_hash(flat).view(np.int64)
+        mask = flat.to_numpy() != ""
+        df = pd.DataFrame({"fi": parents[mask],
+                           "h": h[mask]}).drop_duplicates()
+        g = df.groupby("h", sort=False).size()
+        return pd.DataFrame({"h": g.index.to_numpy(),
+                             "n_files": g.to_numpy(dtype="int64")})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", sort=False, as_index=False)["n_files"].sum()
+        return out[out["n_files"] >= min_files]
+
+    pre = _read_corpus(corpus_dir, ["content"]).map_batches(
+        partial, batch_format="pyarrow")
+    return exchange.partitioned_apply(pre, ["h"], combine, num_partitions)
+
+
 def boilerplate_hashes(bp: rd.Dataset) -> np.ndarray:
     """Sorted uint64 hash array of a boilerplate line set — the bounded
     driver read (8 bytes per line; the line text itself never moves)."""
@@ -147,13 +177,23 @@ def corpus_line_dedup(
       price of membership state too big to replicate.
     """
     if boilerplate is None:
-        boilerplate = corpus_boilerplate(corpus_dir, min_files,
-                                         num_partitions)
+        # scrub-only callers never need the line TEXT: count by hash
+        # (16 B/row int exchange instead of line strings — measured
+        # ~2x on the count pipeline at bench scale)
+        boilerplate = boilerplate_hash_counts(corpus_dir, min_files,
+                                              num_partitions)
     boilerplate = boilerplate.materialize()   # reused: count + hashes
+    hash_col = ("h" if "h" in boilerplate.schema().names else "line")
     if boilerplate.count() > driver_gate:
         return _line_dedup_exchange(corpus_dir, boilerplate,
-                                    num_partitions)
-    hashes_ref = ray.put(boilerplate_hashes(boilerplate))
+                                    num_partitions, hash_col)
+    if hash_col == "h":
+        parts = boilerplate.select_columns(["h"]).to_pandas()
+        hashes = np.sort(np.unique(
+            parts["h"].to_numpy().view("uint64")))
+    else:
+        hashes = boilerplate_hashes(boilerplate)
+    hashes_ref = ray.put(hashes)
 
     def scrub(tbl: pa.Table) -> pd.DataFrame:
         hashes = ray.get(hashes_ref)  # zero-copy shared per node
@@ -200,6 +240,7 @@ def _file_key(tbl: pa.Table) -> np.ndarray:
 
 def _line_dedup_exchange(
     corpus_dir: str, boilerplate: rd.Dataset, num_partitions: int,
+    hash_col: str = "line",
 ) -> rd.Dataset:
     """Level-2 scrub: membership by exchange instead of broadcast.
 
@@ -224,9 +265,15 @@ def _line_dedup_exchange(
     corpus_cols = ["repo", "path", "lang", "content"]
     lines = _read_corpus(corpus_dir, corpus_cols).map_batches(
         line_rows, batch_format="pyarrow")
-    bp_h = boilerplate.map_batches(
-        lambda b: pd.DataFrame({"h": _line_hash(b["line"]).view("int64")}),
-        batch_format="pandas")
+    if hash_col == "h":
+        bp_h = boilerplate.map_batches(
+            lambda b: pd.DataFrame({"h": b["h"].to_numpy(dtype="int64")}),
+            batch_format="pandas")
+    else:
+        bp_h = boilerplate.map_batches(
+            lambda b: pd.DataFrame(
+                {"h": _line_hash(b["line"]).view("int64")}),
+            batch_format="pandas")
     matched = exchange.hash_join(
         lines, bp_h, on="h", right_on="h",
         left_schema={"fkey": "int64", "li": "int64", "h": "int64"},
