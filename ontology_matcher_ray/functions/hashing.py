@@ -59,78 +59,37 @@ def stable_hash64(values: pd.Series) -> np.ndarray:
     )
 
 
-_CH64_SEED = np.uint64(0x9E3779B97F4A7C15)
-_CH64_LEN_SEED = np.uint64(0xD6E8FEB86659FD93)
-
-
 def content_hash64(values) -> np.ndarray:
     """NUL-safe, process-stable uint64 content hash of strings.
 
-    pandas' ``hash_pandas_object`` categorize path compares C strings,
-    silently merging values at an embedded NUL ('' vs '\\x00' hash
-    inconsistently between build and probe — caught by hypothesis in the
-    layout Bloom, commit 529816c).  Two-tier, both tiers vectorized and
-    each value's hash a pure function of the value (so build and probe
-    sides always agree): NUL-free strings take the pandas siphash fast
-    path (exact there — C-string compare is exact without NULs);
-    NUL-containing strings are re-hashed by ``_bytes_hash64`` over the
-    raw UTF-8 Arrow buffer, where every byte (including NUL) and its
-    position contribute.  Nulls hash as ''.  Used for CONTENT membership
-    (line dedup, Bloom keys); partition routing may keep the plain
-    pandas hash."""
+    pandas' DEFAULT ``hash_pandas_object`` path (categorize=True)
+    factorizes with a C-string compare, silently MERGING values at an
+    embedded NUL — and worse, the merged category keeps the FIRST
+    occurrence's full-byte hash, so the same value hashes differently
+    depending on batch makeup ('b' alone vs 'b' next to 'b\\x00';
+    caught twice by hypothesis: layout Bloom commit 529816c, then the
+    round-5 batch-consistency property).  The fix is
+    ``categorize=False``: the underlying siphash hashes every string's
+    FULL byte length directly, making the hash NUL-safe AND a pure
+    function of the value.  Nulls hash as ''.  Used for CONTENT
+    membership (line dedup, Bloom keys); partition routing may keep
+    the default-path hash (placement only — a merge there just
+    co-locates)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        arr = values
+        if len(values) == 0:
+            return np.empty(0, dtype=np.uint64)
+        if pa.types.is_null(values.type):
+            values = pa.nulls(len(values), type=pa.large_string())
+        s = pc.fill_null(values, "").cast(pa.large_string()).to_pandas()
     else:
-        arr = pa.array(pd.Series(values), from_pandas=True)
-    if len(arr) == 0:
-        return np.empty(0, dtype=np.uint64)
-    if pa.types.is_null(arr.type):  # all-null (e.g. empty-ish object col)
-        arr = pa.nulls(len(arr), type=pa.large_string())
-    arr = pc.fill_null(arr, "").cast(pa.large_string())
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    h = pd.util.hash_pandas_object(
-        arr.to_pandas(), index=False).to_numpy().astype(np.uint64)
-    nul = pc.match_substring(arr, "\x00").to_numpy(zero_copy_only=False)
-    if nul.any():
-        h[nul] = _bytes_hash64(arr.filter(pa.array(nul)))
-    return h
-
-
-def _bytes_hash64(arr) -> np.ndarray:
-    """Exact byte-level uint64 hash of a large_string Arrow array (no
-    nulls): per byte ``splitmix64((byte | pos << 8) ^ seed)``,
-    segment-summed per string mod 2^64, finalized with the mixed
-    length.  Fully vectorized over the Arrow data buffer."""
-    import pyarrow as pa
-
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset: arr.offset + n + 1]
-    data = (np.frombuffer(bufs[2], dtype=np.uint8)
-            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
-    lo = int(off[0])
-    lengths = np.diff(off)
-    seg = data[lo:int(off[-1])].astype(np.uint64)
-    # position of each byte WITHIN its string (not in the buffer)
-    local = (np.arange(lo, int(off[-1]), dtype=np.int64)
-             - np.repeat(off[:-1], lengths)).astype(np.uint64)
-    v = splitmix64((seg | (local << np.uint64(8))) ^ _CH64_SEED)
-    # cumsum (wrapping mod 2^64) instead of reduceat: reduceat returns
-    # v[i] — not 0 — for empty segments (empty strings)
-    c = np.zeros(len(v) + 1, dtype=np.uint64)
-    np.cumsum(v, out=c[1:])
-    idx = (off - lo).astype(np.int64)
-    seg_sum = c[idx[1:]] - c[idx[:-1]]
-    return splitmix64(
-        seg_sum ^ splitmix64(lengths.astype(np.uint64) ^ _CH64_LEN_SEED))
+        s = pd.Series(values, dtype=object).fillna("")
+        if len(s) == 0:
+            return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_pandas_object(
+        s, index=False, categorize=False).to_numpy().astype(np.uint64)
 
 
 def _minhash_params(num_perm: int, seed: int = 7):

@@ -184,3 +184,30 @@ def test_line_dedup_level2_nul_safe(tmp_path):
     assert list(clean["clean_content"]) == [
         "uniq0", "uniq1", "uniq2", "abc\x00tail\nlast"]
     assert list(clean["n_removed"]) == [1, 1, 1, 0]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.sampled_from(["a", "b", "\x00", "é", "\n"[:0] or "c"]),
+        max_size=8), min_size=1, max_size=20))
+    def test_line_hash_hypothesis_nul_consistency(values):
+        """Property: equal strings hash equal across any batch makeup;
+        distinct strings (incl. NUL-adversarial pairs) hash distinct —
+        the hypothesis form of the 529816c regression."""
+        h = corpus_curate._line_hash(pd.Series(values, dtype=object))
+        seen = {}
+        for v, x in zip(values, h):
+            if v in seen:
+                assert seen[v] == x, repr(v)
+            seen[v] = x
+        assert len(set(seen.values())) == len(seen)
+        # singleton probes agree with the batch hash
+        for v in set(values):
+            assert corpus_curate._line_hash(
+                pd.Series([v], dtype=object))[0] == seen[v], repr(v)
+except ImportError:      # hypothesis is baked in, but stay import-safe
+    pass
