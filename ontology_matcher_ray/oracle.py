@@ -2966,6 +2966,9 @@ UNION ALL
 SELECT 'v1', CAST(1 AS BIGINT), '_tmp|' || mkey, id, label,
        '', '', '', '', '', '', '', ''
 FROM kb WHERE bucket = 2
+UNION ALL
+SELECT 'probe', CAST(2 AS BIGINT), mkey, {cm_cols}
+FROM kb WHERE id = (SELECT min(id) FROM kb)
 """
 
     # --- lang_id + lossless JSONL round trip ----------------------------

@@ -284,7 +284,7 @@ def canonical_merge_versioned(sf_dir: str) -> rd.Dataset:
 
     sver.create_versioned(
         cm.map_batches(v1_rows, batch_format="pandas"),
-        base, key="mkey", num_ranges=8)
+        base, key="mkey", num_ranges=8, bloom_cols=["id"])
 
     def changes(b: pd.DataFrame) -> pd.DataFrame:
         ups = b[b["bucket"].isin([0, 1])].copy()
@@ -311,8 +311,18 @@ def canonical_merge_versioned(sf_dir: str) -> rd.Dataset:
 
     head = tag(sver.read_versioned(base), "head", 2).materialize()
     v1r = tag(sver.read_versioned(base, version=1), "v1", 1).materialize()
+    # Bloom-pruned point probe leg: head rows of the lexicographic-min
+    # id, read through read_versioned_eq (id Bloom sidecars written at
+    # create, carried through the merge) — SQL-expressible as
+    # id = (SELECT min(id) ...), so the probe path itself is value-hash
+    # verified, not only tested
+    min_id = head.map_batches(
+        lambda b: pd.DataFrame({"id": [b["id"].min()]}),
+        batch_format="pandas").to_pandas()["id"].min()  # O(blocks) read
+    probe = tag(sver.read_versioned_eq(base, "id", min_id),
+                "probe", 2).materialize()
     shutil.rmtree(base, ignore_errors=True)
-    return head.union(v1r)
+    return head.union(v1r).union(probe)
 
 
 _Q_COLS = ["o_orderpriority", "q25", "q50", "q75", "q95"]
