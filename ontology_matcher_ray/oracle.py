@@ -3011,13 +3011,30 @@ UNION ALL
 SELECT 'approx', o_orderpriority, q25_lb, q50_lb, q75_lb, q95_lb FROM ({ap})
 """
 
-    # --- tumbling + sliding windows --------------------------------------
+    # --- tumbling + sliding windows + cohort retention -------------------
+    from ontology_matcher_ray.pipelines.composite import (
+        RETENTION_BUCKET_US,
+    )
+
     win_cols = "event_type, window_start, n_events, value_cents"
     t, s = take("events_hourly"), take("events_sliding")
     sql["events_windows"] = f"""
 SELECT 'tumbling' AS kind, {win_cols} FROM ({t})
 UNION ALL
 SELECT 'sliding', {win_cols} FROM ({s})
+UNION ALL
+SELECT 'retention', 'age=' || CAST(age AS VARCHAR),
+       make_timestamp(cohort * {RETENTION_BUCKET_US}),
+       n_users, CAST(0 AS BIGINT)
+FROM (
+  WITH e AS (SELECT user_id,
+                    epoch_us(ts) // {RETENTION_BUCKET_US} AS b
+             FROM events),
+  c AS (SELECT user_id, min(b) AS cohort FROM e GROUP BY 1)
+  SELECT c.cohort AS cohort, e.b - c.cohort AS age,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+  FROM e JOIN c USING (user_id) GROUP BY 1, 2
+)
 """
 
     # --- per-event point ops: as-of join + global ordered scan ----------

@@ -351,12 +351,35 @@ def order_price_quantiles_both(sf_dir: str) -> rd.Dataset:
 _WIN_COLS = ["event_type", "window_start", "n_events", "value_cents"]
 
 
+RETENTION_BUCKET_US = 7 * 86_400 * 1_000_000
+
+
 def events_windows(sf_dir: str) -> rd.Dataset:
-    """Tumbling (kind='tumbling') and sliding (kind='sliding') window
-    aggregates in one row set — identical schemas."""
+    """Tumbling (kind='tumbling'), sliding (kind='sliding') and cohort
+    retention (kind='retention') aggregates in one row set.  The
+    retention leg maps (cohort, age, n_users) into the window schema:
+    window_start = the cohort period's start timestamp, event_type =
+    'age=<n>', n_events = n_users, value_cents = 0 sentinel — the SQL
+    arm mirrors the mapping exactly, so the round-4 tests-only
+    retention operator gains a driver value-hash row."""
     t = _tagged(events.hourly_windows(sf_dir), "kind", "tumbling", _WIN_COLS)
     s = _tagged(events.sliding_windows(sf_dir), "kind", "sliding", _WIN_COLS)
-    return t.union(s)
+
+    def ret_stage(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": "age=" + b["age"].astype(str),
+            "window_start": pd.to_datetime(
+                b["cohort"].to_numpy(dtype="int64") * RETENTION_BUCKET_US,
+                unit="us").astype("datetime64[us]"),
+            "n_events": b["n_users"].astype("int64"),
+            "value_cents": np.zeros(len(b), dtype="int64"),
+        })
+
+    r = _tagged(
+        events.user_retention(sf_dir).map_batches(
+            ret_stage, batch_format="pandas"),
+        "kind", "retention", _WIN_COLS)
+    return t.union(s).union(r)
 
 
 _POINT_COLS = ["event_id", "user_id", "a", "b", "c"]
