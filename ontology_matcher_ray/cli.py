@@ -190,6 +190,18 @@ def cmd_corpus_kg(args) -> int:
     extra = f" ({nq} corrupt inputs quarantined)" if nq else ""
     print(f"kg build: {len(records)} shards, {triples} triples"
           f"{extra} -> {args.output_dir}")
+    if args.publish_base:
+        from ontology_matcher_ray.pipelines.docs_kg import publish_triples
+
+        stats = publish_triples(args.publish_base,
+                                corpus_kg.read_triples(args.output_dir))
+        from ontology_matcher_ray.sources import versioned as vt
+
+        head = vt.list_versions(args.publish_base)[-1]
+        per_op = {r.op: int(r.rows) for r in stats.itertuples()}
+        print(f"kg publish: v{head} of {args.publish_base} "
+              f"(+{per_op.get('add', 0)} / -{per_op.get('del', 0)} "
+              f"triples; subj Bloom + tk zone maps on every part)")
     return 0
 
 
@@ -573,6 +585,10 @@ def main(argv=None) -> int:
                     help="pre-validate input files; exclude corrupt parts "
                          "into _manifest/quarantine.jsonl instead of "
                          "failing the shard")
+    pc.add_argument("--publish-base", default=None,
+                    help="also publish the built triples into this MVCC "
+                         "versioned table (one atomic snapshot per "
+                         "rebuild; incremental diff after the first)")
     pc.set_defaults(fn=cmd_corpus_kg)
 
     pd_ = sub.add_parser(
