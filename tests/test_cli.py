@@ -246,3 +246,37 @@ def test_table_command(tmp_path, capsys):
     assert main(["table", "vacuum", "--base", base,
                  "--keep-last", "1"]) == 0
     assert "dropped 1 versions" in capsys.readouterr().out
+
+
+def test_corpus_kg_publish_base(tmp_path, capsys):
+    """--publish-base ships the built triples into the MVCC table (v1),
+    'table probe' point-reads a subject through the Bloom sidecars, and
+    a rebuild republish of the SAME corpus is a no-op merge (v2 +0/-0)."""
+    corp = str(tmp_path / "corp")
+    base = str(tmp_path / "kgtable")
+    args = ["corpus-kg", "--corpus-dir", corp,
+            "--output-dir", str(tmp_path / "kg"),
+            "--generate", "--n-files", "300", "--dict-size", "500",
+            "--shards", "2", "--publish-base", base]
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "kg publish: v1" in out
+
+    from ontology_matcher_ray.sources import versioned as vt
+
+    head = vt.read_versioned(base, columns=["subj"]).take(1)[0]["subj"]
+    assert main(["table", "probe", "--base", base,
+                 "--col", "subj", "--value", head]) == 0
+    probe_out = capsys.readouterr().out
+    n = int(probe_out.split("table probe: ")[1].split(" rows")[0])
+    assert n >= 1
+
+    # same corpus, fresh build dir -> empty diff: NOTHING commits
+    # (head stays v1), reported as +0/-0
+    assert main(["corpus-kg", "--corpus-dir", corp,
+                 "--output-dir", str(tmp_path / "kg_b"),
+                 "--generate", "--n-files", "300", "--dict-size", "500",
+                 "--shards", "2", "--publish-base", base]) == 0
+    out2 = capsys.readouterr().out
+    assert "kg publish: v1" in out2 and "(+0 / -0" in out2
+    assert vt.list_versions(base) == [1]
