@@ -403,6 +403,11 @@ def ivf_knn_join(
     the SemDeDup/retrieval building block at corpus scale, with NO
     driver pass over the embeddings and no broadcast of the table.
 
+    The exchange carries each vector's ORIGINAL float32 bytes (the
+    embeddings table's storage precision — half the float64 volume);
+    normalization happens after the cast at the bucket, bit-identical
+    to normalizing before the exchange.
+
     Shape: one map assigns each vector its home bucket (nearest
     centroid) and its ``nprobe`` probe buckets, emitting the vector
     once as a CANDIDATE (home bucket) and ``nprobe`` times as a QUERY;
@@ -431,13 +436,18 @@ def ivf_knn_join(
     def route(b: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cents_ref)
         ids = b[id_col].to_numpy(dtype=np.int64)
-        mat = _normalize(np.stack(
-            [np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
+        raw32 = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in b[vec_col]])
+        mat = _normalize(raw32.astype(np.float64))
         sims_c = mat @ c.T                              # (n, nlist)
         assign = np.argmax(sims_c, axis=1).astype(np.int64)
         probe = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]
         n = len(ids)
-        emb = [v.tolist() for v in mat]                 # normalized once
+        # ship the ORIGINAL float32 bytes (half the float64 shuffle
+        # volume); the bucket casts f32 -> f64 then normalizes, the
+        # exact operation this side just did, so the scored values are
+        # bit-identical to normalizing before the exchange
+        emb = [v.tobytes() for v in raw32]
         return pd.DataFrame({
             "bucket": np.concatenate([assign, probe.reshape(-1)]),
             "is_query": np.concatenate([
@@ -466,11 +476,15 @@ def ivf_knn_join(
             ids = data["vid"].to_numpy(dtype=np.int64)
             order = np.argsort(ids, kind="stable")
             ids = ids[order]
-            dmat = np.stack([np.asarray(v, dtype=np.float64)
-                             for v in data["emb"].iloc[order]])
+
+            def decode(col) -> np.ndarray:
+                return _normalize(np.stack(
+                    [np.frombuffer(v, dtype=np.float32) for v in col]
+                ).astype(np.float64))
+
+            dmat = decode(data["emb"].iloc[order])
             qids = qs["vid"].to_numpy(dtype=np.int64)
-            qmat = np.stack([np.asarray(v, dtype=np.float64)
-                             for v in qs["emb"]])
+            qmat = decode(qs["emb"])
             sims = qmat @ dmat.T
             sims[ids[None, :] == qids[:, None]] = -np.inf   # no self
             part = _topk_rows(sims, ids, qids, top_k)
