@@ -820,7 +820,22 @@ def read_evolved(dirs: Sequence[str] | str,
         f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
     if not files:
         raise FormatError(f"no parquet parts under {list(dirs)}")
-    schemas = [pq.read_schema(f).remove_metadata() for f in files]
+    return read_evolved_files(files, columns)
+
+
+def read_evolved_files(files: Sequence[str],
+                       columns: Optional[List[str]] = None,
+                       schema_files: Optional[Sequence[str]] = None,
+                       ) -> rd.Dataset:
+    """``read_evolved`` over an explicit part list (the versioned-table
+    snapshot readers pass a manifest's parts, not a directory).
+    ``schema_files``, when given, is the WIDER file set the unified
+    schema derives from — a pruned point probe must present the
+    snapshot's full schema even when every kept part predates an added
+    column."""
+    schemas = [pq.read_schema(f).remove_metadata()
+               for f in (schema_files if schema_files is not None
+                         else files)]
     try:
         unified = pa.unify_schemas(schemas, promote_options="permissive")
     except (pa.lib.ArrowException, TypeError) as e:

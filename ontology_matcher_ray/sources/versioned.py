@@ -111,23 +111,54 @@ def _commit(base: str, manifest: dict) -> None:
         os.unlink(tmp)
 
 
-def _write_part_sidecar(path: str, g: pd.DataFrame,
+def _write_part_sidecar(path: str, g,
                         stat_cols: List[str],
                         bloom_cols: List[str]) -> None:
     """Lakehouse zone-map/Bloom sidecar for a committed part — the SAME
     ``_zmap-*.json`` format the layout scans read, so pruned point/range
-    reads work identically over a versioned snapshot's parts."""
+    reads work identically over a versioned snapshot's parts.  ``g`` is
+    a pandas frame or an Arrow table (the schema-evolution merge path
+    stays Arrow end-to-end)."""
     import pyarrow as pa
 
     from ontology_matcher_ray.sources.layout import _write_zmap
 
+    names = g.column_names if isinstance(g, pa.Table) else list(g.columns)
     cols = [c for c in dict.fromkeys(list(stat_cols) + list(bloom_cols))
-            if c in g.columns]
+            if c in names]
     if not cols:
         return
-    _write_zmap(path, pa.Table.from_pandas(g[cols], preserve_index=False),
-                [c for c in stat_cols if c in g.columns],
-                [c for c in bloom_cols if c in g.columns])
+    tbl = (g.select(cols) if isinstance(g, pa.Table)
+           else pa.Table.from_pandas(g[cols], preserve_index=False))
+    _write_zmap(path, tbl,
+                [c for c in stat_cols if c in names],
+                [c for c in bloom_cols if c in names])
+
+
+def _union_concat(frames: List[pd.DataFrame], key: str):
+    """Concat pandas frames with DIFFERING columns under the Arrow
+    unified schema (missing columns become TYPED nulls, widened types
+    promote permissively), sorted by ``key``.  Returns a pa.Table."""
+    import pyarrow as pa
+
+    tbls = [pa.Table.from_pandas(f, preserve_index=False)
+            for f in frames if len(f)]
+    if not tbls:
+        return pa.Table.from_pandas(frames[0].iloc[0:0],
+                                    preserve_index=False)
+    try:
+        unified = pa.unify_schemas([t.schema for t in tbls],
+                                   promote_options="permissive")
+    except (pa.lib.ArrowException, TypeError) as e:
+        raise FormatError(f"incompatible schema drift: {e}") from e
+    cast = []
+    for t in tbls:
+        arrays = [t.column(f.name).cast(f.type)
+                  if f.name in t.column_names
+                  else pa.nulls(t.num_rows, type=f.type)
+                  for f in unified]
+        cast.append(pa.Table.from_arrays(arrays, schema=unified))
+    return pa.concat_tables(cast).sort_by([(key, "ascending")])
 
 
 def create_versioned(
@@ -205,19 +236,34 @@ def create_versioned(
     return stats.sort_values("range_id", ignore_index=True)
 
 
+def _part_schemas_differ(files: List[str]) -> bool:
+    """O(files) footer-metadata check — no data read."""
+    import pyarrow.parquet as pq
+
+    first = pq.read_schema(files[0]).remove_metadata()
+    return any(pq.read_schema(f).remove_metadata() != first
+               for f in files[1:])
+
+
 def read_versioned(
     base: str,
     version: Optional[int] = None,
     columns: Optional[List[str]] = None,
 ) -> rd.Dataset:
     """Scan one pinned snapshot (default: head).  Reads exactly the
-    manifest's parts — a merge landing mid-scan is invisible."""
+    manifest's parts — a merge landing mid-scan is invisible.  Parts
+    whose schemas drifted (``merge_versioned(allow_new_columns=True)``)
+    read under the unified schema, old parts padded with typed nulls."""
     m = load_manifest(base, version)
     files = sorted(os.path.join(base, _PARTS, f)
                    for f in m["ranges"].values())
     if not files:
         raise FormatError(
             f"version {m['version']} of {base} is empty")
+    if _part_schemas_differ(files):
+        from ontology_matcher_ray.sources.layout import read_evolved_files
+
+        return read_evolved_files(files, columns)
     return read_parquet_clean(files, columns=columns)
 
 
@@ -267,7 +313,9 @@ def read_versioned_eq(
             continue
         kept.append(p)
     if not kept:
-        schema = pq.read_schema(files[0]).remove_metadata()
+        schema = pa.unify_schemas(
+            [pq.read_schema(f).remove_metadata() for f in files],
+            promote_options="permissive")
         want = list(columns) if columns is not None else schema.names
         return rd.from_arrow(schema.empty_table().select(want))
     read_cols = None
@@ -281,8 +329,17 @@ def read_versioned_eq(
             out = out.select(columns)
         return out
 
-    return read_parquet_clean(kept, columns=read_cols).map_batches(
-        exact, batch_format="pyarrow")
+    # drift check over the FULL snapshot, not only kept parts: a probe
+    # whose kept parts all predate an added column must still present
+    # the snapshot's unified schema (typed nulls)
+    if _part_schemas_differ(files):
+        from ontology_matcher_ray.sources.layout import read_evolved_files
+
+        ds = read_evolved_files(kept, columns=read_cols,
+                                schema_files=files)
+    else:
+        ds = read_parquet_clean(kept, columns=read_cols)
+    return ds.map_batches(exact, batch_format="pyarrow")
 
 
 def merge_versioned(
@@ -290,12 +347,22 @@ def merge_versioned(
     changes: rd.Dataset,
     op_col: str = "_op",
     expected_head: Optional[int] = None,
+    allow_new_columns: bool = False,
 ) -> pd.DataFrame:
     """Copy-on-write MERGE: apply an upsert/delete changeset against the
     head snapshot, writing NEW parts for touched ranges only, then
     commit head+1.  ``expected_head`` (when given) fails fast if the
     head moved since the caller read it; either way the create-exclusive
     commit guarantees a racing writer cannot silently clobber.
+
+    ``allow_new_columns=True`` is the lakehouse ADD COLUMN: changeset
+    columns absent from the current part are added, existing rows
+    reading the new column as TYPED nulls (the rewrite pads through
+    Arrow ``unify_schemas`` — an int64 column stays int64, never a
+    NaN-float upcast).  Untouched ranges are NOT rewritten; readers see
+    the unified schema via the evolved snapshot read.  Default False:
+    a drifted changeset is a loud ``FormatError``, not silent schema
+    creep.
 
     Returns per-range stats ``(range_id, rows_before, upserts, deletes,
     rows_after)`` — rows_after = 0 means the range emptied and left the
@@ -360,19 +427,39 @@ def merge_versioned(
         dels = set(g.loc[g[op_col] == "delete", key])
         before = len(cur)
         keep = cur[~cur[key].isin(dels) & ~cur[key].isin(set(ups[key]))]
-        new = (pd.concat([keep, ups], ignore_index=True)
-               .sort_values(key, kind="mergesort", ignore_index=True))
-        if len(new):
+        new_cols = [c for c in ups.columns if c not in cur.columns]
+        if new_cols and not allow_new_columns:
+            raise FormatError(
+                f"changeset adds columns {new_cols} not in the table — "
+                "pass allow_new_columns=True for schema evolution")
+        if new_cols or any(c not in ups.columns for c in cur.columns):
+            # schema drift: union through Arrow and KEEP the result an
+            # Arrow table end-to-end — to_pandas would upcast an
+            # int64-with-nulls new column to float64
+            new = _union_concat([keep, ups], key)
+            n_after = new.num_rows
+        else:
+            new = (pd.concat([keep, ups], ignore_index=True)
+                   .sort_values(key, kind="mergesort",
+                                ignore_index=True))
+            n_after = len(new)
+        if n_after:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
             path = os.path.join(
                 base, _PARTS, _part_name(rid, target, token))
             tmp = path + f".tmp{os.getpid()}"
-            new.to_parquet(tmp, index=False)
+            if isinstance(new, pa.Table):
+                pq.write_table(new, tmp)
+            else:
+                new.to_parquet(tmp, index=False)
             os.replace(tmp, path)   # immutable target name: retry-safe
             _write_part_sidecar(path, new, stat_cols, bloom_cols)
         return pd.DataFrame({
             "range_id": [rid], "rows_before": [before],
             "upserts": [len(ups)], "deletes": [int(len(g) - len(ups))],
-            "rows_after": [len(new)],
+            "rows_after": [n_after],
         })
 
     keyed = changes.map_batches(assign, batch_format="pandas")

@@ -365,3 +365,52 @@ def test_recut_rebalances_and_preserves_history(table):
                                "_op": ["upsert"]}))
     got = read_versioned(base).to_pandas()
     assert int(got.loc[got["k"] == 13_999, "v"].iloc[0]) == -1
+
+
+def test_schema_evolution_merge(table):
+    """ADD COLUMN via allow_new_columns: upserts carrying a new int64
+    column rewrite only their ranges; old rows read the column as TYPED
+    nulls (int64, not NaN-float); untouched parts keep their old
+    schema on disk; time travel is unaffected; strict mode refuses."""
+    import pyarrow.parquet as pq
+
+    from ontology_matcher_ray.sources.versioned import read_versioned_eq
+
+    base, df = table
+    ch = pd.DataFrame({"k": [10, 600], "v": [-1, -2],
+                       "w": np.array([70, 71], dtype="int64"),
+                       "_op": ["upsert", "upsert"]})
+    # strict default: loud refusal
+    with pytest.raises(FormatError, match="allow_new_columns"):
+        _merge(base, ch)
+    stats = _merge(base, ch, allow_new_columns=True)
+    assert int(stats["upserts"].sum()) == 2
+
+    # the UNIFIED Arrow schema keeps w an int64 (typed nulls on old
+    # rows — never a float upcast in storage; pandas materializes the
+    # nulls as NaN at ITS boundary, which is pandas semantics, not ours)
+    import pyarrow as pa
+    sch = read_versioned(base).schema()
+    assert dict(zip(sch.names, sch.types))["w"] == pa.int64()
+    head = read_versioned(base).to_pandas()
+    got = head.set_index("k")
+    assert int(got.loc[10, "w"]) == 70 and int(got.loc[600, "w"]) == 71
+    # old rows: typed null, NOT 0.0/NaN-float
+    assert pd.isna(got.loc[11, "w"])
+    assert len(head) == len(df) + 1          # 600 is an insert
+
+    # untouched parts were not rewritten: some still lack 'w' on disk
+    m = load_manifest(base)
+    schemas = [set(pq.read_schema(os.path.join(base, "parts", f)).names)
+               for f in m["ranges"].values()]
+    assert any("w" not in s for s in schemas)
+    assert any("w" in s for s in schemas)
+
+    # time travel to v1: no 'w'
+    assert "w" not in read_versioned(base, version=1).to_pandas().columns
+
+    # point probe on the key still prunes + matches across mixed parts
+    probe = read_versioned_eq(base, "k", 600).to_pandas()
+    assert len(probe) == 1 and int(probe["w"].iloc[0]) == 71
+    probe_old = read_versioned_eq(base, "k", 123).to_pandas()
+    assert len(probe_old) == 1 and pd.isna(probe_old["w"].iloc[0])
