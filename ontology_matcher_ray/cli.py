@@ -465,7 +465,8 @@ def cmd_table(args) -> int:
               f"{len(stats)} ranges -> {args.base}")
     elif args.action == "merge":
         stats = vt.merge_versioned(
-            args.base, read_parquet_clean(args.changes))
+            args.base, read_parquet_clean(args.changes),
+            allow_new_columns=args.allow_new_columns)
         head = vt.list_versions(args.base)[-1]
         print(f"table merge: v{head} ({int(stats['upserts'].sum())} "
               f"upserts, {int(stats['deletes'].sum())} deletes, "
@@ -483,9 +484,24 @@ def cmd_table(args) -> int:
     elif args.action == "probe":
         if not args.col or args.value is None:
             raise SystemExit("probe needs --col and --value")
-        n = vt.read_versioned_eq(args.base, args.col, args.value,
+        # coerce the CLI string to the column's stored type
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m = vt.load_manifest(args.base, args.version)
+        any_part = os.path.join(args.base, "parts",
+                                next(iter(m["ranges"].values())))
+        sch = pq.read_schema(any_part)
+        val = args.value
+        if args.col in sch.names:
+            t = sch.field(args.col).type
+            if pa.types.is_integer(t):
+                val = int(val)
+            elif pa.types.is_floating(t):
+                val = float(val)
+        n = vt.read_versioned_eq(args.base, args.col, val,
                                  version=args.version).count()
-        print(f"table probe: {n} rows with {args.col} == {args.value!r}")
+        print(f"table probe: {n} rows with {args.col} == {val!r}")
     else:  # vacuum
         out = vt.vacuum_versions(args.base, keep_last=args.keep_last)
         print(f"table vacuum: dropped {out['versions_dropped']} versions, "
@@ -676,6 +692,10 @@ def main(argv=None) -> int:
                      help="vacuum: versions to retain")
     ptb.add_argument("--bloom-cols", default="",
                      help="create: comma list of Bloom sidecar columns")
+    ptb.add_argument("--allow-new-columns", action="store_true",
+                     help="merge: accept changeset columns absent from "
+                          "the table (schema evolution; old rows read "
+                          "them as typed nulls)")
     ptb.add_argument("--col", help="probe: column to point-probe")
     ptb.add_argument("--value", help="probe: value (col == value)")
     ptb.add_argument("--version", type=int, default=None,
