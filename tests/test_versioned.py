@@ -414,3 +414,58 @@ def test_schema_evolution_merge(table):
     assert len(probe) == 1 and int(probe["w"].iloc[0]) == 71
     probe_old = read_versioned_eq(base, "k", 123).to_pandas()
     assert len(probe_old) == 1 and pd.isna(probe_old["w"].iloc[0])
+
+
+def test_versioned_random_evolving_changesets_match_model(tmp_path):
+    """The randomized-model audit WITH schema evolution: a new column
+    arrives mid-history and later changesets keep writing it; the head
+    tracks the pandas model (NaN where the model has no value) at every
+    step and every retained version reproduces its snapshot."""
+    rng = np.random.default_rng(11)
+    model = pd.DataFrame({
+        "k": np.arange(0, 200, dtype="int64"),
+        "v": rng.integers(0, 1000, 200).astype("int64"),
+    })
+    base = str(tmp_path / "vt_ev")
+    create_versioned(rd.from_pandas(model), base, "k", num_ranges=4)
+    snapshots = {1: model.copy()}
+    for step in range(6):
+        n = int(rng.integers(1, 20))
+        keys = rng.choice(np.arange(-10, 260), size=n, replace=False)
+        changes = pd.DataFrame({
+            "k": keys.astype("int64"),
+            "v": rng.integers(0, 10_000, n).astype("int64"),
+            "_op": rng.choice(["upsert", "delete"], size=n)})
+        if step >= 2:                       # the column arrives at step 2
+            changes["w"] = rng.integers(0, 99, n).astype("int64")
+            changes = changes[["k", "v", "w", "_op"]]
+        merge_versioned(base, rd.from_pandas(changes),
+                        allow_new_columns=True)
+        ups = changes[changes._op == "upsert"].drop(columns=["_op"])
+        dels = set(changes.loc[changes._op == "delete", "k"])
+        model = model[~model.k.isin(dels) & ~model.k.isin(set(ups.k))]
+        model = pd.concat([model, ups], ignore_index=True)
+        snapshots[step + 2] = model.copy()
+        got = read_versioned(base).to_pandas()
+        assert _fp_nan(got) == _fp_nan(model), step
+    for v, snap in snapshots.items():
+        assert _fp_nan(read_versioned(base, version=v).to_pandas()) \
+            == _fp_nan(snap), v
+
+
+def _fp_nan(df: pd.DataFrame) -> str:
+    """_fp with NaN/NA normalized (the model's float-NaN vs the evolved
+    read's typed-null both stringify to one token)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == "f":
+            # integral floats print like the int64 they model
+            df[c] = s.map(lambda x: "<NA>" if pd.isna(x)
+                          else str(int(x)) if float(x).is_integer()
+                          else str(x))
+        else:
+            df[c] = s.map(lambda x: "<NA>" if pd.isna(x) else str(x))
+    rows = sorted(df.apply("|".join, axis=1).tolist())
+    import hashlib as _h
+    return _h.sha256("\n".join(rows).encode()).hexdigest()
